@@ -1,0 +1,51 @@
+"""Table catalog: load the driver's parquet testdata as DataFrames.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to always broadcast at any scale factor:
+# region (5), nation (25) are fixed-size; supplier/part/customer grow
+# with SF but stay broadcastable into the TBs-of-lineitem regime.
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Parquet scan => columnar vectorized read,
+    predicate pushdown and column pruning come from Catalyst for free."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_catalog(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view for the spark.sql() surface."""
+    cat = load_catalog(spark, sf_dir)
+    for name, df in cat.items():
+        df.createOrReplaceTempView(name)
+    return cat

@@ -1,0 +1,94 @@
+"""Key-versioned dedup operators (reference A1) and snapshot upsert (J6).
+
+The reference replays a log-compacted Kafka topic keeping, per key, the
+record with the highest offset (imtu/InMemoryTableUpdater.scala:129-171,
+core loop :152-157), then MERGEs batches into H2 by primary key
+(imtu/DatabaseManager.scala:52-62).
+
+Spark-first realization: `max_by(struct(*), version)` in a single
+partial+final aggregation — one shuffle on the key, map-side combine
+halves the shuffled bytes vs the window-function formulation. At 100 TB
+this is the difference between shuffling every version of every key and
+shuffling one candidate per key per map partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    version_cols: Sequence[str],
+) -> DataFrame:
+    """A1: keep, per key, the row with the greatest (version_cols) tuple.
+
+    Ties broken by later version columns (pass a unique id last to make
+    the result deterministic). Implemented with max_by over a packed
+    struct: Catalyst plans partial_max_by -> exchange -> max_by, i.e.
+    map-side combine before the shuffle. Equivalent semantics to
+    row_number()=1 over (partitionBy keys orderBy version desc) but with
+    strictly less shuffle traffic and no sort.
+    """
+    version = F.struct(*[F.col(c) for c in version_cols])
+    packed = F.max_by(F.struct(*[F.col(c) for c in df.columns]), version).alias("_row")
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(packed)
+    return out.select(*[F.col(f"_row.{c}").alias(c) for c in df.columns])
+
+
+def latest_per_key_window(
+    df: DataFrame,
+    keys: Sequence[str],
+    version_cols: Sequence[str],
+) -> DataFrame:
+    """A1 alternative via row_number() — used where the full row ordering
+    matters or as a cross-check; prefers `latest_per_key` in hot paths."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in version_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def upsert_snapshot(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    version_cols: Sequence[str],
+) -> DataFrame:
+    """J6: insert-or-replace by key — the Delta-free snapshot MERGE.
+
+    Reference: H2 `MERGE INTO <t> KEY(ID) VALUES (...)`
+    (imtu/DatabaseManager.scala:52-62; batched exec :169-173).
+
+    updates win over base at equal version (CDC batches replay after the
+    snapshot), realized by a `_src` precedence column appended to the
+    version tuple. Single shuffle; on a cluster with Delta available this
+    becomes `MERGE INTO` — the logical result is identical.
+    """
+    cols = base.columns
+    b = base.select(*cols).withColumn("_src", F.lit(0))
+    u = updates.select(*cols).withColumn("_src", F.lit(1))
+    merged = latest_per_key(b.unionByName(u), keys, [*version_cols, "_src"])
+    return merged.drop("_src")
+
+
+def dedup_exact(
+    df: DataFrame,
+    fingerprint_cols: Sequence[str],
+    keep_order_cols: Sequence[str],
+) -> DataFrame:
+    """Exact content dedup: keep one representative row per fingerprint.
+
+    Representative = row with the smallest (keep_order_cols) tuple
+    (deterministic). Same single-shuffle min_by shape as latest_per_key.
+    """
+    order = F.struct(*[F.col(c) for c in keep_order_cols])
+    packed = F.min_by(F.struct(*[F.col(c) for c in df.columns]), order).alias("_row")
+    out = df.groupBy(*[F.col(c) for c in fingerprint_cols]).agg(packed)
+    return out.select(*[F.col(f"_row.{c}").alias(c) for c in df.columns])
