@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -35,7 +36,17 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet scan => columnar vectorized read,
-    predicate pushdown and column pruning come from Catalyst for free."""
+    predicate pushdown and column pruning come from Catalyst for free.
+
+    events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects (PARQUET_TYPE_ILLEGAL); we read nanos as long via the legacy
+    conf and rebuild a microsecond TimestampType column — the same
+    ns->us truncation DuckDB applies, so both engines see identical
+    values."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

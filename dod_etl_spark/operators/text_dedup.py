@@ -1,0 +1,140 @@
+"""Near-duplicate detection operators for document corpora: MinHash+LSH,
+SimHash, and n-gram Jaccard — the dedup family a 100 TB training-data
+pipeline runs before anything else.
+
+Scale design notes
+------------------
+- MinHash: explode to (doc, shingle) pairs — the shuffle is on doc_id
+  and is the irreducible cost; signatures are tiny afterwards. Band
+  buckets then self-join on (band, band_hash): candidate pairs are
+  produced by a hash join whose build side is only bucket collisions,
+  never the full N² cross product.
+- All hashing is md5-based (deterministic across engines/runs); the
+  per-permutation hash is md5(k || shingle) truncated to 16 hex chars,
+  and min() over fixed-width hex strings == min() over the integers
+  they encode, so signatures stay strings end-to-end (no bigint
+  overflow concerns).
+- SimHash: one explode over (doc, token) × 16 bit positions, two
+  aggregations — linear in corpus size, no pairwise work at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dod_etl_spark.functions.text import char_ngrams, distinct_tokens, md5_prefix_long
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_len: int = 5,
+) -> DataFrame:
+    """(id, k, h): per-document minhash signature rows, k in [0, num_hashes)."""
+    sh = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_len))).alias("shingle")
+    )
+    ks = sh.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
+    hashed = ks.withColumn(
+        "h", F.substring(F.md5(F.concat(F.col("k").cast("string"), F.col("shingle")).cast("binary")), 1, 16)
+    )
+    return hashed.groupBy(id_col, "k").agg(F.min("h").alias("h"))
+
+
+def minhash_bands(signatures: DataFrame, id_col: str = "doc_id", band_size: int = 2) -> DataFrame:
+    """(id, band, band_hash): LSH banding by concatenating band_size
+    consecutive signature rows. Uses max(CASE) per position instead of an
+    order-sensitive collect — deterministic and shuffle-free beyond the
+    groupBy."""
+    banded = signatures.withColumn("band", (F.col("k") / band_size).cast("int"))
+    slot_aggs = [
+        F.max(F.when(F.col("k") % band_size == i, F.col("h"))).alias(f"_s{i}")
+        for i in range(band_size)
+    ]
+    grouped = banded.groupBy(id_col, "band").agg(*slot_aggs)
+    return grouped.select(
+        id_col,
+        "band",
+        F.concat(*[F.col(f"_s{i}") for i in range(band_size)]).alias("band_hash"),
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_len: int = 5,
+) -> DataFrame:
+    """Distinct candidate pairs (id_1 < id_2) sharing >= 1 LSH band, with
+    the number of matching bands."""
+    bands = minhash_bands(
+        minhash_signatures(docs, id_col, text_col, num_hashes, shingle_len), id_col, band_size
+    )
+    a = bands.select(F.col(id_col).alias("id_1"), "band", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_2"), "band", "band_hash")
+    pairs = a.join(b, ["band", "band_hash"]).filter(F.col("id_1") < F.col("id_2"))
+    return pairs.groupBy("id_1", "id_2").agg(F.count(F.lit(1)).alias("n_bands"))
+
+
+def simhash16(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash fingerprint over distinct lowercase tokens.
+
+    bit_j(doc) = sign( Σ_tokens (2·bit_j(md5_32(token)) − 1) ) — the
+    classic Charikar construction, md5-based for cross-engine
+    determinism."""
+    toks = docs.select(
+        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("token")
+    ).withColumn("h32", md5_prefix_long(F.col("token")))
+    # Column-valued shift amounts: the python helpers F.shiftright/
+    # shiftleft only take int literals, the SQL functions take expressions.
+    bits = toks.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(15)))).withColumn(
+        "contrib", F.expr("(shiftright(h32, j) & 1) * 2 - 1")
+    )
+    sums = bits.groupBy(id_col, "j").agg(F.sum("contrib").alias("s"))
+    fp = sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(F.lit(0))
+        ).alias("simhash16")
+    )
+    return fp
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs inside a
+    blocking key (same `block_col` value). Blocking bounds the pairwise
+    work to per-block cardinality — at scale the block key is an LSH
+    bucket or minhash band, not a metadata column."""
+    grams = docs.select(
+        F.col(id_col),
+        F.col(block_col).alias("_block"),
+        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("_grams"),
+    )
+    a = grams.select(
+        F.col(id_col).alias("id_1"), F.col("_block"), F.col("_grams").alias("_g1")
+    )
+    b = grams.select(
+        F.col(id_col).alias("id_2"), F.col("_block"), F.col("_grams").alias("_g2")
+    )
+    pairs = a.join(b, "_block").filter(F.col("id_1") < F.col("id_2"))
+    inter = F.size(F.array_intersect(F.col("_g1"), F.col("_g2"))).cast("double")
+    union = (F.size(F.col("_g1")) + F.size(F.col("_g2"))).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", F.round("jaccard", 4).alias("jaccard"))
+    )

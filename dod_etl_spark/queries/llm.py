@@ -1,0 +1,283 @@
+"""Training-data pipeline queries: dedup family, text analysis,
+similarity search — over the driver's documents/embeddings tables, each
+with an exact DuckDB oracle (md5-based hashing keeps both engines
+bit-identical)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dod_etl_spark.functions.text import (
+    LANG_PRIORITY,
+    STOPWORDS,
+    distinct_tokens,
+    n_tokens,
+    punct_count,
+    quality_score,
+)
+from dod_etl_spark.operators.similarity import brute_force_topk
+from dod_etl_spark.operators.text_dedup import (
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from dod_etl_spark.queries.base import query, t
+
+# --- Exact dedup -------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+@query("dedup_exact_docs", _EXACT_DEDUP_ORACLE)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one shuffle on the content hash; the
+    canonical representative is min(doc_id)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text").cast("binary")).alias("fp")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# --- Text statistics / quality ----------------------------------------------
+
+_TEXT_STATS_ORACLE = """
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+       round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+             * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                      / greatest(length(text), 1)), 4) AS quality
+FROM documents
+"""
+
+
+@query("text_stats", _TEXT_STATS_ORACLE)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/punctuation stats + heuristic quality
+    score — pure column expressions, no UDFs."""
+    docs = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(text).alias("n_chars_actual"),
+        n_tokens(text).alias("n_tokens"),
+        punct_count(text).alias("n_punct"),
+        F.round(quality_score(text), 4).alias("quality"),
+    )
+
+
+# --- Language ID (n-gram/stopword heuristic) ---------------------------------
+
+
+def _lang_case_sql() -> str:
+    # DuckDB list literal: ['the', 'and', ...]
+    hit_exprs = {
+        lang: "len(list_intersect(toks, [" + ", ".join(f"'{w}'" for w in words) + "]))"
+        for lang, words in STOPWORDS.items()
+    }
+    cols = ",\n         ".join(f"{e} AS hits_{lang}" for lang, e in hit_exprs.items())
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in LANG_PRIORITY) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{lang} = best THEN '{lang}'" for lang in LANG_PRIORITY
+    ) + " END"
+    return f"""
+WITH toksed AS (
+  SELECT doc_id, lang AS actual_lang,
+         list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, actual_lang,
+         {cols}
+  FROM toksed
+),
+best AS (SELECT *, {best} AS best FROM hits)
+SELECT doc_id, actual_lang, {case} AS predicted_lang
+FROM best
+"""
+
+
+@query("lang_id_heuristic", _lang_case_sql())
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit argmax with fixed priority
+    tiebreak (LANG_PRIORITY order)."""
+    docs = t(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id", F.col("lang").alias("actual_lang"), distinct_tokens(F.col("text")).alias("toks")
+    )
+    for lang, words in STOPWORDS.items():
+        out = out.withColumn(
+            f"hits_{lang}",
+            F.size(F.array_intersect(F.col("toks"), F.array(*[F.lit(w) for w in words]))),
+        )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_PRIORITY])
+    expr = None
+    for lang in LANG_PRIORITY:
+        cond = F.col(f"hits_{lang}") == best
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return out.select("doc_id", "actual_lang", expr.alias("predicted_lang"))
+
+
+# --- MinHash + LSH near-dup candidates ---------------------------------------
+
+_MINHASH_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([substr(text, i, 5)
+                   for i in range(1, greatest(length(text) - 3, 2))]) AS shingle
+    FROM documents
+  )
+),
+ks AS (
+  SELECT doc_id, k, shingle
+  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS k)
+),
+mh AS (
+  SELECT doc_id, k,
+         min(substr(md5(CAST(k AS VARCHAR) || shingle), 1, 16)) AS h
+  FROM ks GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, CAST(k // 2 AS INT) AS band,
+         max(CASE WHEN k % 2 = 0 THEN h END) || max(CASE WHEN k % 2 = 1 THEN h END) AS band_hash
+  FROM mh GROUP BY doc_id, k // 2
+)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS n_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@query("minhash_lsh_candidates", _MINHASH_ORACLE)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 perms)+LSH(4 bands of 2) candidate pairs
+    (shingle→minhash→band→bucket-join; operators/text_dedup.py)."""
+    docs = t(spark, sf_dir, "documents")
+    return minhash_candidates(docs, num_hashes=8, band_size=2, shingle_len=5)
+
+
+# --- n-gram Jaccard pairs ----------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH grams AS (
+  SELECT doc_id, source,
+         list_distinct([substr(text, i, 3)
+                        for i in range(1, greatest(length(text) - 1, 2))]) AS g
+  FROM documents
+)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4) AS jaccard
+FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.25
+"""
+
+
+@query("ngram_jaccard_pairs", _JACCARD_ORACLE)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over source-blocked candidate pairs."""
+    docs = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, block_col="source", n=3, threshold=0.25)
+
+
+# --- SimHash fingerprints ----------------------------------------------------
+
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+    FROM documents
+  )
+),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN ((('0x' || substr(md5(token), 1, 8))::BIGINT >> j) & 1) = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM toks CROSS JOIN (SELECT unnest(range(16)) AS j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash16
+FROM bits GROUP BY doc_id
+"""
+
+
+@query("simhash_fingerprints", _SIMHASH_ORACLE)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (Charikar construction, md5 bits)."""
+    docs = t(spark, sf_dir, "documents")
+    return simhash16(docs)
+
+
+# --- Embedding cosine top-k --------------------------------------------------
+
+_COSINE_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0
+                    THEN list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                    ELSE 0.0 END, 3) AS cosine
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+"""
+
+
+@query("cosine_topk", _COSINE_ORACLE)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors — the exact
+    baseline for ANN (operators/similarity.py; the LSH-bucketed variant
+    is the scale path, tested separately)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(queries, emb, k=5)
+
+
+# --- Document fingerprint (rolling-hash winnowing) ---------------------------
+
+_FPRINT_ORACLE = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest([substr(text, i, 8)
+                   for i in range(1, greatest(length(text) - 6, 2))]) AS g
+    FROM documents
+  )
+)
+SELECT doc_id, min(substr(md5(g), 1, 16)) AS fingerprint, count(*) AS n_grams
+FROM grams GROUP BY doc_id
+"""
+
+
+@query("doc_fingerprint", _FPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min 8-gram hash + distinct
+    gram count."""
+    from dod_etl_spark.functions.text import char_ngrams
+
+    docs = t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(char_ngrams(F.col("text"), 8))).alias("g")
+    )
+    return grams.groupBy("doc_id").agg(
+        F.min(F.substring(F.md5(F.col("g").cast("binary")), 1, 16)).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )

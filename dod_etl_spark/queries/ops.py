@@ -1,0 +1,221 @@
+"""Generic operator queries (SURVEY §2) over the driver's testdata,
+each with a DuckDB oracle.
+
+These pin the reference's dimension-maintenance semantics: A1
+latest-per-key CDC dedup, P6 on-demand key-set filter, P7 retention,
+J6 upsert, A2 high-water marks, A4 collect-concat, plus the set-op
+surface used for cache invalidation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dod_etl_spark.operators.dedup import latest_per_key, upsert_snapshot
+from dod_etl_spark.operators.filters import keyset_filter, retention_filter
+from dod_etl_spark.queries.base import query, t
+
+# --- A1: latest-per-key dedup ------------------------------------------------
+
+_A1_ORACLE = """
+SELECT user_id, event_type, event_id AS last_event_id,
+       epoch_ms(ts) AS last_ts_ms, round(value, 4) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("a1_latest_per_key", _A1_ORACLE)
+def a1_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (imtu/InMemoryTableUpdater.scala:129-171): last version per key.
+    Implemented as one max_by aggregation (partial+final, map-side
+    combine) rather than the window-function formulation — less shuffle
+    at scale."""
+    events = t(spark, sf_dir, "events")
+    out = latest_per_key(events, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_millis("ts").alias("last_ts_ms"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+# --- P6: on-demand key-set filter -------------------------------------------
+
+_P6_ORACLE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+
+@query("p6_keyset_filter", _P6_ORACLE)
+def p6_keyset_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (imtu/InMemoryTableUpdater.scala:142-146,182-187): keep
+    dimension rows whose filter-column value was observed on the
+    stream. Stream-observed keys -> broadcast left-semi join (the
+    set-based analog of the reference's shared filterKeySet)."""
+    orders = t(spark, sf_dir, "orders")
+    events = t(spark, sf_dir, "events")
+    keys = events.filter(F.col("event_type") == "purchase").select("user_id")
+    # orders.o_custkey is never null in testdata, but keyset_filter's
+    # null-passes rule matches the reference; the oracle's IN() drops
+    # nulls identically because none exist.
+    filtered = keyset_filter(orders, "o_custkey", keys)
+    return filtered.select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+# --- P7: retention filter ----------------------------------------------------
+
+_P7_ORACLE = """
+SELECT event_id, epoch_ms(ts) AS ts_ms
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+"""
+
+
+@query("p7_retention_filter", _P7_ORACLE)
+def p7_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 (imtu/InMemoryTableUpdater.scala:49-57 + TODO :75, implemented
+    for real): rows within the retention window. Anchored at max(ts) for
+    determinism (prod anchors at current_timestamp)."""
+    events = t(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("m")).select(F.col("m"))
+    out = retention_filter(events, "ts", 7, now=F.lit(anchor.first()[0]))
+    return out.select("event_id", F.unix_millis("ts").alias("ts_ms"))
+
+
+# --- J6: upsert (snapshot MERGE) --------------------------------------------
+
+_J6_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, 0 AS src
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+updates AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, 1 AS src
+  FROM orders WHERE o_orderkey % 4 = 2
+),
+unioned AS (SELECT * FROM base UNION ALL SELECT * FROM updates)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+  FROM unioned
+) WHERE rn = 1
+"""
+
+
+@query("j6_upsert", _J6_ORACLE)
+def j6_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (imtu/DatabaseManager.scala:52-62 H2 `MERGE INTO ... KEY(ID)`):
+    insert-or-replace by key, updates winning — Delta-free snapshot
+    merge via one shuffle."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    updates = orders.filter(F.col("o_orderkey") % 4 == 2).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    merged = upsert_snapshot(base, updates, ["o_orderkey"], [])
+    return merged.select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+# --- A2: high-water marks ----------------------------------------------------
+
+_A2_ORACLE = """
+SELECT event_type, epoch_ms(max(ts)) AS high_water_ms, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+@query("a2_high_water", _A2_ORACLE)
+def a2_high_water(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (imtu/InMemoryTableUpdater.scala:201-204,212): running max
+    transaction timestamp per table — the late-data release signal."""
+    events = t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.unix_millis(F.max("ts")).alias("high_water_ms"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- A4: collect + concat ----------------------------------------------------
+
+_A4_ORACLE = """
+SELECT event_type,
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS line
+FROM events
+WHERE event_id % 97 = 0
+GROUP BY event_type
+"""
+
+
+@query("a4_collect_concat", _A4_ORACLE)
+def a4_collect_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (stp/BeamStreamProcessor.scala:107-116): batch collapse to one
+    comma-joined line — sorted for determinism (the reference relied on
+    arrival order)."""
+    events = t(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    return events.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("event_id")), lambda x: x.cast("string")),
+            ",",
+        ).alias("line")
+    )
+
+
+# --- Set ops: key-set difference (cache invalidation) ------------------------
+
+_EXCEPT_ORACLE = """
+SELECT user_id FROM events WHERE ts <  TIMESTAMP '2024-01-08 00:00:00'
+EXCEPT
+SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+"""
+
+
+@query("setop_key_diff", _EXCEPT_ORACLE)
+def setop_key_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-set difference driving cache invalidation (reference
+    imtu/InMemoryTableUpdater.scala:90-103 removeAll + targeted DELETE,
+    imtu/DatabaseManager.scala:161-167) — EXCEPT on key frames."""
+    events = t(spark, sf_dir, "events")
+    week1 = events.filter(F.col("ts") < "2024-01-08 00:00:00").select("user_id")
+    week4 = events.filter(F.col("ts") >= "2024-01-22 00:00:00").select("user_id")
+    return week1.subtract(week4)
+
+
+# --- Window surface: running aggregates -------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS running_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events
+"""
+
+
+@query("window_running_agg", _RUNNING_ORACLE)
+def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface (free in Spark, absent in the reference —
+    SURVEY §2.5): per-user running sum + sequence number."""
+    events = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias(
+            "running_value"
+        ),
+        F.row_number().over(w).alias("seq"),
+    )

@@ -13,9 +13,18 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from dod_etl_spark import schemas
+
+
+def _df(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
+    """Arrow-path createDataFrame: local rows -> pandas -> Spark. Avoids
+    the per-partition Python-worker spin-up of the parallelize path
+    (~10s saved per fixture table in tests)."""
+    pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+    return spark.createDataFrame(pdf, schema=schema).coalesce(1)
 
 BASE = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 BASE_MS = int(BASE.timestamp() * 1000)
@@ -34,7 +43,8 @@ def _ms(hours: float) -> int:
 def mes_fixture(spark: SparkSession) -> dict[str, DataFrame]:
     dtlm = _ts(0)
 
-    events = spark.createDataFrame(
+    events = _df(
+        spark,
         [
             # (ID, ID_PRODUCTION_ORDER, COD_EQUIPMENT, START, END, QUANTITY, txn ts)
             (1, 101, "EQ1", _ms(0.0), _ms(0.5), 25.0, _ms(0.5)),  # (a) inside ES1
@@ -43,40 +53,44 @@ def mes_fixture(spark: SparkSession) -> dict[str, DataFrame]:
             (4, 101, "EQ1", _ms(3.5), _ms(4.5), 10.0, _ms(4.5)),  # (c) trailing uncovered
             (5, 999, "EQ1", _ms(0.0), _ms(0.5), 5.0, _ms(0.5)),  # (f) missing PO
         ],
-        schema=schemas.PRODUCT_EVENTS,
+        schemas.PRODUCT_EVENTS,
     )
 
-    production_order = spark.createDataFrame(
+    production_order = _df(
+        spark,
         [
             (101, 7, _ts(0), _ts(2), 100.0, "EQ1", dtlm),
             (102, 8, _ts(2), _ts(3), 50.0, "EQ1", dtlm),
         ],
-        schema=schemas.PRODUCTION_ORDER,
+        schemas.PRODUCTION_ORDER,
     )
 
-    product_quality = spark.createDataFrame(
+    product_quality = _df(
+        spark,
         [
             (201, 1, False, "EQ1", dtlm),
             (202, 3, True, "EQ1", dtlm),  # product 3 out of spec
         ],
-        schema=schemas.PRODUCT_QUALITY,
+        schemas.PRODUCT_QUALITY,
     )
 
-    equipment_status = spark.createDataFrame(
+    equipment_status = _df(
+        spark,
         [
             (301, "EQ1", _ts(0), _ts(1), "RUNNING", False, dtlm),
             (302, "EQ1", _ts(1), _ts(2), "OFF_MAINTENANCE", True, dtlm),
             (303, "EQ1", _ts(2), _ts(4), "RUNNING", False, dtlm),
         ],
-        schema=schemas.EQUIPMENT_STATUS,
+        schemas.EQUIPMENT_STATUS,
     )
 
-    period_shift = spark.createDataFrame(
+    period_shift = _df(
+        spark,
         [
             (401, "EQ1", _ts(0), _ts(2), "SHIFT_A", dtlm),
             (402, "EQ1", _ts(2), _ts(4), "SHIFT_B", dtlm),
         ],
-        schema=schemas.PERIOD_SHIFT,
+        schemas.PERIOD_SHIFT,
     )
 
     return {
