@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dod_etl_spark.functions.scalar import epoch_ms_to_ts
-from dod_etl_spark.operators.interval_join import grain_split, overlap_join
+from dod_etl_spark.operators.interval_join import grain_split, overlap_join_bucketed
 
 
 def normalize_events(events: DataFrame) -> DataFrame:
@@ -116,7 +116,11 @@ def build_fact_grains(
         "STATUS_TYPE",
         "IS_FREE_TIME",
     )
-    joined = overlap_join(
+    # Bucketed decomposition: equipment codes are few (low-cardinality
+    # key), so a plain equi join on COD_EQUIPMENT degenerates to a
+    # per-key nested loop over the residual range predicate. Blocking on
+    # (key, hour-bucket) keeps it a true hash join at any scale.
+    joined = overlap_join_bucketed(
         enriched,
         es,
         on=["COD_EQUIPMENT"],

@@ -41,6 +41,18 @@ from pyspark.sql import functions as F
 DEFAULT_BUCKET_MS = 3_600_000  # 1 hour
 
 
+def _ms(df: DataFrame, name: str) -> Column:
+    """Epoch-millis view of a time column: TimestampType goes through
+    unix_millis, integral epoch-millis columns pass through."""
+    dtype = dict(df.dtypes).get(name, "")
+    if dtype.startswith("timestamp"):
+        col = df[name]
+        if dtype == "timestamp_ntz":
+            col = col.cast("timestamp")
+        return F.unix_millis(col)
+    return df[name].cast("long")
+
+
 def _overlap_pred(
     left: DataFrame, right: DataFrame, l_start: str, l_end: str, r_start: str, r_end: str
 ) -> Column:
@@ -91,25 +103,27 @@ def overlap_join_bucketed(
 
     Choose bucket_ms ≈ median interval length: fan-out per row is
     ceil(len/bucket)+1 while per-(key,bucket) populations stay small.
+
+    Time columns may be TimestampType or epoch-millis longs.
     """
     lb, rb = "_lbucket", "_rbucket"
 
-    def buckets(start: str, end: str) -> Column:
+    def buckets(df: DataFrame, start: str, end: str) -> Column:
         # All buckets the half-open interval [start, end) touches.
-        s = F.floor(F.unix_millis(F.col(start)) / bucket_ms)
-        e = F.floor((F.unix_millis(F.col(end)) - 1) / bucket_ms)
+        s = F.floor(_ms(df, start) / bucket_ms)
+        e = F.floor((_ms(df, end) - 1) / bucket_ms)
         return F.sequence(s, F.greatest(s, e))
 
-    lexp = left.withColumn(lb, F.explode(buckets(l_start, l_end)))
-    rexp = right.withColumn(rb, F.explode(buckets(r_start, r_end)))
+    lexp = left.withColumn(lb, F.explode(buckets(left, l_start, l_end)))
+    rexp = right.withColumn(rb, F.explode(buckets(right, r_start, r_end)))
 
     cond = (lexp[lb] == rexp[rb]) & _overlap_pred(lexp, rexp, l_start, l_end, r_start, r_end)
     for k in on:
         cond = cond & (lexp[k] == rexp[k])
     # Canonical bucket = first bucket both intervals inhabit.
     canonical = F.greatest(
-        F.floor(F.unix_millis(lexp[l_start]) / bucket_ms),
-        F.floor(F.unix_millis(rexp[r_start]) / bucket_ms),
+        F.floor(_ms(lexp, l_start) / bucket_ms),
+        F.floor(_ms(rexp, r_start) / bucket_ms),
     )
     joined = lexp.join(rexp, cond, "inner").filter(F.col(lb) == canonical)
     for k in on:

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dod_etl_spark.functions.scalar import duration_ms, nan_to_zero
+from dod_etl_spark.functions.scalar import duration_ms, nan_to_zero, stable_round
 from dod_etl_spark.schemas import OEE_COLUMNS
 
 
@@ -81,7 +81,7 @@ def compute_oee(grains: DataFrame, round_digits: int | None = None) -> DataFrame
     )
     if round_digits is not None:
         for c in ("PERFORMANCE", "AVAILABILITY", "QUALITY", "OEE"):
-            out = out.withColumn(c, F.round(F.col(c), round_digits))
+            out = out.withColumn(c, stable_round(F.col(c), round_digits))
     assert out.columns == OEE_COLUMNS
     return out
 

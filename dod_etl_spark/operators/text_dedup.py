@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dod_etl_spark.functions.scalar import stable_round
 from dod_etl_spark.functions.text import char_ngrams, distinct_tokens, md5_prefix_long
 
 
@@ -33,32 +34,42 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_len: int = 5,
 ) -> DataFrame:
-    """(id, k, h): per-document minhash signature rows, k in [0, num_hashes)."""
+    """Wide per-document signature: (id, h0..h{K-1}).
+
+    One explode to (doc, shingle), then ONE aggregation computing all K
+    permutation minima as separate min() aggs — no K-way row
+    multiplication, and the partial (map-side) aggregation collapses
+    each partition to one row per doc before the only shuffle. At 100 TB
+    this is the difference between shuffling K×|shingles| rows and
+    shuffling |docs| rows."""
     sh = docs.select(
         F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_len))).alias("shingle")
     )
-    ks = sh.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
-    hashed = ks.withColumn(
-        "h", F.substring(F.md5(F.concat(F.col("k").cast("string"), F.col("shingle")).cast("binary")), 1, 16)
-    )
-    return hashed.groupBy(id_col, "k").agg(F.min("h").alias("h"))
-
-
-def minhash_bands(signatures: DataFrame, id_col: str = "doc_id", band_size: int = 2) -> DataFrame:
-    """(id, band, band_hash): LSH banding by concatenating band_size
-    consecutive signature rows. Uses max(CASE) per position instead of an
-    order-sensitive collect — deterministic and shuffle-free beyond the
-    groupBy."""
-    banded = signatures.withColumn("band", (F.col("k") / band_size).cast("int"))
-    slot_aggs = [
-        F.max(F.when(F.col("k") % band_size == i, F.col("h"))).alias(f"_s{i}")
-        for i in range(band_size)
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(str(k)), F.col("shingle")).cast("binary")), 1, 16)
+        ).alias(f"h{k}")
+        for k in range(num_hashes)
     ]
-    grouped = banded.groupBy(id_col, "band").agg(*slot_aggs)
-    return grouped.select(
-        id_col,
-        "band",
-        F.concat(*[F.col(f"_s{i}") for i in range(band_size)]).alias("band_hash"),
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    band_size: int = 2,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(id, band, band_hash): LSH banding by concatenating band_size
+    consecutive signature columns — a shuffle-free unpivot (stack) of the
+    wide signature frame."""
+    n_bands = num_hashes // band_size
+    pairs = ", ".join(
+        f"{b}, concat({', '.join(f'h{b * band_size + i}' for i in range(band_size))})"
+        for b in range(n_bands)
+    )
+    return signatures.select(
+        id_col, F.expr(f"stack({n_bands}, {pairs}) AS (band, band_hash)")
     )
 
 
@@ -73,7 +84,10 @@ def minhash_candidates(
     """Distinct candidate pairs (id_1 < id_2) sharing >= 1 LSH band, with
     the number of matching bands."""
     bands = minhash_bands(
-        minhash_signatures(docs, id_col, text_col, num_hashes, shingle_len), id_col, band_size
+        minhash_signatures(docs, id_col, text_col, num_hashes, shingle_len),
+        id_col,
+        band_size,
+        num_hashes,
     )
     a = bands.select(F.col(id_col).alias("id_1"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("id_2"), "band", "band_hash")
@@ -136,5 +150,5 @@ def ngram_jaccard_pairs(
     return (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select("id_1", "id_2", F.round("jaccard", 4).alias("jaccard"))
+        .select("id_1", "id_2", stable_round("jaccard", 4).alias("jaccard"))
     )

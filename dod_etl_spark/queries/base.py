@@ -27,3 +27,18 @@ def query(name: str, oracle: str | None = None):
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def sround_sql(expr: str, digits: int) -> str:
+    """SQL mirror of functions.scalar.stable_round — identical IEEE ops
+    in any engine (round() implementations differ on doubles)."""
+    k = 10**digits
+    return f"(floor(({expr}) * {k} + 0.5) / {k})"
+
+
+def ssum_sql(expr: str, digits: int = 2, scale: int = 6) -> str:
+    """SQL mirror of functions.scalar.stable_sum: decimal-exact
+    (order-independent) aggregation of a per-row double expression."""
+    return sround_sql(
+        f"CAST(sum(CAST(({expr}) AS DECIMAL(27,{scale}))) AS DOUBLE)", digits
+    )

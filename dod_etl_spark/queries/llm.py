@@ -22,7 +22,8 @@ from dod_etl_spark.operators.text_dedup import (
     ngram_jaccard_pairs,
     simhash16,
 )
-from dod_etl_spark.queries.base import query, t
+from dod_etl_spark.functions.scalar import stable_round
+from dod_etl_spark.queries.base import query, sround_sql, t
 
 # --- Exact dedup -------------------------------------------------------------
 
@@ -44,14 +45,14 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Text statistics / quality ----------------------------------------------
 
-_TEXT_STATS_ORACLE = """
+_TEXT_STATS_ORACLE = f"""
 SELECT doc_id,
        length(text) AS n_chars_actual,
        len(string_split(text, ' ')) AS n_tokens,
        len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-       round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+       {sround_sql('''least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
              * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
-                      / greatest(length(text), 1)), 4) AS quality
+                      / greatest(length(text), 1))''', 4)} AS quality
 FROM documents
 """
 
@@ -67,7 +68,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(text).alias("n_chars_actual"),
         n_tokens(text).alias("n_tokens"),
         punct_count(text).alias("n_punct"),
-        F.round(quality_score(text), 4).alias("quality"),
+        stable_round(quality_score(text), 4).alias("quality"),
     )
 
 
@@ -165,7 +166,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- n-gram Jaccard pairs ----------------------------------------------------
 
-_JACCARD_ORACLE = """
+_JACCARD_ORACLE = f"""
 WITH grams AS (
   SELECT doc_id, source,
          list_distinct([substr(text, i, 3)
@@ -173,8 +174,8 @@ WITH grams AS (
   FROM documents
 )
 SELECT a.doc_id AS id_1, b.doc_id AS id_2,
-       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4) AS jaccard
+       {sround_sql('''CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))''', 4)} AS jaccard
 FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.25
@@ -220,15 +221,15 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Embedding cosine top-k --------------------------------------------------
 
-_COSINE_ORACLE = """
+_COSINE_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
 scored AS (
   SELECT query_id, neighbor_id,
-         round(CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0
+         {sround_sql('''CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0
                     THEN list_dot_product(qv, cv)
                          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
-                    ELSE 0.0 END, 3) AS cosine
+                    ELSE 0.0 END''', 3)} AS cosine
   FROM q CROSS JOIN c
   WHERE query_id <> neighbor_id
 ),

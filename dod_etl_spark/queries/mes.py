@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from dod_etl_spark.operators.enrich import build_fact_grains, enrich_with_orders, split_missing_po
 from dod_etl_spark.operators.oee import compute_oee
-from dod_etl_spark.queries.base import query, t
+from dod_etl_spark.queries.base import query, sround_sql, t
 
 # ---------------------------------------------------------------------------
 # Derived MES frames (Spark side). The SQL CTE block below mirrors these
@@ -173,9 +173,13 @@ JOIN es ON es.COD_EQUIPMENT = f.COD_EQUIPMENT
 
 @query("j3_j4_interval_grains", _GRAINS_ORACLE)
 def j3_j4_interval_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 overlap join + J4 grain intersection on derived MES frames.
+    """J3 overlap join + J4 grain intersection on derived MES frames,
+    via the time-bucket blocking decomposition (equipment cardinality is
+    tiny, so blocking is what keeps the join hash-based).
 
     Reference: stp/DataTransformer.scala:40-100."""
+    from dod_etl_spark.operators.interval_join import overlap_join_bucketed
+
     fx = mes_frames(spark, sf_dir)
     facts = fx["facts"].select(
         "ID",
@@ -192,12 +196,15 @@ def j3_j4_interval_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "STATUS_TYPE",
         "IS_FREE_TIME",
     )
-    cond = (
-        (es["COD_EQUIPMENT"] == facts["COD_EQUIPMENT"])
-        & (es["ES_START"] < facts["END_TIME"])
-        & (es["ES_END"] > facts["START_TIME"])
+    joined = overlap_join_bucketed(
+        facts,
+        es,
+        on=["COD_EQUIPMENT"],
+        l_start="START_TIME",
+        l_end="END_TIME",
+        r_start="ES_START",
+        r_end="ES_END",
     )
-    joined = facts.join(es, cond, "inner").drop(es["COD_EQUIPMENT"])
     return joined.select(
         "ID",
         "ID_PRODUCTION_ORDER",
@@ -212,7 +219,7 @@ def j3_j4_interval_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OEE_ORACLE = (
     MES_CTE
-    + """
+    + f"""
 , grains AS (
   SELECT f.ID, f.ID_PRODUCTION_ORDER, po.ID_MATERIAL, es.ID AS ID_EQUIPMENT_STATUS,
          f.COD_EQUIPMENT,
@@ -250,9 +257,9 @@ perf AS (
   FROM m
 )
 SELECT ID, ID_PRODUCTION_ORDER, ID_MATERIAL, ID_EQUIPMENT_STATUS, COD_EQUIPMENT,
-       round(PERFORMANCE_RAW, 4) AS PERFORMANCE,
+       {sround_sql("PERFORMANCE_RAW", 4)} AS PERFORMANCE,
        AVAILABILITY, QUALITY,
-       round(PERFORMANCE_RAW * AVAILABILITY * QUALITY, 4) AS OEE
+       {sround_sql("PERFORMANCE_RAW * AVAILABILITY * QUALITY", 4)} AS OEE
 FROM perf
 """
 )

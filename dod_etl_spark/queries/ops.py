@@ -12,15 +12,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dod_etl_spark.functions.scalar import stable_round
 from dod_etl_spark.operators.dedup import latest_per_key, upsert_snapshot
 from dod_etl_spark.operators.filters import keyset_filter, retention_filter
-from dod_etl_spark.queries.base import query, t
+from dod_etl_spark.queries.base import query, sround_sql, t
 
 # --- A1: latest-per-key dedup ------------------------------------------------
 
-_A1_ORACLE = """
+_A1_ORACLE = f"""
 SELECT user_id, event_type, event_id AS last_event_id,
-       epoch_ms(ts) AS last_ts_ms, round(value, 4) AS last_value
+       epoch_ms(ts) AS last_ts_ms, {sround_sql("value", 4)} AS last_value
 FROM (
   SELECT *, row_number() OVER (PARTITION BY user_id, event_type
                                ORDER BY ts DESC, event_id DESC) AS rn
@@ -42,14 +43,14 @@ def a1_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("event_id").alias("last_event_id"),
         F.unix_millis("ts").alias("last_ts_ms"),
-        F.round("value", 4).alias("last_value"),
+        stable_round("value", 4).alias("last_value"),
     )
 
 
 # --- P6: on-demand key-set filter -------------------------------------------
 
-_P6_ORACLE = """
-SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+_P6_ORACLE = f"""
+SELECT o_orderkey, o_custkey, {sround_sql("o_totalprice", 2)} AS o_totalprice
 FROM orders
 WHERE o_custkey IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
 """
@@ -69,7 +70,7 @@ def p6_keyset_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nulls identically because none exist.
     filtered = keyset_filter(orders, "o_custkey", keys)
     return filtered.select(
-        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        "o_orderkey", "o_custkey", stable_round("o_totalprice", 2).alias("o_totalprice")
     )
 
 
@@ -95,7 +96,7 @@ def p7_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- J6: upsert (snapshot MERGE) --------------------------------------------
 
-_J6_ORACLE = """
+_J6_ORACLE = f"""
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_totalprice, 0 AS src
   FROM orders WHERE o_orderkey % 2 = 0
@@ -105,7 +106,7 @@ updates AS (
   FROM orders WHERE o_orderkey % 4 = 2
 ),
 unioned AS (SELECT * FROM base UNION ALL SELECT * FROM updates)
-SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+SELECT o_orderkey, o_custkey, {sround_sql("o_totalprice", 2)} AS o_totalprice
 FROM (
   SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
   FROM unioned
@@ -125,7 +126,7 @@ def j6_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = upsert_snapshot(base, updates, ["o_orderkey"], [])
     return merged.select(
-        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        "o_orderkey", "o_custkey", stable_round("o_totalprice", 2).alias("o_totalprice")
     )
 
 
@@ -195,10 +196,10 @@ def setop_key_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Window surface: running aggregates -------------------------------------
 
-_RUNNING_ORACLE = """
+_RUNNING_ORACLE = f"""
 SELECT event_id, user_id,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+       {sround_sql('''sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''', 4)}
            AS running_value,
        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
 FROM events
@@ -214,8 +215,8 @@ def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias(
-            "running_value"
-        ),
+        stable_round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_value"),
         F.row_number().over(w).alias("seq"),
     )

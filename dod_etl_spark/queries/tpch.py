@@ -5,6 +5,12 @@ The reference has no SQL frontend (SURVEY §0) — its relational work was
 delegated to embedded H2. Our engine's generic surface IS Spark SQL /
 DataFrame; these queries pin it against the DuckDB oracle and serve as
 the BENCH headline set alongside the OEE pipeline.
+
+Float determinism: every aggregated double goes through decimal-exact
+summation (stable_sum/ssum_sql) so partition/merge order can't move the
+result, and every emitted double is rounded with the floor-form
+stable_round/sround_sql — identical IEEE ops in both engines (engine
+round() builtins disagree on boundary doubles).
 """
 
 from __future__ import annotations
@@ -12,19 +18,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dod_etl_spark.queries.base import query, t
+from dod_etl_spark.functions.scalar import stable_round, stable_sum
+from dod_etl_spark.queries.base import query, sround_sql, ssum_sql, t
+
+
+def _dsum(col, scale: int = 6):
+    """Decimal-exact sum of a per-row double expression, emitted double
+    (unrounded) — for derived stats like averages."""
+    return F.sum(col.cast("double").cast(f"decimal(27,{scale})")).cast("double")
+
+
+def _dsum_sql(expr: str, scale: int = 6) -> str:
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL(27,{scale}))) AS DOUBLE)"
+
 
 # --- Q1-style pricing summary ------------------------------------------------
 
-_Q1_ORACLE = """
+_DISC = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "(l_extendedprice * (1 - l_discount)) * (1 + l_tax)"
+
+_Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       {ssum_sql("l_quantity", 2)} AS sum_qty,
+       {ssum_sql("l_extendedprice", 2)} AS sum_base_price,
+       {ssum_sql(_DISC, 2)} AS sum_disc_price,
+       {ssum_sql(_CHARGE, 2)} AS sum_charge,
+       {sround_sql(_dsum_sql("l_quantity") + " / count(*)", 4)} AS avg_qty,
+       {sround_sql(_dsum_sql("l_extendedprice") + " / count(*)", 4)} AS avg_price,
+       {sround_sql(_dsum_sql("l_discount") + " / count(*)", 4)} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -36,23 +57,25 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        stable_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+        stable_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+        stable_sum(disc, 2).alias("sum_disc_price"),
+        stable_sum(charge, 2).alias("sum_charge"),
+        stable_round(_dsum(F.col("l_quantity")) / cnt, 4).alias("avg_qty"),
+        stable_round(_dsum(F.col("l_extendedprice")) / cnt, 4).alias("avg_price"),
+        stable_round(_dsum(F.col("l_discount")) / cnt, 4).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
 
 # --- Q3-style shipping priority ---------------------------------------------
 
-_Q3_ORACLE = """
+_Q3_ORACLE = f"""
 SELECT l.l_orderkey AS l_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       {ssum_sql("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue,
        epoch_ms(o.o_orderdate) AS o_orderdate_ms
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -75,7 +98,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(c), o.o_custkey == c.c_custkey
     )
     return joined.groupBy("l_orderkey", "o_orderdate").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
     ).select(
         "l_orderkey",
         "revenue",
@@ -87,9 +110,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q5-style revenue by nation ---------------------------------------------
 
-_Q5_ORACLE = """
+_Q5_ORACLE = f"""
 SELECT n.n_name AS n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {ssum_sql("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -121,14 +144,14 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
     )
 
 
 # --- Top-K per group ---------------------------------------------------------
 
-_TOPK_ORACLE = """
-SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rk
+_TOPK_ORACLE = f"""
+SELECT o_custkey, o_orderkey, {sround_sql("o_totalprice", 2)} AS o_totalprice, rk
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
@@ -145,16 +168,21 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rk")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            stable_round("o_totalprice", 2).alias("o_totalprice"),
+            "rk",
+        )
     )
 
 
 # --- ROLLUP ------------------------------------------------------------------
 
-_ROLLUP_ORACLE = """
+_ROLLUP_ORACLE = f"""
 SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
        coalesce(l_linestatus, '<all>') AS l_linestatus,
-       round(sum(l_extendedprice), 2) AS sum_price,
+       {ssum_sql("l_extendedprice", 2)} AS sum_price,
        count(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -167,7 +195,7 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's H2 delegation)."""
     li = t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        stable_sum(F.col("l_extendedprice"), 2).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     ).select(
         F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),

@@ -1,0 +1,97 @@
+"""Dimension-replica maintenance: the IMTU (In-Memory Table Updater)
+re-expressed as one Structured Streaming query per dimension table.
+
+Reference architecture (imtu/InMemoryTableUpdaterManager.scala:32-53 +
+InMemoryTableUpdater.scala:59-215): one consumer thread per table polls
+a CDC Kafka topic, dedups to the last value per key (A1), filters to
+stream-observed keys (P6) and the retention window (P7), and MERGEs
+into a per-worker H2 replica, publishing a per-table high-water
+timestamp (A2).
+
+Spark-first mapping: readStream -> foreachBatch{ A1 + P6 + P7 + upsert
+snapshot }. The "replica" is a temp view over an in-memory snapshot
+DataFrame that downstream stream-static joins broadcast — per-executor
+replication handled by the engine instead of hand-rolled H2 + threads
+(SharedSingleton.scala:14-44 and the Phaser barrier dissolve, SURVEY
+§2.9).
+
+At 100 TB the snapshot would be a Delta/Iceberg table and the upsert a
+MERGE INTO; the snapshot-replace strategy here is the storage-free
+equivalent with identical read semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from dod_etl_spark.operators.dedup import latest_per_key, upsert_snapshot
+from dod_etl_spark.operators.filters import keyset_filter, retention_filter
+
+
+@dataclass
+class DimensionMaintainer:
+    """Maintains one dimension snapshot from a CDC stream.
+
+    `key_cols`: upsert identity (reference: Avro-doc PRIMARY KEY,
+    DatabaseManager.scala:116-123). `version_cols`: ordering that decides
+    the survivor among versions (reference: Kafka offset,
+    InMemoryTableUpdater.scala:152-157). `filter_col`/`filter_keys_fn`:
+    the on-demand P6 pruning (None = replicate everything).
+    """
+
+    spark: SparkSession
+    table_name: str
+    key_cols: list[str]
+    version_cols: list[str]
+    filter_col: str | None = None
+    filter_keys_fn: Callable[[], DataFrame] | None = None
+    retention_days: int | None = None
+    retention_ts_col: str | None = None
+    high_water: dict[str, int] = field(default_factory=dict)
+
+    def _snapshot(self) -> DataFrame | None:
+        if self.table_name in [t.name for t in self.spark.catalog.listTables()]:
+            return self.spark.table(self.table_name)
+        return None
+
+    def apply_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        """foreachBatch body: A1 -> P6 -> P7 -> J6 -> publish snapshot +
+        A2 high-water mark. Callable directly in batch tests (parity by
+        construction)."""
+        changes = latest_per_key(batch, self.key_cols, self.version_cols)
+        if self.filter_col is not None and self.filter_keys_fn is not None:
+            changes = keyset_filter(changes, self.filter_col, self.filter_keys_fn())
+        if self.retention_days is not None and self.retention_ts_col is not None:
+            changes = retention_filter(changes, self.retention_ts_col, self.retention_days)
+
+        current = self._snapshot()
+        merged = (
+            upsert_snapshot(current, changes, self.key_cols, self.version_cols)
+            if current is not None
+            else changes
+        )
+        # Materialize before replacing the view the plan may read from.
+        rows = merged.collect()
+        snap = self.spark.createDataFrame(rows, schema=merged.schema)
+        snap.createOrReplaceTempView(self.table_name)
+
+        # A2: high-water mark (InMemoryTableUpdater.scala:201-204,212).
+        ts_col = self.retention_ts_col or (self.version_cols[0] if self.version_cols else None)
+        if ts_col is not None and ts_col in batch.columns:
+            hw = batch.agg(F.max(F.col(ts_col).cast("timestamp")).alias("hw")).first()["hw"]
+            if hw is not None:
+                self.high_water[self.table_name] = int(hw.timestamp() * 1000)
+
+    def start(self, cdc_stream: DataFrame, checkpoint: str) -> StreamingQuery:
+        """Attach to a streaming CDC source (kafka/file)."""
+        return (
+            cdc_stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .start()
+        )

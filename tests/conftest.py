@@ -7,7 +7,9 @@ import pytest
 from dod_etl_spark.session import get_spark
 
 SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+# sf0.01 = the driver's actual correctness gate; override for quick local
+# iterations with SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.001.
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,180 @@
+"""Streaming-layer tests: dimension maintenance (A1/J6/A2 in
+foreachBatch), strict-mode late-data retry (T2), sinks, and a real
+file-source streaming run.
+
+Strategy per SURVEY §5.5: logic is tested in batch via the foreachBatch
+bodies directly (deterministic), plus one end-to-end availableNow run to
+prove the streaming plumbing."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dod_etl_spark import schemas
+from dod_etl_spark.streaming.dimensions import DimensionMaintainer
+from dod_etl_spark.streaming.pipeline import OeeStreamingPipeline
+from dod_etl_spark.streaming.sinks import MemorySink, oee_text_lines
+from dod_etl_spark.testing.fixtures import mes_fixture
+
+
+def _dim_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "ID long, NAME string, COD_EQUIPMENT string, DT_LAST_MODIFICATION timestamp"
+    )
+
+
+def test_dimension_maintainer_upsert_and_high_water(spark):
+    m = DimensionMaintainer(
+        spark,
+        table_name="dim_test_t1",
+        key_cols=["ID"],
+        version_cols=["DT_LAST_MODIFICATION"],
+    )
+    b1 = _dim_batch(
+        spark,
+        [
+            (1, "a", "EQ1", None),
+            (2, "b", "EQ1", None),
+        ],
+    ).withColumn("DT_LAST_MODIFICATION", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    m.apply_batch(b1, 0)
+    assert spark.table("dim_test_t1").count() == 2
+
+    # Batch 2: update ID=1 (newer version), insert ID=3.
+    b2 = _dim_batch(
+        spark,
+        [
+            (1, "a2", "EQ1", None),
+            (3, "c", "EQ2", None),
+        ],
+    ).withColumn("DT_LAST_MODIFICATION", F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    m.apply_batch(b2, 1)
+    snap = {r["ID"]: r["NAME"] for r in spark.table("dim_test_t1").collect()}
+    assert snap == {1: "a2", 2: "b", 3: "c"}
+    # A2 high-water mark advanced to batch 2's max ts.
+    assert m.high_water["dim_test_t1"] == 1704153600000
+
+
+def test_dimension_maintainer_stale_update_loses(spark):
+    m = DimensionMaintainer(
+        spark, table_name="dim_test_t2", key_cols=["ID"], version_cols=["DT_LAST_MODIFICATION"]
+    )
+    newer = _dim_batch(spark, [(1, "new", "EQ1", None)]).withColumn(
+        "DT_LAST_MODIFICATION", F.lit("2024-01-05 00:00:00").cast("timestamp")
+    )
+    stale = _dim_batch(spark, [(1, "old", "EQ1", None)]).withColumn(
+        "DT_LAST_MODIFICATION", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    m.apply_batch(newer, 0)
+    m.apply_batch(stale, 1)  # CDC replay out of order
+    assert spark.table("dim_test_t2").first()["NAME"] == "new"
+
+
+def test_strict_retry_pipeline_holds_and_releases(spark):
+    """T2: an event whose production order hasn't arrived is buffered and
+    enriched once the dimension shows up in a later batch."""
+    fx = mes_fixture(spark)
+    po_full = fx["production_order"]
+    pq = fx["product_quality"]
+    es = fx["equipment_status"]
+
+    state = {"po": po_full.filter(F.col("ID") != 101)}  # PO 101 not arrived yet
+    sink = MemorySink()
+    pipe = OeeStreamingPipeline(
+        spark,
+        dims_fn=lambda: {
+            "production_order": state["po"],
+            "product_quality": pq,
+            "equipment_status": es,
+        },
+        sink=sink,
+    )
+
+    # Batch 0: events needing PO 101 (events 1,2,4) miss; event 3 (PO 102) hits.
+    pipe.process_batch(fx["product_events"].filter(F.col("ID") != 5), 0)
+    batch0_ids = {r["ID"] for r in sink.batches[0]}
+    assert 3 in batch0_ids and 1 not in batch0_ids
+    assert pipe.pending == 3  # events 1, 2, 4 held
+
+    # Dimension arrives; batch 1 has no new events but retries release.
+    state["po"] = po_full
+    pipe.process_batch(fx["product_events"].limit(0), 1)
+    batch1_ids = {r["ID"] for r in sink.batches[1]}
+    assert {1, 2, 4} <= batch1_ids
+    assert pipe.pending == 0
+
+
+def test_strict_retry_bounded(spark):
+    fx = mes_fixture(spark)
+    sink = MemorySink()
+    pipe = OeeStreamingPipeline(
+        spark,
+        dims_fn=lambda: {
+            "production_order": fx["production_order"].limit(0),
+            "product_quality": fx["product_quality"],
+            "equipment_status": fx["equipment_status"],
+        },
+        sink=sink,
+        max_retry_batches=2,
+    )
+    ev = fx["product_events"].filter(F.col("ID") == 1)
+    pipe.process_batch(ev, 0)
+    assert pipe.pending == 1
+    pipe.process_batch(ev.limit(0), 1)
+    pipe.process_batch(ev.limit(0), 2)
+    assert pipe.pending == 0  # dropped after max_retry_batches
+
+
+def test_streaming_end_to_end_file_source(spark, tmp_path):
+    """Real Structured Streaming run: file source -> foreachBatch strict
+    pipeline -> memory sink, availableNow trigger."""
+    fx = mes_fixture(spark)
+    src = str(tmp_path / "events_src")
+    fx["product_events"].write.parquet(src)
+
+    sink = MemorySink()
+    pipe = OeeStreamingPipeline(
+        spark,
+        dims_fn=lambda: {
+            "production_order": fx["production_order"],
+            "product_quality": fx["product_quality"],
+            "equipment_status": fx["equipment_status"],
+        },
+        sink=sink,
+    )
+    stream = (
+        spark.readStream.schema(fx["product_events"].schema).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(pipe.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # Same grains as the batch pipeline (parity by construction).
+    from dod_etl_spark.plans.pipeline import run_oee_pipeline
+
+    batch_oee = run_oee_pipeline(
+        fx["product_events"], fx["production_order"], fx["product_quality"], fx["equipment_status"]
+    ).oee
+    stream_ids = sorted((r["ID"], r["ID_EQUIPMENT_STATUS"]) for r in sink.rows)
+    batch_ids = sorted(
+        (r["ID"], r["ID_EQUIPMENT_STATUS"]) for r in batch_oee.collect()
+    )
+    assert stream_ids == batch_ids
+
+
+def test_oee_text_lines(spark):
+    fx = mes_fixture(spark)
+    from dod_etl_spark.plans.pipeline import run_oee_pipeline
+
+    oee = run_oee_pipeline(
+        fx["product_events"], fx["production_order"], fx["product_quality"], fx["equipment_status"]
+    ).oee
+    lines = oee_text_lines(oee).collect()
+    assert all("," in r["value"] for r in lines)
+    assert len(lines) == oee.count()
