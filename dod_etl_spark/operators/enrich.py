@@ -152,6 +152,30 @@ def build_fact_grains(
     )
 
 
+def enrich_with_shift(grains: DataFrame, period_shift: DataFrame) -> DataFrame:
+    """Third enrichment join: attach the work shift whose interval
+    overlaps the fact grain — the PERIOD_SHIFT processing the reference
+    configured but left TODO (conf/tableConfig.json:12-21,
+    stp/BeamStreamProcessor.scala:87; SURVEY §2.10 item 6). Same J3
+    shape; a grain spanning a shift boundary fans out per shift."""
+    ps = period_shift.select(
+        F.col("ID").alias("ID_PERIOD_SHIFT"),
+        "COD_EQUIPMENT",
+        F.col("START_TIME").alias("PS_START_TIME"),
+        F.col("END_TIME").alias("PS_END_TIME"),
+        "SHIFT_CODE",
+    )
+    return overlap_join_bucketed(
+        grains,
+        ps,
+        on=["COD_EQUIPMENT"],
+        l_start="FACT_START_TIME",
+        l_end="FACT_END_TIME",
+        r_start="PS_START_TIME",
+        r_end="PS_END_TIME",
+    ).drop("PS_START_TIME", "PS_END_TIME")
+
+
 def split_uncovered_es(events: DataFrame, grains: DataFrame) -> DataFrame:
     """P9: events not fully covered by equipment-status intervals —
     either no grain at all, or max(grain FACT_END) < event END_TIME.

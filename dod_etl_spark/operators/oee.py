@@ -42,9 +42,14 @@ def _zero_if(cond: Column, value: Column) -> Column:
     return F.when(cond, F.lit(0.0)).otherwise(value)
 
 
-def compute_oee(grains: DataFrame, round_digits: int | None = None) -> DataFrame:
+def compute_oee(
+    grains: DataFrame,
+    round_digits: int | None = None,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """F6 + P5 projection: fact grains -> 9-column OEE frame
-    (FIXTURES.md §6)."""
+    (FIXTURES.md §6). `extra_cols` are carried through (e.g. SHIFT_CODE
+    after the period-shift enrichment)."""
     off = F.col("STATUS_TYPE").contains("OFF")  # P10 (DataTransformer.scala:116)
     fact_dur = duration_ms(F.col("FACT_START_TIME"), F.col("FACT_END_TIME"))
     prod_dur = duration_ms(F.col("PROD_START_TIME"), F.col("PROD_END_TIME"))
@@ -78,11 +83,12 @@ def compute_oee(grains: DataFrame, round_digits: int | None = None) -> DataFrame
         availability.alias("AVAILABILITY"),
         quality.alias("QUALITY"),
         oee.alias("OEE"),
+        *extra_cols,
     )
     if round_digits is not None:
         for c in ("PERFORMANCE", "AVAILABILITY", "QUALITY", "OEE"):
             out = out.withColumn(c, stable_round(F.col(c), round_digits))
-    assert out.columns == OEE_COLUMNS
+    assert out.columns == [*OEE_COLUMNS, *extra_cols]
     return out
 
 

@@ -120,6 +120,48 @@ def simhash16(
     return fp
 
 
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash16",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance, band-blocked.
+
+    Pigeonhole: two 16-bit fingerprints within hamming distance
+    (n_bands - 1) share at least one exact 4-bit band — so candidates
+    come from an equi self-join on (band, band_bits), never N². The
+    exact hamming filter then runs on candidates only. For
+    max_hamming >= n_bands the guarantee weakens (documented recall
+    trade, standard practice)."""
+    width = 16 // n_bands
+    mask = (1 << width) - 1
+    banded = fingerprints.select(
+        F.col(id_col),
+        F.col(fp_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn("band_bits", F.expr(f"shiftright({fp_col}, band * {width}) & {mask}"))
+    a = banded.select(
+        F.col(id_col).alias("id_1"), F.col(fp_col).alias("_fp1"), "band", "band_bits"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_2"), F.col(fp_col).alias("_fp2"), "band", "band_bits"
+    )
+    pairs = (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "_fp1", "_fp2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("_fp1 ^ _fp2"))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     block_col: str,

@@ -282,3 +282,114 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.substring(F.md5(F.col("g").cast("binary")), 1, 16)).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_grams"),
     )
+
+
+# --- SimHash hamming near-dup pairs ------------------------------------------
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+    FROM documents
+  )
+),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN ((('0x' || substr(md5(token), 1, 8))::BIGINT >> j) & 1) = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM toks CROSS JOIN (SELECT unnest(range(16)) AS j)
+  GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash16
+  FROM bits GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash16, b.x AS band,
+         (simhash16 >> (b.x * 4)) & 15 AS band_bits
+  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS x) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+         a.simhash16 AS fp1, b.simhash16 AS fp2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+)
+SELECT id_1, id_2, bit_count(xor(fp1, fp2)) AS hamming
+FROM cand
+WHERE bit_count(xor(fp1, fp2)) <= 3
+"""
+
+
+@query("simhash_near_pairs", _SIMHASH_PAIRS_ORACLE)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-blocked SimHash near-dup pairs (hamming <= 3 over 16 bits):
+    pigeonhole blocking keeps the self-join linear in bucket sizes."""
+    from dod_etl_spark.operators.text_dedup import simhash_near_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash16(docs))
+
+
+# --- Multimodal: binary columns + Arrow feature extraction -------------------
+
+_MM_ORACLE = """
+WITH digests AS (
+  -- duckdb sha256 takes VARCHAR and hashes its UTF-8 bytes == Spark's
+  -- sha2 over encode(text,'UTF-8')
+  SELECT doc_id AS media_id, sha256(text) AS sha_hex FROM documents
+),
+bytes AS (
+  SELECT media_id, sha_hex,
+         [('0x' || substr(sha_hex, i * 2 + 1, 2))::BIGINT for i in range(16)] AS b16
+  FROM digests
+)
+SELECT media_id,
+       16 AS feature_dim,
+       sqrt(CAST(list_sum([x * x for x in b16]) AS DOUBLE)) / 255.0 AS feature_norm,
+       sha_hex AS content_sha
+FROM bytes
+"""
+
+
+@query("multimodal_features", _MM_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents -> binary content column
+    + typed metadata, decode stub + feature extraction via mapInPandas
+    (Arrow batches). The fake decode is sha256, so the oracle can verify
+    the FULL path including the Python stage byte-for-byte."""
+    from dod_etl_spark.operators.multimodal import Codec, extract_features
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("fake").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return extract_features(media, Codec(fake=True), feature_dim=16)
+
+
+# --- ANN scale path: LSH-bucketed top-k (rows-only check) --------------------
+
+
+@query("lsh_ann_topk", None)
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets — the 100 TB
+    path (bounded bucket join instead of full cross product). The
+    hyperplane construction is deterministic but not reasonably
+    SQL-expressible, so the driver records the rows-only check; exact
+    recall vs brute force is asserted in tests/test_similarity.py."""
+    from dod_etl_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(queries_df, emb, k=5, n_bits=4)

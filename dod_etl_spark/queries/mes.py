@@ -217,9 +217,9 @@ def j3_j4_interval_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_OEE_ORACLE = (
-    MES_CTE
-    + f"""
+# Shared OEE core CTEs (grains -> durations -> raw metrics); FACT times
+# carried through perf for the shift join.
+_OEE_CORE = """
 , grains AS (
   SELECT f.ID, f.ID_PRODUCTION_ORDER, po.ID_MATERIAL, es.ID AS ID_EQUIPMENT_STATUS,
          f.COD_EQUIPMENT,
@@ -253,9 +253,16 @@ perf AS (
                    * (QUANTITY / ((prod_dur / planned_dur) * PLANNED_QUANTITY))
               ELSE 0.0 END AS PERFORMANCE_RAW,
          CASE WHEN off THEN 0.0 ELSE 1.0 END AS AVAILABILITY,
-         CASE WHEN IS_OUT_OF_SPECIFICATION THEN 0.0 ELSE 1.0 END AS QUALITY
+         CASE WHEN IS_OUT_OF_SPECIFICATION THEN 0.0 ELSE 1.0 END AS QUALITY,
+         FACT_START, FACT_END
   FROM m
 )
+"""
+
+_OEE_ORACLE = (
+    MES_CTE
+    + _OEE_CORE
+    + f"""
 SELECT ID, ID_PRODUCTION_ORDER, ID_MATERIAL, ID_EQUIPMENT_STATUS, COD_EQUIPMENT,
        {sround_sql("PERFORMANCE_RAW", 4)} AS PERFORMANCE,
        AVAILABILITY, QUALITY,
@@ -304,3 +311,79 @@ def j5_missing_dim_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = enrich_with_orders(ev, fx["production_order"], fx["product_quality"])
     _ok, missing = split_missing_po(enriched)
     return missing.select("ID", "ID_PRODUCTION_ORDER")
+
+
+# ---------------------------------------------------------------------------
+# PERIOD_SHIFT: the third enrichment join the reference configured but
+# left TODO (conf/tableConfig.json:12-21, stp/BeamStreamProcessor.scala:87)
+# — implemented per SURVEY §2.10 item 6, plus the per-shift BI rollup the
+# config implies.
+# ---------------------------------------------------------------------------
+
+
+def ps_for_testdata(spark: SparkSession) -> DataFrame:
+    """Derived shift table: 8 equipments × 96 eight-hour slots covering
+    Jan 2024 (+1 day margin), codes SHIFT_0/1/2 rotating."""
+    base = 1704067200000
+    eqs = spark.range(8).select(F.col("id").alias("eq"))
+    slots = spark.range(96).select(F.col("id").alias("slot"))
+    return eqs.crossJoin(slots).select(
+        (F.col("eq") * 1000 + F.col("slot")).alias("ID"),
+        F.concat(F.lit("EQ"), F.col("eq").cast("string")).alias("COD_EQUIPMENT"),
+        F.timestamp_millis(F.lit(base) + F.col("slot") * 28800000).alias("START_TIME"),
+        F.timestamp_millis(F.lit(base) + (F.col("slot") + 1) * 28800000).alias("END_TIME"),
+        F.concat(F.lit("SHIFT_"), (F.col("slot") % 3).cast("string")).alias("SHIFT_CODE"),
+    )
+
+
+_PS_CTE = """
+, ps AS (
+  SELECT eq.x * 1000 + s.x AS ID,
+         'EQ' || CAST(eq.x AS VARCHAR) AS COD_EQUIPMENT,
+         1704067200000 + s.x * 28800000 AS PS_START,
+         1704067200000 + (s.x + 1) * 28800000 AS PS_END,
+         'SHIFT_' || CAST(s.x % 3 AS VARCHAR) AS SHIFT_CODE
+  FROM (SELECT unnest(range(8)) AS x) eq
+  CROSS JOIN (SELECT unnest(range(96)) AS x) s
+)
+"""
+
+_SHIFT_ORACLE = (
+    MES_CTE
+    + _OEE_CORE
+    + _PS_CTE
+    + f"""
+SELECT p.COD_EQUIPMENT AS COD_EQUIPMENT, ps.SHIFT_CODE AS SHIFT_CODE,
+       count(*) AS n_grains,
+       {sround_sql("CAST(sum(CAST((" + sround_sql("p.PERFORMANCE_RAW * p.AVAILABILITY * p.QUALITY", 4) + ") AS DECIMAL(27,6))) AS DOUBLE) / count(*)", 4)} AS avg_oee
+FROM perf p
+JOIN ps ON ps.COD_EQUIPMENT = p.COD_EQUIPMENT
+       AND ps.PS_START < p.FACT_END
+       AND ps.PS_END > p.FACT_START
+GROUP BY p.COD_EQUIPMENT, ps.SHIFT_CODE
+"""
+)
+
+
+@query("oee_by_shift", _SHIFT_ORACLE)
+def oee_by_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-equipment per-shift average OEE: flagship grains ⋈ PERIOD_SHIFT
+    (J3 shape, bucketed) -> grouped rollup. Decimal-exact aggregation of
+    the per-grain (stable-rounded) OEE keeps the average engine-stable."""
+    from dod_etl_spark.operators.enrich import enrich_with_shift, normalize_events
+
+    fx = mes_frames(spark, sf_dir)
+    ev = normalize_events(fx["facts"])
+    enriched = enrich_with_orders(ev, fx["production_order"], fx["product_quality"])
+    ok, _missing = split_missing_po(enriched)
+    grains = build_fact_grains(ok, fx["equipment_status"])
+    with_shift = enrich_with_shift(grains, ps_for_testdata(spark))
+    oee = compute_oee(with_shift, round_digits=4, extra_cols=("SHIFT_CODE",))
+    cnt = F.count(F.lit(1))
+    dsum = F.sum(F.col("OEE").cast("decimal(27,6)")).cast("double")
+    from dod_etl_spark.functions.scalar import stable_round
+
+    return oee.groupBy("COD_EQUIPMENT", "SHIFT_CODE").agg(
+        cnt.alias("n_grains"),
+        stable_round(dsum / F.count(F.lit(1)), 4).alias("avg_oee"),
+    )

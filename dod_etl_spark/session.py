@@ -34,6 +34,16 @@ def get_spark(app_name: str = "dod_etl_spark", cpus: str | int | None = None) ->
       moves data in columnar batches, not pickled rows.
     """
     cpus = str(cpus or _DEFAULT_CPUS)
+    # Python workers unpickle Pandas-UDF/mapInPandas closures by importing
+    # this package — they inherit PYTHONPATH from the driver process, NOT
+    # the driver's runtime sys.path. Exporting the repo root here makes
+    # the Arrow extension surface work regardless of the caller's cwd.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", cpus)

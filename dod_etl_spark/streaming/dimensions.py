@@ -66,8 +66,26 @@ class DimensionMaintainer:
         changes = latest_per_key(batch, self.key_cols, self.version_cols)
         if self.filter_col is not None and self.filter_keys_fn is not None:
             changes = keyset_filter(changes, self.filter_col, self.filter_keys_fn())
+
+        # A2 first: the high-water mark is also the retention anchor —
+        # event-time based, so replays are deterministic (wall-clock
+        # anchoring would silently expire everything on old data).
+        ts_col = self.retention_ts_col or (self.version_cols[0] if self.version_cols else None)
+        if ts_col is not None and ts_col in batch.columns:
+            hw = batch.agg(F.max(F.col(ts_col).cast("timestamp")).alias("hw")).first()["hw"]
+            if hw is not None:
+                prev = self.high_water.get(self.table_name, 0)
+                self.high_water[self.table_name] = max(prev, int(hw.timestamp() * 1000))
+
         if self.retention_days is not None and self.retention_ts_col is not None:
-            changes = retention_filter(changes, self.retention_ts_col, self.retention_days)
+            anchor_ms = self.high_water.get(self.table_name)
+            if anchor_ms is not None:
+                changes = retention_filter(
+                    changes,
+                    self.retention_ts_col,
+                    self.retention_days,
+                    now=F.timestamp_millis(F.lit(anchor_ms)),
+                )
 
         current = self._snapshot()
         merged = (
@@ -79,13 +97,6 @@ class DimensionMaintainer:
         rows = merged.collect()
         snap = self.spark.createDataFrame(rows, schema=merged.schema)
         snap.createOrReplaceTempView(self.table_name)
-
-        # A2: high-water mark (InMemoryTableUpdater.scala:201-204,212).
-        ts_col = self.retention_ts_col or (self.version_cols[0] if self.version_cols else None)
-        if ts_col is not None and ts_col in batch.columns:
-            hw = batch.agg(F.max(F.col(ts_col).cast("timestamp")).alias("hw")).first()["hw"]
-            if hw is not None:
-                self.high_water[self.table_name] = int(hw.timestamp() * 1000)
 
     def start(self, cdc_stream: DataFrame, checkpoint: str) -> StreamingQuery:
         """Attach to a streaming CDC source (kafka/file)."""

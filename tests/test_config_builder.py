@@ -1,0 +1,117 @@
+"""Config-driven pipeline: reference-shaped JSON -> batch plan /
+streaming maintainers, end-to-end on the MES fixture."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dod_etl_spark.config import load_pipeline_spec
+from dod_etl_spark.plans.builder import build_batch, build_streaming
+from dod_etl_spark.plans.pipeline import run_oee_pipeline
+from dod_etl_spark.streaming.sinks import MemorySink
+from dod_etl_spark.testing.fixtures import mes_fixture
+
+
+@pytest.fixture()
+def conf_dir(spark, tmp_path):
+    """Reference-shaped config (conf/tableConfig.json keys verbatim) with
+    engine-extension batch paths pointing at fixture parquet."""
+    fx = mes_fixture(spark)
+    paths = {}
+    for name, key in [
+        ("PRODUCT", "product_events"),
+        ("PRODUCTION_ORDER", "production_order"),
+        ("PRODUCT_QUALITY", "product_quality"),
+        ("EQUIPMENT_STATUS", "equipment_status"),
+    ]:
+        p = str(tmp_path / name.lower())
+        fx[key].write.parquet(p)
+        paths[name] = p
+
+    tables = [
+        {
+            "tableName": "PRODUCT",
+            "opTopicName": "PRODUCT_OP",
+            "metaTopicName": "PRODUCT_META",
+            "filterColumnName": "COD_EQUIPMENT",
+            "isMetadata": False,
+            "isOperational": True,
+            "retentionPeriodInDays": 10,
+            "path": paths["PRODUCT"],
+        },
+        {
+            "tableName": "PRODUCTION_ORDER",
+            "metaTopicName": "PRODUCTION_ORDER_META",
+            "filterColumnName": "COD_EQUIPMENT",
+            "transactionTimeColumnName": "DT_LAST_MODIFICATION",
+            "isMetadata": True,
+            "isOperational": False,
+            "retentionPeriodInDays": 10,
+            "path": paths["PRODUCTION_ORDER"],
+        },
+        {
+            "tableName": "PRODUCT_QUALITY",
+            "metaTopicName": "PRODUCT_QUALITY_META",
+            "transactionTimeColumnName": "DT_LAST_MODIFICATION",
+            "isMetadata": True,
+            "isOperational": False,
+            "path": paths["PRODUCT_QUALITY"],
+        },
+        {
+            "tableName": "EQUIPMENT_STATUS",
+            "metaTopicName": "EQUIPMENT_STATUS_META",
+            "transactionTimeColumnName": "DT_LAST_MODIFICATION",
+            "isMetadata": True,
+            "isOperational": False,
+            "path": paths["EQUIPMENT_STATUS"],
+        },
+    ]
+    (tmp_path / "tableConfig.json").write_text(json.dumps(tables))
+    (tmp_path / "globalConfig.json").write_text(
+        json.dumps({"kafkaServers": "localhost:9092", "offset": "earliest", "memTable": True})
+    )
+    return str(tmp_path)
+
+
+def test_spec_roundtrip(conf_dir):
+    spec = load_pipeline_spec(conf_dir)
+    assert spec.operational.tableName == "PRODUCT"
+    assert {t.tableName for t in spec.dimensions} == {
+        "PRODUCTION_ORDER",
+        "PRODUCT_QUALITY",
+        "EQUIPMENT_STATUS",
+    }
+    assert spec.global_spec.offset == "earliest"
+
+
+def test_build_batch_matches_direct_pipeline(spark, conf_dir):
+    spec = load_pipeline_spec(conf_dir)
+    result = build_batch(spark, spec)
+    fx = mes_fixture(spark)
+    direct = run_oee_pipeline(
+        fx["product_events"],
+        fx["production_order"],
+        fx["product_quality"],
+        fx["equipment_status"],
+    )
+    got = sorted((r["ID"], r["ID_EQUIPMENT_STATUS"], r["OEE"]) for r in result.oee.collect())
+    want = sorted((r["ID"], r["ID_EQUIPMENT_STATUS"], r["OEE"]) for r in direct.oee.collect())
+    assert got == want
+
+
+def test_build_streaming_wiring(spark, conf_dir):
+    spec = load_pipeline_spec(conf_dir)
+    sink = MemorySink()
+    maintainers, pipeline = build_streaming(spark, spec, sink)
+    assert set(maintainers) == {"production_order", "product_quality", "equipment_status"}
+
+    fx = mes_fixture(spark)
+    maintainers["production_order"].apply_batch(fx["production_order"], 0)
+    maintainers["product_quality"].apply_batch(fx["product_quality"], 0)
+    maintainers["equipment_status"].apply_batch(fx["equipment_status"], 0)
+    pipeline.process_batch(fx["product_events"], 0)
+    assert len(sink.rows) > 0
+    assert pipeline.pending == 1  # event 5's PO 999 never arrives

@@ -1,0 +1,74 @@
+"""Similarity-search operators: exact vs LSH recall, dot/norm unrolled
+vs higher-order-function parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dod_etl_spark.catalog import load_table
+from dod_etl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    dot,
+    lsh_bucketed_topk,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+def test_unrolled_dot_matches_hof(spark, emb):
+    """The codegen-unrolled dot product is bit-identical to the
+    aggregate/zip_with fold (same left-to-right association)."""
+    two = emb.limit(2).collect()
+    df = spark.createDataFrame(
+        [(two[0]["embedding"], two[1]["embedding"])], "a array<float>, b array<float>"
+    )
+    da = F.transform(F.col("a"), lambda x: x.cast("double"))
+    db = F.transform(F.col("b"), lambda x: x.cast("double"))
+    r = df.select(
+        dot(da, db).alias("hof"),
+        dot(F.col("a"), F.col("b"), dim=len(two[0]["embedding"])).alias("unrolled"),
+    ).first()
+    assert r["hof"] == r["unrolled"]
+
+
+def test_brute_force_topk_shape(spark, emb):
+    out = brute_force_topk(emb.filter(F.col("vec_id") < 3), emb, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        assert [r["rk"] for r in sorted(rows, key=lambda r: r["rk"])] == [1, 2, 3, 4, 5]
+        sims = [r["cosine"] for r in sorted(rows, key=lambda r: r["rk"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+
+def test_lsh_recall_vs_exact(spark, emb):
+    """LSH top-k must agree with exact top-k for a meaningful fraction of
+    neighbors (recall trade is the point; zero overlap would mean broken
+    bucketing)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, k=5).collect()
+    approx = lsh_bucketed_topk(queries, emb, k=5, n_bits=4).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert approx_pairs, "LSH returned nothing — bucketing broken"
+    # Single-probe, 16 buckets over 64-dim vectors: measured recall is
+    # ~0.14 — the cost/recall trade at this operating point. The floor
+    # guards against broken bucketing (hash mismatch between sides -> 0).
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.08, f"LSH recall {recall} suspiciously low"
+    # Every LSH hit shares the query's bucket by construction; scores on
+    # common pairs must be identical to the exact path.
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert r["cosine"] == exact_scores[key]
