@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "minhash_lsh_candidates",
     "text_stats",
     "cosine_topk",
+    "oee_by_shift",
+    "simhash_near_pairs",
+    "multimodal_features",
 ]
 
 

@@ -106,18 +106,23 @@ def simhash16(
     toks = docs.select(
         F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("token")
     ).withColumn("h32", md5_prefix_long(F.col("token")))
-    # Column-valued shift amounts: the python helpers F.shiftright/
-    # shiftleft only take int literals, the SQL functions take expressions.
-    bits = toks.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(15)))).withColumn(
-        "contrib", F.expr("(shiftright(h32, j) & 1) * 2 - 1")
-    )
-    sums = bits.groupBy(id_col, "j").agg(F.sum("contrib").alias("s"))
-    fp = sums.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(F.lit(0))
-        ).alias("simhash16")
-    )
-    return fp
+    # All 16 bit-position sums as wide aggregations over the (doc, token)
+    # rows — no 16× row multiplication, ONE shuffle with map-side combine
+    # (integer ±1 sums are exact, so this is bit-identical to the
+    # per-position formulation).
+    aggs = [
+        F.sum(F.expr(f"(shiftright(h32, {j}) & 1) * 2 - 1")).alias(f"_s{j}")
+        for j in range(16)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    fp_bits = [
+        F.when(F.col(f"_s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        for j in range(16)
+    ]
+    fp_expr = fp_bits[0]
+    for b in fp_bits[1:]:
+        fp_expr = fp_expr + b
+    return sums.select(F.col(id_col), fp_expr.alias("simhash16"))
 
 
 def simhash_near_pairs(

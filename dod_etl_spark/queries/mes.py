@@ -387,3 +387,54 @@ def oee_by_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.alias("n_grains"),
         stable_round(dsum / F.count(F.lit(1)), 4).alias("avg_oee"),
     )
+
+
+# --- P9: equipment-status coverage routing -----------------------------------
+
+_UNCOVERED_ORACLE = (
+    MES_CTE
+    + """
+, grain_cov AS (
+  SELECT f.ID, max(least(f.END_TIME, es.END_TIME)) AS max_end
+  FROM facts f
+  JOIN es ON es.COD_EQUIPMENT = f.COD_EQUIPMENT
+         AND es.START_TIME < f.END_TIME
+         AND es.END_TIME > f.START_TIME
+  GROUP BY f.ID
+)
+SELECT f.ID AS ID, f.COD_EQUIPMENT AS COD_EQUIPMENT,
+       f.END_TIME AS END_TIME_MS, g.max_end AS MAX_COVERED_MS
+FROM facts f
+LEFT JOIN grain_cov g ON g.ID = f.ID
+WHERE g.max_end IS NULL OR g.max_end < f.END_TIME
+"""
+)
+
+
+@query("p9_uncovered_events", _UNCOVERED_ORACLE)
+def p9_uncovered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: events not fully covered by equipment-status intervals —
+    explicit max(FACT_END) per event, not the reference's scan-order
+    `ESList.last` (BeamStreamProcessor.scala:86; SURVEY §2.10 item 5)."""
+    from dod_etl_spark.operators.interval_join import overlap_join_bucketed
+
+    fx = mes_frames(spark, sf_dir)
+    facts = fx["facts"].select("ID", "COD_EQUIPMENT", "START_TIME", "END_TIME")
+    es = fx["equipment_status"].select(
+        "COD_EQUIPMENT",
+        F.unix_millis("START_TIME").alias("ES_START"),
+        F.unix_millis("END_TIME").alias("ES_END"),
+    )
+    joined = overlap_join_bucketed(
+        facts, es, on=["COD_EQUIPMENT"],
+        l_start="START_TIME", l_end="END_TIME", r_start="ES_START", r_end="ES_END",
+    )
+    cov = joined.groupBy(F.col("ID").alias("_cid")).agg(
+        F.max(F.least(F.col("END_TIME"), F.col("ES_END"))).alias("MAX_COVERED_MS")
+    )
+    out = facts.join(cov, facts["ID"] == cov["_cid"], "left")
+    return out.filter(
+        F.col("MAX_COVERED_MS").isNull() | (F.col("MAX_COVERED_MS") < F.col("END_TIME"))
+    ).select(
+        "ID", "COD_EQUIPMENT", F.col("END_TIME").alias("END_TIME_MS"), "MAX_COVERED_MS"
+    )

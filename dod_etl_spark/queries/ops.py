@@ -220,3 +220,25 @@ def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("running_value"),
         F.row_number().over(w).alias("seq"),
     )
+
+
+# --- Distinct aggregation surface --------------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@query("distinct_agg", _DISTINCT_ORACLE)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) surface (free Spark capability; the approximate
+    twin approx_count_distinct is exposed but cannot be oracle-hashed —
+    HLL sketches are engine-specific by definition)."""
+    events = t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""Regenerate the PLANS.md evidence: formatted physical plans of the
+headline queries at $SPARK_GRAFT_SF_DIR (default sf0.01)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+AUDIT = [
+    "oee_flagship",
+    "j3_j4_interval_grains",
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
+    "p6_keyset_filter",
+    "a1_latest_per_key",
+    "minhash_lsh_candidates",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    from dod_etl_spark.queries import QUERIES
+    from dod_etl_spark.session import get_spark
+
+    spark = get_spark("explain_audit")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    for name in AUDIT:
+        df = QUERIES[name](spark, SF_DIR)
+        print(f"\n{'=' * 30} {name}\n")
+        print(df._jdf.queryExecution().explainString(mode))
+
+
+if __name__ == "__main__":
+    main()
