@@ -50,6 +50,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Raise tiny inputs to the session's core count before CPU-heavy
+    per-row work (hashing, shingle explode, vector math).
+
+    Local testdata tables are single small parquet files -> one input
+    split -> one task, serializing work that is embarrassingly parallel.
+    At cluster scale inputs already carry >= cores splits and this is a
+    no-op — it never coalesces, so it cannot *reduce* parallelism on a
+    100 TB input."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_catalog(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

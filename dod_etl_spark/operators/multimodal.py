@@ -100,7 +100,12 @@ def extract_features(
     Output: one row per media item with a feature vector summary
     (dim + L2 norm of the fake-decoded bytes) and a content fingerprint.
     Arrow moves the binary column in columnar batches; Python touches
-    each partition exactly once."""
+    each partition exactly once. The input is spread to the session's
+    core count first — Python decode throughput is per-partition, so a
+    single-split input would serialize the whole decode."""
+    from dod_etl_spark.catalog import spread
+
+    media = spread(media)
     codec = codec or Codec()
     # Keep the pickled closure free of references to this package: in
     # fake mode the decode is inlined (stdlib only), so Python workers

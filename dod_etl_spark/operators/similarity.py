@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dod_etl_spark.catalog import spread
 from dod_etl_spark.functions.scalar import stable_round
 
 
@@ -85,7 +86,7 @@ def brute_force_topk(
             norm(F.col(vec_col), dim).alias("_qn"),
         )
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         norm(F.col(vec_col), dim).alias("_cn"),
@@ -119,6 +120,59 @@ def hyperplane_sign_bits(vec: Column, seeds: list[int]) -> Column:
     return bucket
 
 
+def sign_bucket(vec: Column, n_dims: int) -> Column:
+    """Blocking key from the signs of the first n_dims components —
+    SQL-expressible in any engine (unlike the pseudo-random hyperplanes),
+    so oracle-checkable end-to-end. Near-identical vectors agree on the
+    sign of every high-variance component, so true near-dups land in the
+    same bucket with high probability."""
+    out = F.lit(0)
+    for i in range(n_dims):
+        out = out + F.when(vec.getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_dims: int = 4,
+    round_digits: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup flavor: all
+    pairs over a threshold, not top-k): sign-bucket blocking turns the
+    N² cross product into an equi self-join whose per-bucket cost is
+    |bucket|² — at 100 TB the bucket key is the shuffle key and skewed
+    buckets split under AQE. Exact cosine runs on candidates only."""
+    dim = _probe_dim(emb, vec_col)
+    e = spread(emb).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col), dim).alias("_n"),
+        sign_bucket(F.col(vec_col), sign_dims).alias("_bucket"),
+    )
+    a = e.select(
+        F.col(id_col).alias("id_1"), F.col("_v").alias("_v1"),
+        F.col("_n").alias("_n1"), "_bucket",
+    )
+    b = e.select(
+        F.col(id_col).alias("id_2"), F.col("_v").alias("_v2"),
+        F.col("_n").alias("_n2"), "_bucket",
+    )
+    denom = F.col("_n1") * F.col("_n2")
+    sim = F.when(denom > 0, dot(F.col("_v1"), F.col("_v2"), dim) / denom).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .withColumn("cosine", stable_round(sim, round_digits))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_1", "id_2", "cosine")
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -140,7 +194,7 @@ def lsh_bucketed_topk(
         norm(F.col(vec_col), dim).alias("_qn"),
         hyperplane_sign_bits(F.col(vec_col), seeds).alias("_bucket"),
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         norm(F.col(vec_col), dim).alias("_cn"),

@@ -9,12 +9,15 @@ Scale design notes
   buckets then self-join on (band, band_hash): candidate pairs are
   produced by a hash join whose build side is only bucket collisions,
   never the full N² cross product.
-- All hashing is md5-based (deterministic across engines/runs); the
-  per-permutation hash is md5(k || shingle) truncated to 16 hex chars,
-  and min() over fixed-width hex strings == min() over the integers
-  they encode, so signatures stay strings end-to-end (no bigint
-  overflow concerns).
-- SimHash: one explode over (doc, token) × 16 bit positions, two
+- All hashing is md5-based (deterministic across engines/runs). Each
+  shingle is md5-hashed ONCE; the K permutation values derive from that
+  32-bit hash by affine mixing (a_k·h + b_k) mod P with P prime > 2^32 —
+  a_k < 2^31 keeps every product < 2^63, so the arithmetic is exact in
+  any engine's BIGINT (DuckDB raises on overflow rather than wrapping,
+  so staying under 2^63 is a correctness requirement, not a nicety).
+  This is ~K× cheaper than hashing K times per shingle — at 100 TB the
+  md5 over the shingle stream IS the dominant CPU cost.
+- SimHash: one explode over (doc, token) × n_bits positions, two
   aggregations — linear in corpus size, no pairwise work at all.
 """
 
@@ -23,8 +26,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dod_etl_spark.catalog import spread
 from dod_etl_spark.functions.scalar import stable_round
 from dod_etl_spark.functions.text import char_ngrams, distinct_tokens, md5_prefix_long
+
+# Smallest prime above 2^32; affine permutation modulus for MinHash.
+MINHASH_PRIME = 4294967311
+
+
+def minhash_perm_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_k, b_k) for the affine permutations. a_k is odd
+    and < 2^31 (product with a 32-bit hash stays < 2^63); derived by
+    Knuth multiplicative mixing so the same literals appear in the
+    DuckDB oracle."""
+    out = []
+    for k in range(num_hashes):
+        a = ((k + 1) * 2654435761) % (1 << 31) | 1
+        b = ((k + 1) * 40503) % MINHASH_PRIME
+        out.append((a, b))
+    return out
 
 
 def minhash_signatures(
@@ -34,22 +54,21 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_len: int = 5,
 ) -> DataFrame:
-    """Wide per-document signature: (id, h0..h{K-1}).
+    """Wide per-document signature: (id, h0..h{K-1}), h_k BIGINT.
 
-    One explode to (doc, shingle), then ONE aggregation computing all K
-    permutation minima as separate min() aggs — no K-way row
-    multiplication, and the partial (map-side) aggregation collapses
-    each partition to one row per doc before the only shuffle. At 100 TB
-    this is the difference between shuffling K×|shingles| rows and
-    shuffling |docs| rows."""
-    sh = docs.select(
+    One explode to (doc, shingle), ONE md5 per shingle, then ONE
+    aggregation computing all K permutation minima as separate min()
+    aggs over affine mixes of the shared hash — no K-way row
+    multiplication and no K-way hashing; the partial (map-side)
+    aggregation collapses each partition to one row per doc before the
+    only shuffle. At 100 TB this is the difference between shuffling
+    K×|shingles| rows and shuffling |docs| rows."""
+    sh = spread(docs).select(
         F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_len))).alias("shingle")
-    )
+    ).withColumn("_h32", md5_prefix_long(F.col("shingle")))
     aggs = [
-        F.min(
-            F.substring(F.md5(F.concat(F.lit(str(k)), F.col("shingle")).cast("binary")), 1, 16)
-        ).alias(f"h{k}")
-        for k in range(num_hashes)
+        F.min((F.lit(a) * F.col("_h32") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{k}")
+        for k, (a, b) in enumerate(minhash_perm_params(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -60,12 +79,12 @@ def minhash_bands(
     band_size: int = 2,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """(id, band, band_hash): LSH banding by concatenating band_size
-    consecutive signature columns — a shuffle-free unpivot (stack) of the
-    wide signature frame."""
+    """(id, band, band_hash): LSH banding by joining band_size
+    consecutive signature values with '_' (unambiguous for integers) — a
+    shuffle-free unpivot (stack) of the wide signature frame."""
     n_bands = num_hashes // band_size
     pairs = ", ".join(
-        f"{b}, concat({', '.join(f'h{b * band_size + i}' for i in range(band_size))})"
+        f"{b}, concat_ws('_', {', '.join(f'h{b * band_size + i}' for i in range(band_size))})"
         for b in range(n_bands)
     )
     return signatures.select(
@@ -95,34 +114,53 @@ def minhash_candidates(
     return pairs.groupBy("id_1", "id_2").agg(F.count(F.lit(1)).alias("n_bands"))
 
 
-def simhash16(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def simhash_fp(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 16,
+    out_col: str | None = None,
 ) -> DataFrame:
-    """16-bit SimHash fingerprint over distinct lowercase tokens.
+    """n_bits-wide SimHash fingerprint over distinct lowercase tokens
+    (n_bits multiple of 4, <= 60 so shifts stay in signed-64 range).
 
-    bit_j(doc) = sign( Σ_tokens (2·bit_j(md5_32(token)) − 1) ) — the
-    classic Charikar construction, md5-based for cross-engine
-    determinism."""
-    toks = docs.select(
+    bit_j(doc) = sign( Σ_tokens (2·bit_j(md5(token)) − 1) ) — the classic
+    Charikar construction, md5-based for cross-engine determinism.
+    Width is a discrimination knob: on heavily templated corpora 16 bits
+    collide en masse and the near-pair output degenerates quadratic;
+    32+ bits keep bucket sizes (and the candidate join) bounded."""
+    out_col = out_col or f"simhash{n_bits}"
+    # Token hash is at least 32 bits wide regardless of fingerprint
+    # width (bit_j reads the LOW n_bits of the same 32-bit hash for any
+    # n_bits <= 32, so narrowing the fingerprint never changes the bits
+    # it does keep).
+    toks = spread(docs).select(
         F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("token")
-    ).withColumn("h32", md5_prefix_long(F.col("token")))
-    # All 16 bit-position sums as wide aggregations over the (doc, token)
-    # rows — no 16× row multiplication, ONE shuffle with map-side combine
-    # (integer ±1 sums are exact, so this is bit-identical to the
-    # per-position formulation).
+    ).withColumn("_h", md5_prefix_long(F.col("token"), max(n_bits, 32) // 4))
+    # All bit-position sums as wide aggregations over the (doc, token)
+    # rows — no n_bits× row multiplication, ONE shuffle with map-side
+    # combine (integer ±1 sums are exact, so this is bit-identical to
+    # the per-position formulation).
     aggs = [
-        F.sum(F.expr(f"(shiftright(h32, {j}) & 1) * 2 - 1")).alias(f"_s{j}")
-        for j in range(16)
+        F.sum(F.expr(f"(shiftright(_h, {j}) & 1) * 2 - 1")).alias(f"_s{j}")
+        for j in range(n_bits)
     ]
     sums = toks.groupBy(id_col).agg(*aggs)
     fp_bits = [
         F.when(F.col(f"_s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-        for j in range(16)
+        for j in range(n_bits)
     ]
     fp_expr = fp_bits[0]
     for b in fp_bits[1:]:
         fp_expr = fp_expr + b
-    return sums.select(F.col(id_col), fp_expr.alias("simhash16"))
+    return sums.select(F.col(id_col), fp_expr.alias(out_col))
+
+
+def simhash16(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash (compact fingerprint; see simhash_fp)."""
+    return simhash_fp(docs, id_col, text_col, n_bits=16)
 
 
 def simhash_near_pairs(
@@ -131,16 +169,16 @@ def simhash_near_pairs(
     fp_col: str = "simhash16",
     max_hamming: int = 3,
     n_bands: int = 4,
+    n_bits: int = 16,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance, band-blocked.
 
-    Pigeonhole: two 16-bit fingerprints within hamming distance
-    (n_bands - 1) share at least one exact 4-bit band — so candidates
-    come from an equi self-join on (band, band_bits), never N². The
-    exact hamming filter then runs on candidates only. For
-    max_hamming >= n_bands the guarantee weakens (documented recall
-    trade, standard practice)."""
-    width = 16 // n_bands
+    Pigeonhole: two fingerprints within hamming distance (n_bands - 1)
+    share at least one exact band — so candidates come from an equi
+    self-join on (band, band_bits), never N². The exact hamming filter
+    then runs on candidates only. For max_hamming >= n_bands the
+    guarantee weakens (documented recall trade, standard practice)."""
+    width = n_bits // n_bands
     mask = (1 << width) - 1
     banded = fingerprints.select(
         F.col(id_col),
@@ -179,7 +217,7 @@ def ngram_jaccard_pairs(
     blocking key (same `block_col` value). Blocking bounds the pairwise
     work to per-block cardinality — at scale the block key is an LSH
     bucket or minhash band, not a metadata column."""
-    grams = docs.select(
+    grams = spread(docs).select(
         F.col(id_col),
         F.col(block_col).alias("_block"),
         F.array_distinct(char_ngrams(F.col(text_col), n)).alias("_grams"),

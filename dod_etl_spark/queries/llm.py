@@ -126,7 +126,27 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH near-dup candidates ---------------------------------------
 
-_MINHASH_ORACLE = """
+
+def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    """Mirror of operators.text_dedup: one md5 per shingle, affine
+    permutation mixes (same literal constants), '_'-joined band keys."""
+    from dod_etl_spark.operators.text_dedup import MINHASH_PRIME, minhash_perm_params
+
+    mins = ",\n         ".join(
+        f"min(({a} * h32 + {b}) % {MINHASH_PRIME}) AS h{k}"
+        for k, (a, b) in enumerate(minhash_perm_params(num_hashes))
+    )
+    n_bands = num_hashes // band_size
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {hs}) AS band_hash FROM mh".format(
+            b=b,
+            hs=", ".join(
+                f"CAST(h{b * band_size + i} AS VARCHAR)" for i in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
 WITH sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
@@ -135,19 +155,16 @@ WITH sh AS (
     FROM documents
   )
 ),
-ks AS (
-  SELECT doc_id, k, shingle
-  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS k)
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h32 FROM sh
 ),
 mh AS (
-  SELECT doc_id, k,
-         min(substr(md5(CAST(k AS VARCHAR) || shingle), 1, 16)) AS h
-  FROM ks GROUP BY doc_id, k
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, CAST(k // 2 AS INT) AS band,
-         max(CASE WHEN k % 2 = 0 THEN h END) || max(CASE WHEN k % 2 = 1 THEN h END) AS band_hash
-  FROM mh GROUP BY doc_id, k // 2
+  {band_rows}
 )
 SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS n_bands
 FROM bands a JOIN bands b
@@ -156,7 +173,7 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
-@query("minhash_lsh_candidates", _MINHASH_ORACLE)
+@query("minhash_lsh_candidates", _minhash_oracle())
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8 perms)+LSH(4 bands of 2) candidate pairs
     (shingle→minhash→band→bucket-join; operators/text_dedup.py)."""
@@ -274,8 +291,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram count."""
     from dod_etl_spark.functions.text import char_ngrams
 
+    from dod_etl_spark.catalog import spread
+
     docs = t(spark, sf_dir, "documents")
-    grams = docs.select(
+    grams = spread(docs).select(
         "doc_id", F.explode(F.array_distinct(char_ngrams(F.col("text"), 8))).alias("g")
     )
     return grams.groupBy("doc_id").agg(
@@ -286,7 +305,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash hamming near-dup pairs ------------------------------------------
 
-_SIMHASH_PAIRS_ORACLE = f"""
+_SIMHASH_PAIRS_ORACLE = """
 WITH toks AS (
   SELECT DISTINCT doc_id, token FROM (
     SELECT doc_id,
@@ -298,22 +317,22 @@ bits AS (
   SELECT doc_id, j,
          sum(CASE WHEN ((('0x' || substr(md5(token), 1, 8))::BIGINT >> j) & 1) = 1
                   THEN 1 ELSE -1 END) AS s
-  FROM toks CROSS JOIN (SELECT unnest(range(16)) AS j)
+  FROM toks CROSS JOIN (SELECT unnest(range(32)) AS j)
   GROUP BY doc_id, j
 ),
 fp AS (
   SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash16
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash32
   FROM bits GROUP BY doc_id
 ),
 banded AS (
-  SELECT doc_id, simhash16, b.x AS band,
-         (simhash16 >> (b.x * 4)) & 15 AS band_bits
+  SELECT doc_id, simhash32, b.x AS band,
+         (simhash32 >> (b.x * 8)) & 255 AS band_bits
   FROM fp CROSS JOIN (SELECT unnest(range(4)) AS x) b
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
-         a.simhash16 AS fp1, b.simhash16 AS fp2
+         a.simhash32 AS fp1, b.simhash32 AS fp2
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
 )
@@ -325,12 +344,16 @@ WHERE bit_count(xor(fp1, fp2)) <= 3
 
 @query("simhash_near_pairs", _SIMHASH_PAIRS_ORACLE)
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Band-blocked SimHash near-dup pairs (hamming <= 3 over 16 bits):
-    pigeonhole blocking keeps the self-join linear in bucket sizes."""
-    from dod_etl_spark.operators.text_dedup import simhash_near_pairs
+    """Band-blocked SimHash near-dup pairs (hamming <= 3 over 32 bits,
+    4 bands of 8): pigeonhole blocking keeps the self-join linear in
+    bucket sizes. 32-bit width (vs the 16-bit compact fingerprint)
+    matters on templated corpora: 16 bits collide en masse and the pair
+    output goes quadratic; 32 bits keeps candidates ~4× smaller here."""
+    from dod_etl_spark.operators.text_dedup import simhash_fp, simhash_near_pairs
 
     docs = t(spark, sf_dir, "documents")
-    return simhash_near_pairs(simhash16(docs))
+    fp = simhash_fp(docs, n_bits=32)
+    return simhash_near_pairs(fp, fp_col="simhash32", n_bits=32, n_bands=4)
 
 
 # --- Multimodal: binary columns + Arrow feature extraction -------------------
@@ -376,6 +399,77 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return extract_features(media, Codec(fake=True), feature_dim=16)
+
+
+# --- Embedding-cosine near-dup pairs (dedup flavor) --------------------------
+
+_EMB_NEAR_DUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+          + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+         {sround_sql('''CASE WHEN a.n * b.n > 0
+                    THEN list_dot_product(a.v, b.v) / (a.n * b.n)
+                    ELSE 0.0 END''', 3)} AS cosine
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_1, id_2, cosine FROM scored WHERE cosine >= 0.35
+"""
+
+
+@query("embedding_near_dup_pairs", _EMB_NEAR_DUP_ORACLE)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP (all pairs over a threshold, vs
+    cosine_topk's per-query top-k): sign-bucket blocking on the first 4
+    dims replaces the N² cross product with an equi self-join
+    (operators/similarity.py). Threshold 0.35 is calibrated to the
+    synthetic embeddings (random-ish vectors: in-bucket cosines top out
+    ~0.51; real near-dup corpora would run 0.9+)."""
+    from dod_etl_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35, sign_dims=4)
+
+
+# --- Token counting (whitespace + BPE-ish regex) -----------------------------
+
+_BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+_TOKEN_COUNTS_ORACLE = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+       {sround_sql(f'''CAST(length(text) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '{_BPE_RE}')), 1)''', 4)} AS chars_per_token
+FROM documents
+"""
+
+
+@query("token_counts", _TOKEN_COUNTS_ORACLE)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish lexer
+    regex (letter runs | single digits | single punctuation — the
+    GPT-2-style pre-tokenizer shape), plus chars-per-token, the standard
+    tokenizer-efficiency metric. Pure JVM regex — no tokenizer library
+    on the hot path."""
+    docs = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_bpe = F.size(F.regexp_extract_all(text, F.lit(_BPE_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_tokens(text).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        stable_round(
+            F.length(text).cast("double") / F.greatest(n_bpe, F.lit(1)), 4
+        ).alias("chars_per_token"),
+    )
 
 
 # --- ANN scale path: LSH-bucketed top-k (rows-only check) --------------------

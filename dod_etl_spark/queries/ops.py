@@ -149,6 +149,46 @@ def a2_high_water(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- T2: release-when-dims-arrive eligibility (batch form) -------------------
+
+_T2_ORACLE = """
+WITH hw AS (
+  SELECT user_id, max(ts) AS hw
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+       (h.hw IS NOT NULL AND e.ts <= h.hw) AS released
+FROM events e LEFT JOIN hw h ON e.user_id = h.user_id
+WHERE e.event_type <> 'purchase'
+"""
+
+
+@query("t2_release_eligibility", _T2_ORACLE)
+def t2_release_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 release predicate, batch form (imtu/
+    InMemoryTableUpdaterManager.scala:67-74 + stp/
+    BeamStreamProcessor.scala:56-64): an event is releasable iff every
+    required table's A2 high-water mark has passed its timestamp —
+    here 'purchase' events play the dimension feed and everything else
+    the fact stream. The stateful streaming realization of the same
+    semantics is streaming/stateful.py (applyInPandasWithState); this
+    query pins the release predicate against the SQL oracle. The
+    high-water side is key-bounded, hence broadcast — the fact stream
+    is never shuffled."""
+    events = t(spark, sf_dir, "events")
+    hw = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("hw"))
+    )
+    facts = events.filter(F.col("event_type") != "purchase")
+    return facts.join(F.broadcast(hw), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        (F.col("hw").isNotNull() & (F.col("ts") <= F.col("hw"))).alias("released"),
+    )
+
+
 # --- A4: collect + concat ----------------------------------------------------
 
 _A4_ORACLE = """

@@ -244,3 +244,84 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.min("ts")).alias("session_start_ms"),
         F.unix_millis(F.max("ts")).alias("session_end_ms"),
     )
+
+
+# --- Q6-style forecast revenue (pushdown showcase) ---------------------------
+
+_Q6_ORACLE = f"""
+SELECT {ssum_sql("l_extendedprice * l_discount", 2)} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", _Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table filter + global aggregate. Every
+    predicate reaches the parquet scan (PushedFilters) and only 4
+    columns are read — the plan is one scan + partial/final agg, no
+    shuffle of data rows at all."""
+    li = t(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.04, 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        stable_round(
+            stable_sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --- Q10-style returned-item top customers -----------------------------------
+
+_Q10_ORACLE = f"""
+WITH rev AS (
+  SELECT c.c_custkey, any_value(c.c_name) AS c_name,
+         {ssum_sql("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY c.c_custkey
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rk FROM rev
+)
+SELECT c_custkey, c_name, revenue, rk FROM ranked WHERE rk <= 20
+"""
+
+
+@query("q10_returned_revenue", _Q10_ORACLE)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-side filter, two joins (customer broadcast,
+    orders-lineitem shuffle on orderkey), grouped revenue, global
+    top-20. Ranking is on the decimal-exact (order-independent) sum, so
+    cross-engine order ties only on identical values — broken by
+    custkey. The global window runs on the tiny aggregated frame."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    rev = joined.groupBy("c_custkey").agg(
+        F.any_value(F.col("c_name")).alias("c_name"),
+        stable_round(
+            stable_sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("c_custkey", "c_name", "revenue", "rk")
+    )
