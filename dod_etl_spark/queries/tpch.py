@@ -325,3 +325,291 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("c_custkey", "c_name", "revenue", "rk")
     )
+
+
+# --- Q4-style order priority (EXISTS semi-join) -------------------------------
+
+_Q4_ORACLE = """
+SELECT o.o_orderpriority AS o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("q4_order_priority", _Q4_ORACLE)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (schema-adapted: the testdata lineitem has no
+    commit/receipt dates, so "late line" = shipped >30 days after the
+    order date). EXISTS compiles to a LEFT SEMI hash join on the order
+    key with the date comparison as residual — one shuffle, no
+    duplicate-elimination pass, and the orders scan carries both date
+    predicates as PushedFilters."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --- Q12-style priority-class line counts (conditional agg) -------------------
+
+_Q12_ORACLE = """
+SELECT l.l_linestatus AS l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+
+@query("q12_priority_lines", _Q12_ORACLE)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (schema-adapted: no l_shipmode column, grouped by
+    l_linestatus instead). Conditional aggregation — the CASE folds into
+    the partial agg, so the shuffle carries two longs per group, not
+    rows."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- Q14-style promo revenue share --------------------------------------------
+
+_Q14_ORACLE = f"""
+SELECT {sround_sql(
+    "100.0 * "
+    + _dsum_sql("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")
+    + " / " + _dsum_sql("l.l_extendedprice * (1 - l.l_discount)"), 4)} AS promo_share,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+@query("q14_promo_revenue", _Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (p_type is a plain enum here, so PROMO is an
+    equality not a LIKE-prefix). part broadcasts; the month filter is
+    pushed to the lineitem scan; the ratio is computed from two
+    decimal-exact sums in a single aggregate."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            stable_round(F.lit(100.0) * _dsum(promo) / _dsum(disc), 4).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- Q16-style supplier count per part class ----------------------------------
+
+_Q16_ORACLE = """
+SELECT p.p_brand AS p_brand, p.p_type AS p_type,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#9'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY p.p_brand, p.p_type
+"""
+
+
+@query("q16_supplier_cnt", _Q16_ORACLE)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (no partsupp table in the testdata — lineitem is
+    the part↔supplier association; no s_comment so the NOT-IN-supplier
+    leg is dropped). Distinct-agg after a broadcast join: Spark expands
+    to a two-phase agg (local distinct, then count) — both phases
+    map-side combine before the single shuffle."""
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# --- Q18-style large-volume orders --------------------------------------------
+
+_Q18_ORACLE = f"""
+SELECT c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey,
+       epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+       {sround_sql("o.o_totalprice", 2)} AS o_totalprice,
+       {ssum_sql("l.l_quantity", 2)} AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+
+@query("q18_large_orders", _Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery with HAVING -> aggregate once, semi
+    join the tiny qualifying key set back (broadcast left-semi), then
+    re-aggregate only the surviving orders. The heavy lineitem agg runs
+    once; the requalifying join costs no shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    o = t(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = t(spark, sf_dir, "customer")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return joined.groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice").agg(
+        stable_sum(F.col("l_quantity"), 2).alias("sum_qty")
+    ).select(
+        "c_custkey",
+        "o_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+        stable_round("o_totalprice", 2).alias("o_totalprice"),
+        "sum_qty",
+    )
+
+
+# --- Q19-style disjunctive-predicate revenue ----------------------------------
+
+_Q19_ORACLE = f"""
+SELECT {ssum_sql("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+
+@query("q19_disjunctive_revenue", _Q19_ORACLE)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (schema-adapted: no p_container / l_shipmode, so
+    the disjunction is over brand/size/quantity). The equi key
+    (p_partkey = l_partkey) is conjunctive over the whole OR, so
+    Catalyst extracts it into a broadcast hash join and evaluates the
+    disjunction as a residual filter — not a cartesian product."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & q.between(qlo, qhi)
+    )
+    cond = arm("Brand#1", 15, 1, 11) | arm("Brand#2", 25, 10, 20) | arm("Brand#3", 35, 20, 30)
+    return (
+        li.join(F.broadcast(p), (p.p_partkey == li.l_partkey) & cond)
+        .agg(
+            stable_round(
+                stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- Q7-style volume shipping between nation pair -----------------------------
+
+_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       {ssum_sql("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_volume_shipping", _Q7_ORACLE)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    Five joins, one shuffle (orders⋈lineitem on the order key) — every
+    dimension broadcasts, and the nation-pair disjunction is a residual
+    on broadcast-joined columns."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
+    )
