@@ -214,3 +214,86 @@ def lsh_bucketed_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 3,
+) -> DataFrame:
+    """IVF-style approximate top-k (the other classic ANN scale path,
+    alongside LSH): a coarse quantizer assigns every corpus vector to
+    its nearest cell; queries probe their `n_probe` nearest cells, so
+    per-query work drops from N to ~n_probe*N/n_cells.
+
+    Deterministic coarse quantizer: the centroids are the `n_cells`
+    lowest-id corpus vectors (a k-means iteration would refine them;
+    centroid choice only affects recall, not the operator shape).
+    Centroids are collected driver-side — that is the IVF design, not a
+    distributed-compute escape hatch: the centroid table is metadata
+    (k-means itself iterates on collected centroids), tiny by
+    construction, and shipping it inside the plan as literal arrays
+    makes cell assignment a pure projection — embarrassingly parallel,
+    ZERO shuffle (vs. a cross-join + window, which would shuffle the
+    full corpus). The only shuffles left are the bucket join and the
+    final per-query top-k — same shape as lsh_bucketed_topk.
+    """
+    import math
+
+    dim = _probe_dim(corpus, vec_col)
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["v"]])
+        for r in corpus.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+        .collect()
+    ]
+
+    def _pynorm(xs: list) -> float:
+        acc = 0.0
+        for x in xs:  # sequential fold — bit-identical to the engines'
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def with_cells(df: DataFrame, out_id: str, out_vec: str, out_n: str, probes: int) -> DataFrame:
+        e = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            norm(F.col(vec_col), dim).alias(out_n),
+        )
+        entries = []
+        for cid, cv in cents:
+            clit = F.array(*[F.lit(float(x)) for x in cv])
+            cn = _pynorm(cv)
+            sim = F.when(
+                F.col(out_n) * F.lit(cn) > 0,
+                dot(F.col(out_vec), clit, dim) / (F.col(out_n) * F.lit(cn)),
+            ).otherwise(F.lit(0.0))
+            # negated cell id: struct max/sort-desc then prefers the
+            # SMALLEST cell on sim ties (oracle: ORDER BY sim DESC, cell)
+            entries.append(F.struct(sim.alias("s"), F.lit(-cid).alias("nc")))
+        top = F.slice(F.sort_array(F.array(*entries), asc=False), 1, probes)
+        return e.withColumn(
+            "cell_id", F.explode(F.transform(top, lambda t: -t["nc"]))
+        )
+
+    c = with_cells(spread(corpus), "neighbor_id", "_cv", "_cn", 1)
+    q = with_cells(queries, "query_id", "_qv", "_qn", n_probe)
+    denom = F.col("_qn") * F.col("_cn")
+    sim = F.when(denom > 0, dot(F.col("_qv"), F.col("_cv"), dim) / denom).otherwise(F.lit(0.0))
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", stable_round(sim, round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

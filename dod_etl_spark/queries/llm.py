@@ -472,18 +472,125 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- ANN scale path: LSH-bucketed top-k (rows-only check) --------------------
+# --- ANN scale path: LSH-bucketed top-k --------------------------------------
+
+# The deterministic pseudo-random hyperplanes (operators/similarity.py
+# hyperplane_sign_bits) ARE SQL-expressible: component i of the seed-s
+# hyperplane is ((i_1based * cs) % 2001 - 1000)/1000 with
+# cs = s*2654435761 % 1000003 — DuckDB's indexed list_transform lambda
+# is 1-based, matching Spark's transform (0-based) via (i+1).
+_LSH_SEEDS = [1, 2, 3, 4]
+_LSH_CS = [(s * 2654435761) % 1000003 for s in _LSH_SEEDS]
 
 
-@query("lsh_ann_topk", None)
+def _lsh_bucket_sql(v: str) -> str:
+    bits = []
+    for bit, cs in enumerate(_LSH_CS):
+        proj = (
+            f"list_dot_product({v}, list_transform({v}, "
+            f"(x, i) -> ((i * {cs}) % 2001 - 1000) / 1000.0))"
+        )
+        bits.append(f"CASE WHEN {proj} > 0 THEN {1 << bit} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+_LSH_ANN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n,
+         {_lsh_bucket_sql("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {sround_sql('''CASE WHEN q.n * c.n > 0
+                    THEN list_dot_product(q.v, c.v) / (q.n * c.n)
+                    ELSE 0.0 END''', 3)} AS cosine
+  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+"""
+
+
+@query("lsh_ann_topk", _LSH_ANN_ORACLE)
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets — the 100 TB
     path (bounded bucket join instead of full cross product). The
-    hyperplane construction is deterministic but not reasonably
-    SQL-expressible, so the driver records the rows-only check; exact
-    recall vs brute force is asserted in tests/test_similarity.py."""
+    hyperplane construction is deterministic integer arithmetic, so the
+    oracle replays it exactly (indexed list lambdas); recall vs brute
+    force is additionally asserted in tests/test_similarity.py."""
     from dod_etl_spark.operators.similarity import lsh_bucketed_topk
 
     emb = t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return lsh_bucketed_topk(queries_df, emb, k=5, n_bits=4)
+
+
+# --- ANN scale path 2: IVF (inverted-file) top-k ------------------------------
+
+_IVF_SIM = """CASE WHEN {an} * {bn} > 0
+              THEN list_dot_product({av}, {bv}) / ({an} * {bn})
+              ELSE 0.0 END"""
+
+_IVF_ANN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cell, v AS cv, n AS cn FROM e WHERE vec_id < 8),
+corpus_cells AS (
+  SELECT vec_id, v, n, cell FROM (
+    SELECT e.vec_id, e.v, e.n, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_IVF_SIM.format(an="e.n", bn="cent.cn", av="e.v", bv="cent.cv")} DESC,
+                      cent.cell
+           ) AS crk
+    FROM e CROSS JOIN cent
+  ) WHERE crk = 1
+),
+query_cells AS (
+  SELECT vec_id, v, n, cell FROM (
+    SELECT e.vec_id, e.v, e.n, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_IVF_SIM.format(an="e.n", bn="cent.cn", av="e.v", bv="cent.cv")} DESC,
+                      cent.cell
+           ) AS crk
+    FROM e CROSS JOIN cent
+    WHERE e.vec_id < 10
+  ) WHERE crk <= 2
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {sround_sql(_IVF_SIM.format(an="q.n", bn="c.n", av="q.v", bv="c.v"), 3)} AS cosine
+  FROM query_cells q JOIN corpus_cells c
+    ON q.cell = c.cell AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+"""
+
+
+@query("ivf_ann_topk", _IVF_ANN_ORACLE)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: deterministic coarse quantizer (centroids
+    = the 8 lowest-id vectors), corpus assigned to its best cell as a
+    shuffle-free projection, queries probe their 2 best cells
+    (operators/similarity.py ivf_topk). Every step is exact arithmetic
+    shared with the oracle, so the full path is hash-checkable."""
+    from dod_etl_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_cells=8, n_probe=2)

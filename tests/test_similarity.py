@@ -72,3 +72,32 @@ def test_lsh_recall_vs_exact(spark, emb):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert r["cosine"] == exact_scores[key]
+
+
+def test_ivf_recall_vs_exact(spark, emb):
+    """IVF top-k: every query yields k ranked neighbors, overlap with
+    exact top-k is nonzero, and scores on common pairs are identical
+    (same arithmetic, only the candidate set is approximate)."""
+    from dod_etl_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, k=5).collect()
+    approx = ivf_topk(queries, emb, k=5, n_cells=8, n_probe=2).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(10))
+    for rows in by_q.values():
+        assert sorted(r["rk"] for r in rows) == [1, 2, 3, 4, 5]
+        assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # 2 probes over 8 cells scans ~1/4 of the corpus; random-ish
+    # synthetic vectors put the floor low — guards broken assignment.
+    assert recall >= 0.08, f"IVF recall {recall} suspiciously low"
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert r["cosine"] == exact_scores[key]
