@@ -613,3 +613,39 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
     )
+
+
+# --- CUBE with grouping flags -------------------------------------------------
+
+_CUBE_ORACLE = f"""
+SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+       coalesce(l_linestatus, '<all>') AS l_linestatus,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+       {ssum_sql("l_quantity", 2)} AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("cube_pricing", _CUBE_ORACLE)
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-sets surface: CUBE over (returnflag, linestatus)
+    with grouping() flags distinguishing real NULL groups from
+    subtotals. Spark expands the cube into one Expand + single-shuffle
+    aggregate — subtotals cost no extra pass over the fact table."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        stable_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+        "g_flag",
+        "g_status",
+        "sum_qty",
+        "n",
+    )

@@ -19,6 +19,11 @@ AUDIT = [
     "a1_latest_per_key",
     "minhash_lsh_candidates",
     "cosine_topk",
+    "ivf_ann_topk",
+    "q4_order_priority",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "cube_pricing",
 ]
 
 
