@@ -12,10 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dod_etl_spark.functions.scalar import stable_round
+from dod_etl_spark.functions.scalar import stable_round, stable_sum
 from dod_etl_spark.operators.dedup import latest_per_key, upsert_snapshot
 from dod_etl_spark.operators.filters import keyset_filter, retention_filter
-from dod_etl_spark.queries.base import query, sround_sql, t
+from dod_etl_spark.queries.base import query, sround_sql, ssum_sql, t
 
 # --- A1: latest-per-key dedup ------------------------------------------------
 
@@ -281,4 +281,87 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- Tumbling event-time window aggregation (T7 batch twin) -------------------
+
+_TUMBLING_ORACLE = f"""
+SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+       event_type,
+       count(*) AS n_events,
+       {ssum_sql("value", 2)} AS sum_value
+FROM events
+GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+"""
+
+
+@query("tumbling_window_agg", _TUMBLING_ORACLE)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (SURVEY §2.7 T7): the batch
+    twin of the streaming `groupBy(window(...))` agg in
+    streaming/pipeline.py — identical plan shape minus the watermark.
+    One shuffle; window assignment is a pure projection."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_sum(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- As-of join: point-in-time-correct dimension lookup -----------------------
+
+_ASOF_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+       epoch_ms(o.o_orderdate) AS asof_ts_ms,
+       o.o_orderkey AS asof_orderkey
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+@query("asof_latest_order", _ASOF_ORACLE)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event picks up the latest
+    order at or before its event time for its user — the
+    point-in-time-correct feature-lookup shape. Ties on (custkey,
+    orderdate) are pre-resolved to max(o_orderkey) on both sides so the
+    match is deterministic (DuckDB ASOF picks an arbitrary row among
+    equal timestamps)."""
+    from dod_etl_spark.operators.asof import as_of_join
+
+    events = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = as_of_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.unix_millis(F.col("asof_ts")).alias("asof_ts_ms"),
+        F.col("o_orderkey").alias("asof_orderkey"),
     )
