@@ -259,26 +259,45 @@ def ivf_topk(
             acc = acc + x * x
         return math.sqrt(acc)
 
+    def _dbl(x: float) -> str:
+        # string->double cast round-trips exactly (repr is shortest
+        # round-trip decimal); avoids literal-type ambiguity under ANSI
+        return f"CAST('{x!r}' AS DOUBLE)"
+
     def with_cells(df: DataFrame, out_id: str, out_vec: str, out_n: str, probes: int) -> DataFrame:
-        e = df.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(out_vec),
-            norm(F.col(vec_col), dim).alias(out_n),
+        # The centroid scorer is assembled as ONE SQL string and parsed
+        # once: the Column-API equivalent issues thousands of py4j calls
+        # (8 cells x 64-dim literals x unrolled dot) and took ~20 s of
+        # DRIVER time just to build the plan. Identical arithmetic:
+        # left-to-right unrolled multiply-add, same as dot(dim=...).
+        vnorm_sql = "SQRT(" + " + ".join(
+            f"CAST({vec_col}[{i}] AS DOUBLE) * CAST({vec_col}[{i}] AS DOUBLE)"
+            for i in range(dim)
+        ) + ")"
+        e = df.selectExpr(
+            f"{id_col} AS {out_id}",
+            f"{vec_col} AS {out_vec}",
+            f"{vnorm_sql} AS {out_n}",
         )
         entries = []
         for cid, cv in cents:
-            clit = F.array(*[F.lit(float(x)) for x in cv])
             cn = _pynorm(cv)
-            sim = F.when(
-                F.col(out_n) * F.lit(cn) > 0,
-                dot(F.col(out_vec), clit, dim) / (F.col(out_n) * F.lit(cn)),
-            ).otherwise(F.lit(0.0))
-            # negated cell id: struct max/sort-desc then prefers the
+            dot_sql = " + ".join(
+                f"CAST({out_vec}[{i}] AS DOUBLE) * {_dbl(cv[i])}" for i in range(dim)
+            )
+            denom_sql = f"({out_n} * {_dbl(cn)})"
+            sim_sql = (
+                f"CASE WHEN {denom_sql} > 0 THEN ({dot_sql}) / {denom_sql} "
+                f"ELSE CAST(0.0 AS DOUBLE) END"
+            )
+            # negated cell id: struct sort-desc then prefers the
             # SMALLEST cell on sim ties (oracle: ORDER BY sim DESC, cell)
-            entries.append(F.struct(sim.alias("s"), F.lit(-cid).alias("nc")))
-        top = F.slice(F.sort_array(F.array(*entries), asc=False), 1, probes)
-        return e.withColumn(
-            "cell_id", F.explode(F.transform(top, lambda t: -t["nc"]))
+            entries.append(f"named_struct('s', {sim_sql}, 'nc', {-cid})")
+        top_sql = (
+            f"slice(sort_array(array({', '.join(entries)}), false), 1, {probes})"
+        )
+        return e.selectExpr(
+            "*", f"explode(transform({top_sql}, t -> -t.nc)) AS cell_id"
         )
 
     c = with_cells(spread(corpus), "neighbor_id", "_cv", "_cn", 1)
