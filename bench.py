@@ -4,10 +4,19 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + count-style consume).
-Results are consumed with a count() of the final DataFrame so the full
-plan executes but no rows cross back to the driver (collect would
-measure driver materialization, not engine throughput).
+Protocol (round-2 hygiene):
+- Warm-up covers BOTH runtimes: a JVM/codegen warm (parquet count) and a
+  trivial mapInPandas so the first timed Arrow query doesn't pay the
+  32-Python-worker + Arrow init cold start (round-1's multimodal entry
+  was 39 s of interpreter startup, not operator work).
+- Each query is evaluated by hashing EVERY output column
+  (sum(xxhash64(struct(*cols)))) — count() lets Catalyst prune all
+  projections, so projection-only queries would time just the row count.
+  The hash forces the full plan while keeping one scalar on the driver.
+- Each query runs N_RUNS times serialized in the one Spark session
+  (never concurrent JVMs — stale-JVM contamination corrupts timings);
+  the reported number is the min (steady-state), per-run timings ship in
+  "runs".
 """
 
 from __future__ import annotations
@@ -22,6 +31,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 # Headline suite: the end-to-end OEE pipeline (J1-J4 + F1-F9), the
 # dimension-maintenance operators (A1/P6/P7/J6), a representative BI
@@ -44,30 +54,62 @@ BENCH_QUERIES = [
 ]
 
 
+def consume(df) -> int:
+    """Force the FULL plan: hash every output column and reduce to one
+    scalar with bit_xor (order-insensitive, can't overflow under ANSI —
+    sum() of longs can). Map-typed columns go through to_json (hash of
+    maps is unsupported)."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if "map<" in f.dataType.simpleString():
+            c = F.to_json(c)
+        cols.append(c)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64(F.struct(*cols))).alias("h")
+    ).first()
+    return row["n"]
+
+
 def main() -> None:
-    from dod_etl_spark.session import get_spark
+    from pyspark.sql import functions as F
+
     from dod_etl_spark.queries import QUERIES
+    from dod_etl_spark.session import get_spark
 
     spark = get_spark("dod_etl_spark_bench")
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else 0.0
 
-    # JVM/codegen warm-up on the smallest table so the first timed query
-    # doesn't pay session startup.
+    # JVM/codegen warm-up on the smallest table...
     warm = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
     warm.count()
+    # ...and Python-worker/Arrow warm-up: one trivial mapInPandas wide
+    # enough to spin up every worker slot.
+    def _identity(it):
+        yield from it
+
+    spark.range(0, 10_000, 1, int(spark.sparkContext.defaultParallelism)).mapInPandas(
+        _identity, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        runs[name] = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = consume(df)
+            runs[name].append(round(time.perf_counter() - t0, 3))
+            assert n >= 0
+        timings[name] = min(runs[name])
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -76,7 +118,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": sf,
+                "protocol": {"n_runs": N_RUNS, "stat": "min", "consume": "xxhash64(all cols)"},
             }
         )
     )

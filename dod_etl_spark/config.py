@@ -35,6 +35,13 @@ class TableSpec:
     path: str | None = None  # parquet/csv/json location for batch dims
     format: str = "parquet"
     primaryKey: str = "ID"  # upsert key (J6; reference MERGE ... KEY(ID))
+    # memTable=false (S4) JDBC scan parallelism: with bounds set, the dim
+    # read is num_partitions parallel range queries on partitionColumn
+    # (defaults to primaryKey); without, a single-connection scan.
+    jdbcPartitionColumn: str | None = None
+    jdbcLowerBound: int | None = None
+    jdbcUpperBound: int | None = None
+    jdbcNumPartitions: int = 8
 
 
 @dataclass(frozen=True)

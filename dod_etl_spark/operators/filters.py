@@ -35,13 +35,17 @@ def keyset_filter(
       join — the Spark analog of the reference's shared filterKeySet; no
       shuffle of the big side, the key set ships to executors once.
 
-    NULL filter values always pass (reference keeps them).
+    NULL filter values always pass (reference keeps them). NULLs in the
+    key set itself are dropped before the semi-join so the isNull union
+    branch is the ONLY path a NULL-keyed row can take — with eqNullSafe a
+    NULL key would match NULL rows in the semi-join AND re-add them via
+    the union, duplicating them.
     """
     if isinstance(keys, DataFrame):
-        key_df = keys.toDF("__key").distinct()
+        key_df = keys.toDF("__key").filter(F.col("__key").isNotNull()).distinct()
         passing = df.join(
             F.broadcast(key_df),
-            df[filter_column].eqNullSafe(F.col("__key")),
+            df[filter_column] == F.col("__key"),
             "left_semi",
         )
         return passing.unionByName(df.filter(F.col(filter_column).isNull()))

@@ -62,6 +62,30 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
     return int(row["d"]) if row is not None else None
 
 
+def auto_block_bits(n_rows: int, target_bucket_rows: int = 256, max_bits: int = 20) -> int:
+    """Blocking-key width for pair-generating ops: bits ≈ log2(N/target),
+    clamped to [1, max_bits].
+
+    The bucket-count-vs-corpus-size CONTRACT (round-1 finding: fixed
+    4-bit defaults were sf0.1 toys): per-bucket pair work is |b|², so
+    E[|bucket|] must stay ~constant as the corpus grows — which means
+    bucket COUNT must scale linearly with N. Passing bits=None to the
+    ops below derives it from a corpus count at plan-build time; the
+    count is one columnar scan (metadata probe, same spirit as
+    _probe_dim)."""
+    import math
+
+    return max(1, min(max_bits, math.ceil(math.log2(max(2.0, n_rows / target_bucket_rows)))))
+
+
+def auto_ivf_cells(n_rows: int, max_cells: int = 65536) -> int:
+    """IVF cell count ≈ sqrt(N) (the standard IVF sizing: balances
+    centroid-scan cost n_cells against per-cell scan N/n_cells)."""
+    import math
+
+    return max(2, min(max_cells, int(round(math.sqrt(max(4, n_rows))))))
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -137,15 +161,21 @@ def embedding_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sign_dims: int = 4,
+    sign_dims: int | None = 4,
     round_digits: int = 3,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup flavor: all
     pairs over a threshold, not top-k): sign-bucket blocking turns the
     N² cross product into an equi self-join whose per-bucket cost is
     |bucket|² — at 100 TB the bucket key is the shuffle key and skewed
-    buckets split under AQE. Exact cosine runs on candidates only."""
+    buckets split under AQE. Exact cosine runs on candidates only.
+
+    sign_dims=None derives the width from the corpus size per
+    auto_block_bits (bounded E[|bucket|] at any N); an explicit value
+    pins it (oracle queries do, for cross-engine determinism)."""
     dim = _probe_dim(emb, vec_col)
+    if sign_dims is None:
+        sign_dims = min(auto_block_bits(emb.count()), dim or 1)
     e = spread(emb).select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
@@ -179,15 +209,18 @@ def lsh_bucketed_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = 4,
+    n_bits: int | None = 4,
     round_digits: int = 3,
 ) -> DataFrame:
     """Approximate top-k: equi-join on the LSH bucket, exact cosine +
     top-k within the bucket. At 100 TB the bucket join is a plain hash
     join on a long key; recall is tuned by n_bits (and multi-probe, left
-    as a union over neighboring buckets)."""
-    seeds = list(range(1, n_bits + 1))
+    as a union over neighboring buckets). n_bits=None sizes the bucket
+    count from the corpus (auto_block_bits)."""
     dim = _probe_dim(corpus, vec_col)
+    if n_bits is None:
+        n_bits = auto_block_bits(corpus.count())
+    seeds = list(range(1, n_bits + 1))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
@@ -220,7 +253,7 @@ def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int,
-    n_cells: int = 8,
+    n_cells: int | None = 8,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -242,10 +275,17 @@ def ivf_topk(
     ZERO shuffle (vs. a cross-join + window, which would shuffle the
     full corpus). The only shuffles left are the bucket join and the
     final per-query top-k — same shape as lsh_bucketed_topk.
+
+    n_cells=None sizes cells ≈ sqrt(N) (auto_ivf_cells). Note the
+    literal-centroid plan assumes n_cells stays metadata-sized
+    (thousands, not millions); beyond that, assignment belongs in a
+    broadcast join on a centroid table instead of inlined literals.
     """
     import math
 
     dim = _probe_dim(corpus, vec_col)
+    if n_cells is None:
+        n_cells = auto_ivf_cells(corpus.count())
     cents = [
         (int(r["cid"]), [float(x) for x in r["v"]])
         for r in corpus.filter(F.col(id_col) < n_cells)

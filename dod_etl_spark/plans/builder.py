@@ -6,6 +6,13 @@ This is the analog of the reference's wiring entry point
 metadata (:23-24), construct the processor, go. Differences are the
 point: the output is a declarative Catalyst plan (batch) or a set of
 Structured Streaming queries (streaming), not a hard-coded Beam graph.
+
+Dimension sourcing honors the reference's mode switch
+(stp/BeamStreamProcessor.scala:32-34): memTable=true replicates dims
+in-memory (broadcast snapshot); memTable=false sources them from the
+live database via JDBC (imtu/DatabaseManager.scala:22-28) — read ONCE
+per plan as a (optionally partitioned) scan and joined set-based, never
+one query per event.
 """
 
 from __future__ import annotations
@@ -14,11 +21,12 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dod_etl_spark.config import PipelineSpec, TableSpec
+from dod_etl_spark.config import GlobalSpec, PipelineSpec, TableSpec
 from dod_etl_spark.operators.dedup import latest_per_key
 from dod_etl_spark.plans.pipeline import OeeResult, run_oee_pipeline
+from dod_etl_spark.sources.jdbc import read_jdbc
 from dod_etl_spark.streaming.dimensions import DimensionMaintainer
-from dod_etl_spark.streaming.pipeline import OeeStreamingPipeline
+from dod_etl_spark.streaming.pipeline import OeeStreamingPipeline, StrictReleasePipeline
 
 # The MES role each configured table plays (reference hard-codes these
 # table names in stp/BeamStreamProcessor.scala + DataTransformer.scala).
@@ -30,7 +38,23 @@ _DIM_ROLES = {
 }
 
 
-def _read_table(spark: SparkSession, t: TableSpec) -> DataFrame:
+def _read_table(spark: SparkSession, t: TableSpec, g: GlobalSpec | None = None) -> DataFrame:
+    """Source one table per the global mode switch: JDBC when
+    memTable=false and a jdbcUrl is configured (S4), file path otherwise."""
+    if g is not None and not g.memTable and g.jdbcUrl:
+        part_col = t.jdbcPartitionColumn
+        if part_col is None and t.jdbcLowerBound is not None:
+            part_col = t.primaryKey
+        return read_jdbc(
+            spark,
+            g.jdbcUrl,
+            t.tableName,
+            properties=dict(g.extra.get("jdbcProperties", {})),
+            partition_column=part_col if t.jdbcLowerBound is not None else None,
+            lower_bound=t.jdbcLowerBound,
+            upper_bound=t.jdbcUpperBound,
+            num_partitions=t.jdbcNumPartitions,
+        )
     if t.path is None:
         raise ValueError(f"table {t.tableName} has no batch path configured")
     reader = spark.read.format(t.format)
@@ -46,16 +70,18 @@ def _compact(df: DataFrame, t: TableSpec) -> DataFrame:
 
 
 def build_batch(spark: SparkSession, spec: PipelineSpec) -> OeeResult:
-    """Batch mode: load every configured table from its path, compact
-    CDC dims, run the OEE plan. Unconfigured optional dims (PERIOD_SHIFT)
-    are skipped exactly like the reference's TODO path."""
+    """Batch mode: load every configured table from its source (path or
+    JDBC per memTable), compact CDC dims, run the OEE plan. Unconfigured
+    optional dims (PERIOD_SHIFT) are skipped exactly like the reference's
+    TODO path."""
+    g = spec.global_spec
     dims: dict[str, DataFrame] = {}
     for t in spec.dimensions:
         role = _DIM_ROLES.get(t.tableName.upper())
         if role is None:
             continue
-        dims[role] = _compact(_read_table(spark, t), t)
-    events = _read_table(spark, spec.operational)
+        dims[role] = _compact(_read_table(spark, t, g), t)
+    events = _read_table(spark, spec.operational, g)
     return run_oee_pipeline(
         events,
         dims["production_order"],
@@ -64,17 +90,11 @@ def build_batch(spark: SparkSession, spec: PipelineSpec) -> OeeResult:
     )
 
 
-def build_streaming(
-    spark: SparkSession,
-    spec: PipelineSpec,
-    sink: Callable[[DataFrame, int], None],
-    max_retry_batches: int | None = None,
-) -> tuple[dict[str, DimensionMaintainer], OeeStreamingPipeline]:
-    """Streaming mode: one DimensionMaintainer per metadata table (the
-    IMTU thread-per-table analog, InMemoryTableUpdaterManager.scala:32-38)
-    + the strict hold-and-retry fact pipeline. The caller attaches
-    sources (kafka/file streams) with .start(); tests drive apply_batch /
-    process_batch directly."""
+def _make_maintainers(
+    spark: SparkSession, spec: PipelineSpec, snapshot_root: str | None = None
+) -> dict[str, DimensionMaintainer]:
+    import os
+
     maintainers: dict[str, DimensionMaintainer] = {}
     for t in spec.dimensions:
         role = _DIM_ROLES.get(t.tableName.upper())
@@ -88,12 +108,65 @@ def build_streaming(
             filter_col=t.filterColumnName,
             retention_days=t.retentionPeriodInDays,
             retention_ts_col=t.transactionTimeColumnName,
+            snapshot_dir=os.path.join(snapshot_root, role) if snapshot_root else None,
         )
+    return maintainers
+
+
+def build_streaming(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    sink: Callable[[DataFrame, int], None],
+    max_retry_batches: int | None = None,
+) -> tuple[dict[str, DimensionMaintainer], OeeStreamingPipeline]:
+    """TEST-SCALE streaming wiring: DimensionMaintainers + the
+    driver-buffered retry pipeline (deterministic batch-drivable). For
+    deployment use `build_streaming_strict` — its retry state lives in
+    GroupState on executors."""
+    maintainers = _make_maintainers(spark, spec)
 
     def dims_fn() -> dict[str, DataFrame]:
         return {role: spark.table(f"dim_{role}") for role in maintainers}
 
     pipeline = OeeStreamingPipeline(
         spark, dims_fn=dims_fn, sink=sink, max_retry_batches=max_retry_batches
+    )
+    return maintainers, pipeline
+
+
+def build_streaming_strict(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    sink: Callable[[DataFrame, int], None],
+    missing_sink: Callable[[DataFrame, int], None] | None = None,
+    dead_letter: Callable[[DataFrame, int], None] | None = None,
+    n_buckets: int = 16,
+    snapshot_root: str | None = None,
+    required_roles: tuple[str, ...] = ("production_order", "product_quality", "equipment_status"),
+) -> tuple[dict[str, DimensionMaintainer], StrictReleasePipeline]:
+    """Streaming mode, STRICT default: one DimensionMaintainer per
+    metadata table (the IMTU thread-per-table analog,
+    InMemoryTableUpdaterManager.scala:32-38) + the stateful release
+    pipeline. The caller attaches sources: each dim CDC stream feeds BOTH
+    its maintainer (`maintainers[role].start(cdc, ckpt)`) and the gate's
+    marker union (`pipeline.markers(cdc, f"dim_{role}", tx_col)`); the
+    fact stream goes to `pipeline.start(events, marker_streams, ckpt)`.
+
+    Gate timeout = the configured watermark (T1) — the reference's
+    unbounded patience, bounded."""
+    maintainers = _make_maintainers(spark, spec, snapshot_root)
+
+    def dims_fn() -> dict[str, DataFrame]:
+        return {role: spark.table(f"dim_{role}") for role in maintainers}
+
+    pipeline = StrictReleasePipeline(
+        spark,
+        dims_fn=dims_fn,
+        sink=sink,
+        required_tables=[f"dim_{r}" for r in required_roles if r in maintainers],
+        missing_sink=missing_sink,
+        dead_letter=dead_letter,
+        n_buckets=n_buckets,
+        timeout_ms=spec.global_spec.watermarkMinutes * 60 * 1000,
     )
     return maintainers, pipeline

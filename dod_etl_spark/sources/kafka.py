@@ -52,16 +52,36 @@ def cdc_stream(
     spark: SparkSession,
     brokers: str,
     topic: str,
-    avro_schema_json: str,
+    avro_schema_json: str | None = None,
     starting_offsets: str = "earliest",
+    registry_url: str | None = None,
+    subject: str | None = None,
+    registry_client=None,
 ) -> DataFrame:
-    """S2: Avro CDC dimension stream. Requires the spark-avro package
-    (from_avro); schema-registry wire format would strip the 5-byte
-    header first (substring on the binary value)."""
+    """S2: Avro CDC dimension stream (Confluent wire format: the 5-byte
+    magic+schema-id header is stripped before from_avro). The reader
+    schema comes from either an explicit `avro_schema_json` literal or a
+    Schema Registry lookup (`registry_url` + `subject`, or an injected
+    `registry_client` for tests) — the registry path mirrors the
+    reference's GenericRecord consumption
+    (imtu/InMemoryTableUpdaterManager.scala:43-53); see
+    sources/schema_registry.py for the evolution contract."""
     if not HAS_AVRO:
         raise NotImplementedError(
             "spark-avro not on the classpath; add org.apache.spark:spark-avro"
         )
+    if avro_schema_json is None:
+        if registry_client is None:
+            if registry_url is None or subject is None:
+                raise ValueError(
+                    "cdc_stream needs avro_schema_json or registry_url+subject"
+                )
+            from dod_etl_spark.sources.schema_registry import SchemaRegistryClient
+
+            registry_client = SchemaRegistryClient(registry_url)
+        if subject is None:
+            raise ValueError("registry path needs a subject")
+        _, avro_schema_json = registry_client.latest_schema(subject)
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)

@@ -9,19 +9,28 @@ into a per-worker H2 replica, publishing a per-table high-water
 timestamp (A2).
 
 Spark-first mapping: readStream -> foreachBatch{ A1 + P6 + P7 + upsert
-snapshot }. The "replica" is a temp view over an in-memory snapshot
-DataFrame that downstream stream-static joins broadcast — per-executor
+snapshot }. The "replica" is a temp view over a versioned parquet
+snapshot that downstream stream-static joins broadcast — per-executor
 replication handled by the engine instead of hand-rolled H2 + threads
 (SharedSingleton.scala:14-44 and the Phaser barrier dissolve, SURVEY
 §2.9).
 
-At 100 TB the snapshot would be a Delta/Iceberg table and the upsert a
-MERGE INTO; the snapshot-replace strategy here is the storage-free
-equivalent with identical read semantics.
+The snapshot data path is executors-only: each batch the merged
+dimension is written to a NEW versioned parquet location and the temp
+view repointed at a read of that path. The driver sees only the path
+string — no row ever round-trips driver memory, so a 50 GB dimension
+costs the driver nothing (the round-1 collect()+createDataFrame version
+was an OOM at that size). At 100 TB this versioned-overwrite is the
+storage-free stand-in for a Delta/Iceberg MERGE INTO with identical
+read semantics; the previous version is retained until the next write
+so a concurrently-executing plan never loses its files.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -42,6 +51,9 @@ class DimensionMaintainer:
     the survivor among versions (reference: Kafka offset,
     InMemoryTableUpdater.scala:152-157). `filter_col`/`filter_keys_fn`:
     the on-demand P6 pruning (None = replicate everything).
+    `snapshot_dir`: root for the versioned parquet snapshots (a temp dir
+    is created lazily if unset — production configs point this at the
+    warehouse).
     """
 
     spark: SparkSession
@@ -52,7 +64,14 @@ class DimensionMaintainer:
     filter_keys_fn: Callable[[], DataFrame] | None = None
     retention_days: int | None = None
     retention_ts_col: str | None = None
+    snapshot_dir: str | None = None
     high_water: dict[str, int] = field(default_factory=dict)
+    _version: int = 0
+
+    def _root(self) -> str:
+        if self.snapshot_dir is None:
+            self.snapshot_dir = tempfile.mkdtemp(prefix=f"dim_snap_{self.table_name}_")
+        return self.snapshot_dir
 
     def _snapshot(self) -> DataFrame | None:
         if self.table_name in [t.name for t in self.spark.catalog.listTables()]:
@@ -69,13 +88,19 @@ class DimensionMaintainer:
 
         # A2 first: the high-water mark is also the retention anchor —
         # event-time based, so replays are deterministic (wall-clock
-        # anchoring would silently expire everything on old data).
+        # anchoring would silently expire everything on old data). The
+        # mark is computed engine-side in epoch millis (unix_millis is
+        # timezone-fixed; a collected naive datetime's .timestamp() would
+        # shift by the driver's UTC offset). Collecting it is one long —
+        # metadata, not data.
         ts_col = self.retention_ts_col or (self.version_cols[0] if self.version_cols else None)
         if ts_col is not None and ts_col in batch.columns:
-            hw = batch.agg(F.max(F.col(ts_col).cast("timestamp")).alias("hw")).first()["hw"]
+            hw = batch.agg(
+                F.max(F.unix_millis(F.col(ts_col).cast("timestamp"))).alias("hw")
+            ).first()["hw"]
             if hw is not None:
                 prev = self.high_water.get(self.table_name, 0)
-                self.high_water[self.table_name] = max(prev, int(hw.timestamp() * 1000))
+                self.high_water[self.table_name] = max(prev, int(hw))
 
         if self.retention_days is not None and self.retention_ts_col is not None:
             anchor_ms = self.high_water.get(self.table_name)
@@ -93,16 +118,35 @@ class DimensionMaintainer:
             if current is not None
             else changes
         )
-        # Materialize before replacing the view the plan may read from.
-        rows = merged.collect()
-        snap = self.spark.createDataFrame(rows, schema=merged.schema)
-        snap.createOrReplaceTempView(self.table_name)
+        # Executors-only materialization: write to a NEW versioned path
+        # (never the files a live plan may be reading), repoint the view,
+        # then GC versions older than the previous one.
+        version = self._version + 1
+        path = os.path.join(self._root(), f"v{version:010d}")
+        merged.write.mode("overwrite").parquet(path)
+        self.spark.read.parquet(path).createOrReplaceTempView(self.table_name)
+        self._version = version
+        self._gc_versions()
 
-    def start(self, cdc_stream: DataFrame, checkpoint: str) -> StreamingQuery:
+    def _gc_versions(self) -> None:
+        root = self._root()
+        keep = {f"v{self._version:010d}", f"v{self._version - 1:010d}"}
+        try:
+            for name in os.listdir(root):
+                if name.startswith("v") and name not in keep:
+                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        except FileNotFoundError:
+            pass
+
+    def start(
+        self, cdc_stream: DataFrame, checkpoint: str, trigger: dict | None = None
+    ) -> StreamingQuery:
         """Attach to a streaming CDC source (kafka/file)."""
-        return (
+        writer = (
             cdc_stream.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", checkpoint)
             .outputMode("update")
-            .start()
         )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()

@@ -5,19 +5,24 @@ with hold-and-retry late-data semantics.
 Two late-data modes (SURVEY §4.3.2):
 
 - DEFAULT (watermark mode): `with_watermark` + stream-static left-outer
-  enrichment. Events whose dimensions never arrive flow through
-  null-enriched once the watermark expires — Spark-native, unbounded
-  scale, documented deviation from the reference.
+  enrichment. Spark-native, unbounded scale, documented deviation from
+  the reference.
 
-- STRICT (retry mode, the reference's exact behavior): events whose
-  dimension lookups miss are buffered and re-injected ahead of the next
-  micro-batch (BeamStreamProcessor.scala:56-64 + the missing-data list,
+- STRICT (the reference's hold-until-dims-arrive behavior,
+  BeamStreamProcessor.scala:56-64 + the missing-data list,
   InMemoryTableUpdaterManager.scala:19,67-78 — implemented for real; the
-  reference's re-injection was dead code, SURVEY §2.10 item 2). Realized
-  in foreachBatch: batch := new_events ∪ retry_buffer; enrich; split
-  hits/misses; emit hits; persist misses as the next retry buffer. An
-  optional `max_retry_batches` bounds state growth (the reference had
-  unbounded patience).
+  reference's re-injection was dead code, SURVEY §2.10 item 2). The
+  production path is `StrictReleasePipeline`: fact stream ∪ in-band
+  dimension high-water markers -> applyInPandasWithState release gate
+  (state on EXECUTORS, checkpointable; streaming/stateful.py) ->
+  foreachBatch enrichment + OEE + sink. The driver never holds an event
+  row.
+
+- `OeeStreamingPipeline` below is the TEST-SCALE strict variant: a
+  foreachBatch retry loop whose buffer is collect()ed to the driver.
+  Deterministic and convenient for batch-driven tests, but driver-bounded
+  — do not deploy it; `plans/builder.build_streaming_strict` wires the
+  stateful pipeline as the default.
 
 Transformation logic is the SAME batch functions (plans/pipeline.py) —
 batch/stream parity by construction.
@@ -49,8 +54,105 @@ def with_watermark(events: DataFrame, ts_col: str = "event_time", delay: str = W
 
 
 @dataclass
+class StrictReleasePipeline:
+    """STRICT mode, production path: stateful release gate + enrichment.
+
+    One streaming query: events_for_gate(facts) ∪ markers_for_gate(each
+    dim CDC) -> strict_gate (per-bucket GroupState holds pending events
+    until every required dimension's A2 high-water mark passes their
+    timestamp) -> foreachBatch{ parse payload, enrich against the
+    CURRENT dimension snapshots, route misses, OEE, sink }.
+
+    Post-gate misses are genuinely-absent dimension rows (the gate
+    guarantees the dim stream has caught PAST the event's timestamp), so
+    they go to `missing_sink` (J5), not back into a buffer. Gate-expired
+    events (patience exceeded) arrive released=false -> `dead_letter`.
+
+    Note one deliberate race: release is gated on marks that ride the
+    unioned stream, while enrichment reads the maintainer's snapshot view
+    updated by a SEPARATE streaming query — a released event can beat the
+    snapshot merge by one micro-batch. The reference has the same window
+    (marks published after the H2 MERGE, InMemoryTableUpdater.scala:
+    173-215); miss routing catches the stragglers.
+    """
+
+    spark: SparkSession
+    dims_fn: Callable[[], dict[str, DataFrame]]
+    sink: Callable[[DataFrame, int], None]
+    required_tables: list[str] = field(default_factory=list)
+    missing_sink: Callable[[DataFrame, int], None] | None = None
+    dead_letter: Callable[[DataFrame, int], None] | None = None
+    n_buckets: int = 16
+    timeout_ms: int = 10 * 60 * 1000  # reference watermark T1
+    _event_schema: object = None
+
+    def release_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        """foreachBatch body over the gate's output; directly callable in
+        batch tests with GATE_OUTPUT_SCHEMA rows."""
+        expired = batch.filter(~F.col("released"))
+        if self.dead_letter is not None:
+            self.dead_letter(expired, batch_id)
+
+        ev = (
+            batch.filter(F.col("released"))
+            .select(F.from_json("payload", self._event_schema).alias("e"))
+            .select("e.*")
+        )
+        ev = normalize_events(ev)
+        dims = self.dims_fn()
+        enriched = enrich_with_orders(
+            ev, dims["production_order"], dims["product_quality"]
+        )
+        ok, missing = split_missing_po(enriched)
+        if self.missing_sink is not None:
+            self.missing_sink(missing, batch_id)
+        grains = build_fact_grains(ok, dims["equipment_status"])
+        self.sink(compute_oee(grains), batch_id)
+
+    def gate_plan(
+        self,
+        event_stream: DataFrame,
+        marker_streams: list[DataFrame],
+        ts_col: str = "timestamp",
+    ) -> DataFrame:
+        """The declarative half: union shape -> stateful gate."""
+        from dod_etl_spark.streaming.stateful import events_for_gate, strict_gate
+
+        self._event_schema = event_stream.schema
+        un = events_for_gate(event_stream, self.n_buckets, ts_col=ts_col)
+        for m in marker_streams:
+            un = un.unionByName(m)
+        return strict_gate(un, self.required_tables, self.timeout_ms)
+
+    def markers(self, cdc_stream: DataFrame, table_name: str, tx_col: str) -> DataFrame:
+        from dod_etl_spark.streaming.stateful import markers_for_gate
+
+        return markers_for_gate(cdc_stream, table_name, tx_col, self.n_buckets)
+
+    def start(
+        self,
+        event_stream: DataFrame,
+        marker_streams: list[DataFrame],
+        checkpoint: str,
+        ts_col: str = "timestamp",
+        trigger: dict | None = None,
+    ):
+        gated = self.gate_plan(event_stream, marker_streams, ts_col=ts_col)
+        writer = (
+            gated.writeStream.foreachBatch(self.release_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
+
+
+@dataclass
 class OeeStreamingPipeline:
-    """STRICT-mode streaming pipeline with a retry buffer.
+    """STRICT-mode streaming pipeline with a retry buffer — TEST-SCALE
+    variant (driver-resident buffer); see module docstring. The default
+    production path is StrictReleasePipeline.
 
     `dims_fn` returns the *current* dimension snapshots each batch (the
     maintained temp views from streaming.dimensions) — so late dimension
@@ -120,7 +222,12 @@ def enrich_stream_default(
 ) -> DataFrame:
     """DEFAULT (watermark) mode: pure declarative stream-static plan —
     watermarked events, broadcast left-outer dims, overlap join, OEE.
-    Missing dims yield null-enriched rows (documented deviation)."""
+
+    Events whose production-order lookup misses are DROPPED in this mode
+    (split_missing_po routes them out and this plan discards the branch;
+    stream-static joins have no watermark-expiry re-emission). Use
+    StrictReleasePipeline when misses must be held for late dimensions,
+    or route the missing branch yourself via run_oee_pipeline's split."""
     ev = with_watermark(normalize_events(events), event_ts_col)
     enriched = enrich_with_orders(ev, production_order, product_quality)
     ok, _missing = split_missing_po(enriched)

@@ -135,3 +135,198 @@ def release_when_dims_arrive(events_with_hw: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# --- Full-payload release gate (the strict-mode default path) ----------------
+#
+# The operator above releases (id, ts) pairs keyed by equipment; the full
+# pipeline needs the event PAYLOAD to flow through the gate so released
+# events can be enriched downstream without a driver-side buffer. Design:
+#
+# - The fact stream and every dimension CDC stream are unioned into ONE
+#   streaming DataFrame. Fact rows carry kind='event' + a JSON payload;
+#   dimension progress rides as kind='marker' rows carrying
+#   (table_name, hw) — the A2 high-water mark transported IN-BAND, which
+#   sidesteps the stream-static rebinding problem (a static side resolved
+#   at query start never sees later view updates).
+# - State is keyed by a HASH BUCKET of the equipment code, not the raw
+#   key: markers must reach every group, and fanning each marker to
+#   n_buckets rows (a projection-time explode, no shuffle amplification
+#   beyond the bounded factor) is tractable where fanning to every
+#   distinct equipment would not be. Bucket count bounds marker
+#   amplification AND sets release parallelism.
+# - GroupState per bucket holds {table -> hw} plus the pending events
+#   (id, ts, payload) as JSON — on executors, checkpointed, zero driver
+#   residency. An event releases when min(hw over required tables) passes
+#   its timestamp (reference gate: InMemoryTableUpdaterManager.scala:67-78).
+# - ProcessingTimeTimeout bounds patience: pending events flushed with
+#   released=false for dead-letter routing (the reference's was unbounded).
+
+GATE_INPUT_SCHEMA = StructType(
+    [
+        StructField("bucket", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("table_name", StringType(), True),
+        StructField("hw", LongType(), True),
+        StructField("COD_EQUIPMENT", StringType(), True),
+        StructField("ID", LongType(), True),
+        StructField("event_ts", LongType(), True),
+        StructField("payload", StringType(), True),
+    ]
+)
+
+GATE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("COD_EQUIPMENT", StringType(), True),
+        StructField("ID", LongType(), False),
+        StructField("event_ts", LongType(), False),
+        StructField("payload", StringType(), True),
+        StructField("released", BooleanType(), False),
+    ]
+)
+
+GATE_STATE_SCHEMA = StructType(
+    [
+        StructField("marks", StringType(), True),  # json {table: hw_ms}
+        StructField("pending", StringType(), True),  # json [[equip,id,ts,payload],...]
+    ]
+)
+
+
+def _epoch_ms(df: DataFrame, col: str):
+    """Column as epoch millis: long columns are taken as already-ms (the
+    wire format); timestamps go through unix_millis (timezone-fixed). A
+    long→timestamp cast would silently misread millis as seconds."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get(col) == "bigint":
+        return F.col(col).cast("long")
+    return F.unix_millis(F.col(col).cast("timestamp"))
+
+
+def events_for_gate(events: DataFrame, n_buckets: int, ts_col: str = "timestamp") -> DataFrame:
+    """Project raw fact rows into the gate's union shape. The payload is
+    the full row as JSON so the gate is schema-agnostic and the row can
+    be reconstructed losslessly downstream."""
+    from pyspark.sql import functions as F
+
+    payload = F.to_json(F.struct(*[F.col(c) for c in events.columns]))
+    return events.select(
+        F.pmod(F.xxhash64(F.col("COD_EQUIPMENT").cast("string")), F.lit(n_buckets))
+        .cast("long")
+        .alias("bucket"),
+        F.lit("event").alias("kind"),
+        F.lit(None).cast("string").alias("table_name"),
+        F.lit(None).cast("long").alias("hw"),
+        F.col("COD_EQUIPMENT").cast("string").alias("COD_EQUIPMENT"),
+        F.col("ID").cast("long").alias("ID"),
+        _epoch_ms(events, ts_col).alias("event_ts"),
+        payload.alias("payload"),
+    )
+
+
+def markers_for_gate(cdc: DataFrame, table_name: str, tx_col: str, n_buckets: int) -> DataFrame:
+    """Project dimension CDC rows into high-water marker rows, fanned to
+    every bucket (bounded ×n_buckets amplification of the LOW-rate dim
+    stream, not the fact stream)."""
+    from pyspark.sql import functions as F
+
+    return cdc.select(
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_buckets - 1).cast("long"))
+        ).alias("bucket"),
+        F.lit("marker").alias("kind"),
+        F.lit(table_name).alias("table_name"),
+        _epoch_ms(cdc, tx_col).alias("hw"),
+        F.lit(None).cast("string").alias("COD_EQUIPMENT"),
+        F.lit(None).cast("long").alias("ID"),
+        F.lit(None).cast("long").alias("event_ts"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+
+
+def make_gate_handler(required_tables: list[str], timeout_ms: int = 10 * 60 * 1000):
+    """Build the per-bucket handler. `required_tables`: the dimension
+    tables whose A2 marks must ALL pass an event's timestamp before it
+    releases (min-gate). Closure args, not state — the required set is
+    plan-time configuration."""
+    import json as _json
+
+    required = list(required_tables)
+
+    def gate(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        marks: dict[str, int] = {}
+        pending: list[list] = []
+        if state.exists:
+            marks_json, pending_json = state.get
+            marks = _json.loads(marks_json) if marks_json else {}
+            pending = _json.loads(pending_json) if pending_json else []
+
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            is_marker = pdf["kind"] == "marker"
+            for t, h in zip(pdf.loc[is_marker, "table_name"], pdf.loc[is_marker, "hw"]):
+                marks[t] = max(marks.get(t, 0), int(h))
+            ev = pdf.loc[~is_marker]
+            pending.extend(
+                [e, int(i), int(ts), p]
+                for e, i, ts, p in zip(
+                    ev["COD_EQUIPMENT"], ev["ID"], ev["event_ts"], ev["payload"]
+                )
+            )
+
+        if state.hasTimedOut:
+            # Patience exhausted: flush everything unreleased (dead-letter
+            # downstream), keep the marks — they are monotone progress.
+            expired, pending = pending, []
+            state.update((_json.dumps(marks), "[]"))
+            if expired:
+                yield pd.DataFrame(
+                    {
+                        "COD_EQUIPMENT": [r[0] for r in expired],
+                        "ID": [r[1] for r in expired],
+                        "event_ts": [r[2] for r in expired],
+                        "payload": [r[3] for r in expired],
+                        "released": [False] * len(expired),
+                    }
+                )
+            return
+
+        hw = min((marks.get(t, 0) for t in required), default=float("inf"))
+        released = [r for r in pending if r[2] < hw]
+        still = [r for r in pending if r[2] >= hw]
+
+        state.update((_json.dumps(marks), _json.dumps(still)))
+        if still:
+            state.setTimeoutDuration(timeout_ms)
+
+        if released:
+            yield pd.DataFrame(
+                {
+                    "COD_EQUIPMENT": [r[0] for r in released],
+                    "ID": [r[1] for r in released],
+                    "event_ts": [r[2] for r in released],
+                    "payload": [r[3] for r in released],
+                    "released": [True] * len(released),
+                }
+            )
+
+    return gate
+
+
+def strict_gate(
+    unioned: DataFrame,
+    required_tables: list[str],
+    timeout_ms: int = 10 * 60 * 1000,
+) -> DataFrame:
+    """events_for_gate(facts) ∪ markers_for_gate(each dim CDC) -> the
+    released/expired stream. State lives in per-bucket GroupState on
+    executors; the driver never holds an event row."""
+    return unioned.groupBy("bucket").applyInPandasWithState(
+        make_gate_handler(required_tables, timeout_ms),
+        outputStructType=GATE_OUTPUT_SCHEMA,
+        stateStructType=GATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

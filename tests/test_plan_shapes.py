@@ -1,0 +1,78 @@
+"""Plan-shape regression guard (VERDICT r01 item 10): the flagship
+physical plans must keep the properties PLANS.md documents — broadcast
+enrichment joins, no cartesian products, bounded exchanges. A silent
+regression (a dim outgrowing the broadcast hint, a non-equi join
+degenerating to nested loop) fails here before it ships.
+
+Plans are inspected at sf0.001 — plan SHAPE is scale-invariant for these
+queries because every broadcast is an explicit hint (not a stats
+decision) and the join keys don't change with SF.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dod_etl_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _count(plan: str, op: str) -> int:
+    # Formatted explain prints each operator twice (tree node "Op (N)" +
+    # details heading "(N) Op"); count tree nodes only. The word boundary
+    # keeps "Exchange" from matching "BroadcastExchange".
+    return len(re.findall(rf"\b{op}\b[^\n(]*\(\d+\)", plan))
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # OEE chain: dims broadcast; the one allowed Exchange is the ES
+        # timeline-tiling window (input derivation, PLANS.md).
+        ("oee_flagship", 1),
+        # Bucketed interval join: broadcast equi join; the one shuffle is
+        # the canonical-bucket dedup boundary.
+        ("j3_j4_interval_grains", 1),
+        ("a1_latest_per_key", 1),
+        # Star joins broadcast; single-shuffle aggregate.
+        ("q5_revenue_by_nation", 1),
+        ("q1_pricing_summary", 1),
+    ],
+)
+def test_no_scale_killers(spark, name, max_exchanges):
+    plan = _plan(spark, name)
+    assert _count(plan, "CartesianProduct") == 0, f"{name}: cartesian product"
+    assert _count(plan, "SortMergeJoin") == 0, f"{name}: unexpected SMJ"
+    n_ex = _count(plan, "Exchange")
+    assert n_ex <= max_exchanges, f"{name}: {n_ex} exchanges > {max_exchanges}\n{plan}"
+
+
+def test_oee_enrichment_is_broadcast(spark):
+    plan = _plan(spark, "oee_flagship")
+    assert _count(plan, "BroadcastHashJoin") >= 3  # PO + PQ + ES-bucket joins
+
+
+def test_scans_prune_columns(spark):
+    """Column pruning reaches the parquet scan: the lineitem read under
+    q1 must not materialize all 16 columns."""
+    plan = _plan(spark, "q1_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = [c for c in m.group(1).split(",") if c]
+    assert len(cols) <= 7, f"q1 lineitem scan reads {len(cols)} cols: {cols}"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q6-style predicate must appear in PushedFilters."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    assert "IsNotNull" in pushed or "GreaterThan" in pushed, pushed

@@ -101,3 +101,39 @@ def test_ivf_recall_vs_exact(spark, emb):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert r["cosine"] == exact_scores[key]
+
+
+def test_auto_block_bits_bounds_bucket_pairs(spark):
+    """Round-1 finding: fixed 4-bit blocking is an sf0.1 toy. The
+    contract: bits derived from N keep E[|bucket|] (and so per-bucket
+    |b|^2 pair work) bounded as the corpus grows 10x."""
+    from dod_etl_spark.operators.similarity import auto_block_bits, sign_bucket
+
+    def emb(n):
+        # Hash-seeded components: signs independent across rows AND
+        # dimensions (a raw sin(id*16+j) is a sliding window of one
+        # phase — at most ~2*dim distinct sign patterns, all skew).
+        return spark.range(n).select(
+            F.expr(
+                "transform(sequence(0, 15), j -> sin(CAST(xxhash64(id * 16 + j) AS DOUBLE)))"
+            ).alias("embedding")
+        )
+
+    target = 256
+    for n in (2_000, 20_000):
+        bits = auto_block_bits(n, target)
+        buckets = emb(n).select(sign_bucket(F.col("embedding"), bits).alias("b"))
+        mx = buckets.groupBy("b").count().agg(F.max("count")).first()[0]
+        # Max bucket stays within a small factor of target at BOTH sizes
+        # (without scaling, the 10x corpus would blow straight through).
+        assert mx <= 6 * target, f"n={n} bits={bits} max bucket {mx}"
+    assert auto_block_bits(20_000, target) - auto_block_bits(2_000, target) >= 3
+
+
+def test_auto_sizing_monotone():
+    from dod_etl_spark.operators.similarity import auto_block_bits, auto_ivf_cells
+
+    assert auto_block_bits(100) >= 1
+    assert auto_block_bits(10**9) <= 20
+    assert auto_ivf_cells(10_000) == 100
+    assert auto_ivf_cells(10**12) == 65536  # clamped metadata bound
