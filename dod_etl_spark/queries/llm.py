@@ -594,3 +594,46 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_cells=8, n_probe=2)
+
+
+# --- End-to-end training-data prep pipeline -----------------------------------
+
+_PREP_ORACLE = """
+WITH kept AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(text) >= 100
+    AND len(regexp_extract_all(text, '[.,!?;:]')) * 20 <= length(text)
+),
+survivors AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+)
+SELECT k.doc_id AS doc_id,
+       length(k.text) AS n_chars,
+       len(string_split(k.text, ' ')) AS n_tokens
+FROM kept k JOIN survivors s ON k.doc_id = s.doc_id
+"""
+
+
+@query("prep_pipeline_docs", _PREP_ORACLE)
+def prep_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep path a pipeline user actually
+    runs: quality gate -> exact dedup -> tokenize, as ONE declarative
+    plan. The quality predicates are integer arithmetic (length floor +
+    punctuation density via punct*20 <= chars), the dedup groups on
+    md5(text) keeping the lowest doc_id (operators/dedup semantics), and
+    the join back to the kept set is on the group's min — the whole
+    thing is two shuffles (dedup groupBy + survivor join) regardless of
+    corpus size, with every filter pushed to the scan."""
+    docs = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    kept = docs.filter(
+        (F.length(text) >= 100) & (punct_count(text) * 20 <= F.length(text))
+    ).select("doc_id", "text")
+    survivors = kept.groupBy(F.md5(text.cast("binary")).alias("_fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    return kept.join(survivors, "doc_id").select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars"),
+        n_tokens(text).cast("long").alias("n_tokens"),
+    )

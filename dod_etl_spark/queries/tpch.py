@@ -649,3 +649,211 @@ def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_qty",
         "n",
     )
+
+
+# --- Q9-style profit by nation/year ------------------------------------------
+
+_Q9_ORACLE = f"""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       {ssum_sql(_DISC, 2)} AS sum_profit
+FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY nation, o_year
+"""
+
+
+@query("q9_profit_by_nation_year", _Q9_ORACLE)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (schema-adapted: no partsupp table, so profit =
+    discounted revenue). part/supplier/nation broadcast — the filtered
+    part set semi-shrinks lineitem before the one big-big shuffle join
+    (orders on l_orderkey). At 100 TB that orders join is the only
+    exchange besides the final agg; AQE handles its sizing."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        # year() yields int; the oracle's year() is BIGINT — match widths
+        # (the driver's value hash is width-sensitive for some readers).
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(
+        stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "sum_profit"
+        )
+    )
+
+
+# --- Q13-style customer order-count distribution ------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey AS c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@query("q13_customer_distribution", _Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join order counts, then a distribution over
+    the counts. Aggregate-before-join: orders pre-aggregates to one row
+    per customer (map-side combine), so the outer join's right side is
+    |customers|, not |orders| — the shuffle carries counts, not order
+    rows. count(o_orderkey) over the left join == coalesce(pre-agg, 0)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_cnt"))
+    counted = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        F.coalesce(F.col("_cnt"), F.lit(0)).alias("c_count")
+    )
+    return counted.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- Q15-style top supplier ----------------------------------------------------
+
+_Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey, {ssum_sql(_DISC, 2)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, r.total_revenue AS total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+@query("q15_top_supplier", _Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarter revenue per supplier, keep the max.
+    The scalar max is a 1-row aggregate broadcast against the (already
+    aggregated, |suppliers|-sized) revenue table — no window over a
+    single partition, no second scan of lineitem. Revenue equality is
+    safe cross-engine because total_revenue is the decimal-exact rounded
+    sum on both sides."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("_mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- Q17-style small-quantity revenue (correlated avg subquery) ---------------
+
+_Q17_ORACLE = f"""
+SELECT {sround_sql(_dsum_sql("l.l_extendedprice") + " / 7.0", 2)} AS avg_yearly
+FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN (
+    SELECT l_partkey, count(*) AS cnt,
+           sum(CAST(l_quantity AS DECIMAL(27,2))) AS sq
+    FROM lineitem GROUP BY l_partkey
+  ) a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND CAST(l.l_quantity AS DECIMAL(27,2)) * a.cnt * 5 < a.sq
+"""
+
+
+@query("q17_small_qty_revenue", _Q17_ORACLE)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems under 20% of their part's average
+    quantity. The correlated subquery decorrelates to a per-part
+    aggregate join; both sides are first semi-shrunk by the brand filter
+    (the threshold only matters for surviving parts), so the per-part
+    aggregate is broadcast-sized at any SF. The 20%-of-avg comparison is
+    done in integer-ish decimals (qty * cnt * 5 < sum) — no division, no
+    float boundary flakiness between engines."""
+    brand_parts = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("_sq"),
+    )
+    small = li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("_pk")).filter(
+        F.col("l_quantity").cast("decimal(27,2)") * F.col("_cnt") * 5 < F.col("_sq")
+    )
+    return small.agg(
+        stable_round(
+            F.sum(F.col("l_extendedprice").cast("double").cast("decimal(27,6)")).cast(
+                "double"
+            )
+            / 7.0,
+            2,
+        ).alias("avg_yearly")
+    )
+
+
+# --- Q22-style idle high-balance customers -------------------------------------
+
+_Q22_ORACLE = f"""
+WITH pos AS (
+  SELECT count(*) AS cnt, sum(CAST(c_acctbal AS DECIMAL(27,2))) AS sb
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment AS c_mktsegment, count(*) AS numcust,
+       {ssum_sql("c.c_acctbal", 2)} AS totacctbal
+FROM customer c, pos
+WHERE CAST(c.c_acctbal AS DECIMAL(27,2)) * pos.cnt > pos.sb
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("q22_idle_customers", _Q22_ORACLE)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (schema-adapted: grouped by market segment, no
+    phone prefixes; "idle" = no URGENT orders — every sf0.01 customer
+    has SOME order, which would make the plain anti join vacuous).
+    The global average is a 1-row broadcast; above-average compares
+    balance * count > sum in exact decimals (no float boundary); the
+    NOT EXISTS compiles to a LEFT ANTI hash join on the customer key."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col("c_acctbal").cast("decimal(27,2)")).alias("_sb"),
+    )
+    rich = c.join(F.broadcast(pos)).filter(
+        F.col("c_acctbal").cast("decimal(27,2)") * F.col("_cnt") > F.col("_sb")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        stable_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
+    )
