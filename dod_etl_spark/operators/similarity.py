@@ -211,12 +211,19 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     n_bits: int | None = 4,
     round_digits: int = 3,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: equi-join on the LSH bucket, exact cosine +
     top-k within the bucket. At 100 TB the bucket join is a plain hash
-    join on a long key; recall is tuned by n_bits (and multi-probe, left
-    as a union over neighboring buckets). n_bits=None sizes the bucket
-    count from the corpus (auto_block_bits)."""
+    join on a long key; recall is tuned by n_bits. n_bits=None sizes the
+    bucket count from the corpus (auto_block_bits).
+
+    Multi-probe: probe_bits > 0 additionally probes the Hamming-1
+    neighbor buckets of the first probe_bits hyperplanes (the planes a
+    near-boundary vector most plausibly landed across). The QUERY side
+    fans out ×(probe_bits+1) — the corpus side never replicates, so
+    recall is bought with query-side work only. Probed buckets are
+    distinct, so no pair dedup is needed."""
     dim = _probe_dim(corpus, vec_col)
     if n_bits is None:
         n_bits = auto_block_bits(corpus.count())
@@ -227,6 +234,12 @@ def lsh_bucketed_topk(
         norm(F.col(vec_col), dim).alias("_qn"),
         hyperplane_sign_bits(F.col(vec_col), seeds).alias("_bucket"),
     )
+    if probe_bits > 0:
+        probes = F.array(
+            F.col("_bucket"),
+            *[F.expr(f"_bucket ^ {1 << i}") for i in range(min(probe_bits, n_bits))],
+        )
+        q = q.withColumn("_bucket", F.explode(probes))
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -249,67 +262,44 @@ def lsh_bucketed_topk(
     )
 
 
-def ivf_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    k: int,
-    n_cells: int | None = 8,
-    n_probe: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_digits: int = 3,
-) -> DataFrame:
-    """IVF-style approximate top-k (the other classic ANN scale path,
-    alongside LSH): a coarse quantizer assigns every corpus vector to
-    its nearest cell; queries probe their `n_probe` nearest cells, so
-    per-query work drops from N to ~n_probe*N/n_cells.
-
-    Deterministic coarse quantizer: the centroids are the `n_cells`
-    lowest-id corpus vectors (a k-means iteration would refine them;
-    centroid choice only affects recall, not the operator shape).
-    Centroids are collected driver-side — that is the IVF design, not a
-    distributed-compute escape hatch: the centroid table is metadata
-    (k-means itself iterates on collected centroids), tiny by
-    construction, and shipping it inside the plan as literal arrays
-    makes cell assignment a pure projection — embarrassingly parallel,
-    ZERO shuffle (vs. a cross-join + window, which would shuffle the
-    full corpus). The only shuffles left are the bucket join and the
-    final per-query top-k — same shape as lsh_bucketed_topk.
-
-    n_cells=None sizes cells ≈ sqrt(N) (auto_ivf_cells). Note the
-    literal-centroid plan assumes n_cells stays metadata-sized
-    (thousands, not millions); beyond that, assignment belongs in a
-    broadcast join on a centroid table instead of inlined literals.
-    """
+def _pynorm(xs: list) -> float:
     import math
 
-    dim = _probe_dim(corpus, vec_col)
-    if n_cells is None:
-        n_cells = auto_ivf_cells(corpus.count())
-    cents = [
+    acc = 0.0
+    for x in xs:  # sequential fold — bit-identical to the engines'
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _dbl(x: float) -> str:
+    # string->double cast round-trips exactly (repr is shortest
+    # round-trip decimal); avoids literal-type ambiguity under ANSI
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def seed_centroids(
+    corpus: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse-quantizer seed: the n_cells lowest-id corpus
+    vectors (id-stable across engines, so oracle-replayable)."""
+    return [
         (int(r["cid"]), [float(x) for x in r["v"]])
         for r in corpus.filter(F.col(id_col) < n_cells)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
         .collect()
     ]
 
-    def _pynorm(xs: list) -> float:
-        acc = 0.0
-        for x in xs:  # sequential fold — bit-identical to the engines'
-            acc = acc + x * x
-        return math.sqrt(acc)
 
-    def _dbl(x: float) -> str:
-        # string->double cast round-trips exactly (repr is shortest
-        # round-trip decimal); avoids literal-type ambiguity under ANSI
-        return f"CAST('{x!r}' AS DOUBLE)"
+def _cell_assigner(cents, dim: int, id_col: str, vec_col: str):
+    """Build the centroid-scoring projection for a fixed centroid table.
+
+    Assembled as ONE SQL string and parsed once: the Column-API
+    equivalent issues thousands of py4j calls (cells x dim literals x
+    unrolled dot) and took ~20 s of DRIVER time just to build the plan.
+    Identical arithmetic: left-to-right unrolled multiply-add, same as
+    dot(dim=...)."""
 
     def with_cells(df: DataFrame, out_id: str, out_vec: str, out_n: str, probes: int) -> DataFrame:
-        # The centroid scorer is assembled as ONE SQL string and parsed
-        # once: the Column-API equivalent issues thousands of py4j calls
-        # (8 cells x 64-dim literals x unrolled dot) and took ~20 s of
-        # DRIVER time just to build the plan. Identical arithmetic:
-        # left-to-right unrolled multiply-add, same as dot(dim=...).
         vnorm_sql = "SQRT(" + " + ".join(
             f"CAST({vec_col}[{i}] AS DOUBLE) * CAST({vec_col}[{i}] AS DOUBLE)"
             for i in range(dim)
@@ -340,6 +330,96 @@ def ivf_topk(
             "*", f"explode(transform({top_sql}, t -> -t.nc)) AS cell_id"
         )
 
+    return with_cells
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: list[tuple[int, list[float]]] | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the seed centroids (the recall upgrade the
+    deterministic seed leaves on the table). Each iteration:
+
+    - ASSIGN distributed: nearest-cell per corpus row is the same
+      zero-shuffle literal-centroid projection the query path uses;
+    - UPDATE as metadata: per-cell elementwise means — n_cells*dim
+      numbers — collected to the driver, exactly k-means' contract
+      (FAISS trains its quantizer the same way; the corpus itself never
+      moves). Means use decimal-exact sums so the refined centroids are
+      partition-order deterministic. Empty cells keep their previous
+      centroid."""
+    dim = _probe_dim(corpus, vec_col)
+    cents = seed if seed is not None else seed_centroids(corpus, n_cells, id_col, vec_col)
+    body = spread(corpus)
+    for _ in range(iters):
+        assign = _cell_assigner(cents, dim, id_col, vec_col)(body, "_id", "_v", "_n", 1)
+        aggs = [F.count(F.lit(1)).alias("_cnt")] + [
+            F.sum(F.col("_v").getItem(i).cast("double").cast("decimal(30,9)")).alias(f"_s{i}")
+            for i in range(dim)
+        ]
+        rows = assign.groupBy("cell_id").agg(*aggs).collect()
+        refined = {
+            int(r["cell_id"]): [float(r[f"_s{i}"]) / int(r["_cnt"]) for i in range(dim)]
+            for r in rows
+        }
+        cents = [(cid, refined.get(cid, cv)) for cid, cv in cents]
+    return cents
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int | None = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 3,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """IVF-style approximate top-k (the other classic ANN scale path,
+    alongside LSH): a coarse quantizer assigns every corpus vector to
+    its nearest cell; queries probe their `n_probe` nearest cells, so
+    per-query work drops from N to ~n_probe*N/n_cells.
+
+    Deterministic coarse quantizer: the centroids are the `n_cells`
+    lowest-id corpus vectors (a k-means iteration would refine them;
+    centroid choice only affects recall, not the operator shape).
+    Centroids are collected driver-side — that is the IVF design, not a
+    distributed-compute escape hatch: the centroid table is metadata
+    (k-means itself iterates on collected centroids), tiny by
+    construction, and shipping it inside the plan as literal arrays
+    makes cell assignment a pure projection — embarrassingly parallel,
+    ZERO shuffle (vs. a cross-join + window, which would shuffle the
+    full corpus). The only shuffles left are the bucket join and the
+    final per-query top-k — same shape as lsh_bucketed_topk.
+
+    n_cells=None sizes cells ≈ sqrt(N) (auto_ivf_cells). Note the
+    literal-centroid plan assumes n_cells stays metadata-sized
+    (thousands, not millions); beyond that, assignment belongs in a
+    broadcast join on a centroid table instead of inlined literals.
+
+    `centroids` injects a refined centroid table (e.g. from
+    kmeans_centroids); `kmeans_iters` > 0 runs that refinement inline.
+    """
+    dim = _probe_dim(corpus, vec_col)
+    if n_cells is None:
+        n_cells = auto_ivf_cells(corpus.count())
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = seed_centroids(corpus, n_cells, id_col, vec_col)
+        if kmeans_iters > 0:
+            cents = kmeans_centroids(
+                corpus, n_cells, kmeans_iters, id_col, vec_col, seed=cents
+            )
+
+    with_cells = _cell_assigner(cents, dim, id_col, vec_col)
     c = with_cells(spread(corpus), "neighbor_id", "_cv", "_cn", 1)
     q = with_cells(queries, "query_id", "_qv", "_qn", n_probe)
     denom = F.col("_qn") * F.col("_cn")

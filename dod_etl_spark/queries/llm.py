@@ -637,3 +637,64 @@ def prep_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(text).cast("long").alias("n_chars"),
         n_tokens(text).cast("long").alias("n_tokens"),
     )
+
+
+# --- ANN extensions: multi-probe LSH + k-means-refined IVF --------------------
+
+_LSH_MULTIPROBE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n,
+         {_lsh_bucket_sql("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, v, n,
+         unnest([bucket, xor(bucket, 1), xor(bucket, 2)]) AS probe
+  FROM e WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {sround_sql('''CASE WHEN q.n * c.n > 0
+                    THEN list_dot_product(q.v, c.v) / (q.n * c.n)
+                    ELSE 0.0 END''', 3)} AS cosine
+  FROM q JOIN e c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+"""
+
+
+@query("lsh_ann_multiprobe", _LSH_MULTIPROBE_ORACLE)
+def lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5: each query also probes the Hamming-1
+    buckets of its first two hyperplanes (query-side ×3 fan-out; the
+    corpus is never replicated). The probe set is deterministic integer
+    arithmetic, so the oracle replays it with xor() — recall dominance
+    over single-probe is asserted in tests/test_similarity.py."""
+    from dod_etl_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(queries_df, emb, k=5, n_bits=4, probe_bits=2)
+
+
+@query("ivf_kmeans_topk")  # no static oracle: centroids come from Lloyd iterations
+def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with 2 Lloyd refinement iterations over the seed
+    centroids (operators/similarity.kmeans_centroids: distributed
+    assignment, decimal-exact per-cell means collected as metadata —
+    the FAISS train/assign split). The refined centroids depend on the
+    corpus, so no static SQL oracle exists; the driver records a
+    rows-only check and tests/test_similarity.py pins recall >= the
+    unrefined floor plus exact-score parity on overlapping pairs."""
+    from dod_etl_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_cells=8, n_probe=2, kmeans_iters=2
+    )

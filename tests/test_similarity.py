@@ -137,3 +137,47 @@ def test_auto_sizing_monotone():
     assert auto_block_bits(10**9) <= 20
     assert auto_ivf_cells(10_000) == 100
     assert auto_ivf_cells(10**12) == 65536  # clamped metadata bound
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, emb):
+    """Multi-probe candidates are a superset under the SAME total order
+    (rounded cosine, id tiebreak), so recall vs exact top-k is monotone
+    — a strict regression guard for the probe fan-out."""
+    from dod_etl_spark.operators.similarity import lsh_bucketed_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(queries, emb, k=5).collect()}
+    single = {(r["query_id"], r["neighbor_id"])
+              for r in lsh_bucketed_topk(queries, emb, k=5, n_bits=4).collect()}
+    multi = {(r["query_id"], r["neighbor_id"])
+             for r in lsh_bucketed_topk(queries, emb, k=5, n_bits=4, probe_bits=2).collect()}
+    assert len(multi & exact) >= len(single & exact)
+
+
+def test_ivf_kmeans_refinement(spark, emb):
+    """Lloyd-refined IVF: 8 centroids of corpus dimension, recall at
+    least the unrefined floor, scores exact on overlapping pairs."""
+    from dod_etl_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+        seed_centroids,
+    )
+
+    seed = seed_centroids(emb, 8)
+    cents = kmeans_centroids(emb, 8, iters=2, seed=seed)
+    assert len(cents) == 8
+    assert all(len(v) == len(seed[0][1]) for _, v in cents)
+    # Refinement moved at least one centroid off its seed vector.
+    assert any(a != b for (_, a), (_, b) in zip(cents, seed))
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, k=5).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    approx = ivf_topk(queries, emb, k=5, n_cells=8, n_probe=2, kmeans_iters=2).collect()
+    recall = len({(r["query_id"], r["neighbor_id"]) for r in approx} & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.08, f"k-means IVF recall {recall} suspiciously low"
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert r["cosine"] == exact_scores[key]
