@@ -78,6 +78,25 @@ def upsert_snapshot(
     return merged.drop("_src")
 
 
+def dedup_stream_exact(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop key-duplicates arriving within the
+    watermark window (at-least-once source -> effectively-once stream).
+
+    Spark-native `dropDuplicatesWithinWatermark`: per-key state lives in
+    the state store on executors and is EVICTED once the watermark
+    passes — bounded state, unlike an unbounded dropDuplicates() whose
+    key set grows forever. The reference has no fact-stream dedup (its
+    Kafka consumer is at-least-once and duplicates flow through,
+    SURVEY §2.7/T6); this closes that gap as intended semantics.
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+
+
 def dedup_exact(
     df: DataFrame,
     fingerprint_cols: Sequence[str],

@@ -289,3 +289,45 @@ def test_keyset_filter_null_key_no_duplicates(spark):
     ids = sorted(r["ID"] for r in out.collect())
     # EQ1 row passes via the semi-join; both NULL rows pass exactly once.
     assert ids == [1, 3, 4]
+
+
+def test_dedup_stream_exact(spark, tmp_path):
+    """Streaming dedup drops same-key records that arrive within the
+    watermark window, across real micro-batches (state survives the
+    boundary; eviction is watermark-driven)."""
+    import time as _time
+
+    from dod_etl_spark.operators.dedup import dedup_stream_exact
+
+    schema = "ID long, payload string, event_time string"
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"), (2, "b", "2024-01-01 00:00:10")], schema
+    ).withColumn("event_time", F.col("event_time").cast("timestamp"))
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    _time.sleep(1.1)
+    # Batch 2: duplicate of ID=1 inside the window + one new key.
+    b2 = spark.createDataFrame(
+        [(1, "a-dup", "2024-01-01 00:00:20"), (3, "c", "2024-01-01 00:00:30")], schema
+    ).withColumn("event_time", F.col("event_time").cast("timestamp"))
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        dedup_stream_exact(stream, ["ID"], "event_time", "10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM dedup_stream_t").collect()
+    assert sorted(r["ID"] for r in rows) == [1, 2, 3]
+    assert {r["payload"] for r in rows if r["ID"] == 1} == {"a"}  # first wins
