@@ -857,3 +857,300 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         stable_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+# --- Q2-style minimum-cost supplier --------------------------------------------
+
+_Q2_ORACLE = f"""
+WITH spc AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS uc
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), cand AS (
+  SELECT s.s_name AS s_name, s.s_acctbal AS s_acctbal, n.n_name AS n_name,
+         p.p_partkey AS p_partkey, spc.uc AS uc,
+         min(spc.uc) OVER (PARTITION BY p.p_partkey) AS mn
+  FROM spc
+  JOIN part p ON p.p_partkey = spc.l_partkey
+             AND p.p_size = 15 AND p.p_type = 'STANDARD'
+  JOIN supplier s ON s.s_suppkey = spc.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+)
+SELECT s_name, {sround_sql("s_acctbal", 2)} AS s_acctbal, n_name, p_partkey,
+       {sround_sql("uc", 4)} AS unit_cost
+FROM cand WHERE uc = mn
+"""
+
+
+@query("q2_min_cost_supplier", _Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    offering its minimum unit cost. No partsupp table in the testdata
+    (SURVEY testdata note) — lineitem is the part<->supplier association
+    and unit cost is min(extendedprice/quantity) per pair, mirroring the
+    reference-era correlated `ps_supplycost = (SELECT min ...)`.
+
+    Scale shape: the correlated min DECORRELATES to a window over the
+    already part+region-filtered candidate set — the per-pair aggregate
+    is one lineitem shuffle; part and the supplier->nation->region chain
+    are broadcast; the window shuffles only the tiny candidate set.
+    Equality against the window min is exact (same double, same set).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    spc = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("uc")
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    )
+    cand = spc.join(F.broadcast(p), spc.l_partkey == p.p_partkey).join(
+        F.broadcast(sn), spc.l_suppkey == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("mn", F.min("uc").over(w))
+        .filter(F.col("uc") == F.col("mn"))
+        .select(
+            "s_name",
+            stable_round("s_acctbal", 2).alias("s_acctbal"),
+            "n_name",
+            "p_partkey",
+            stable_round("uc", 4).alias("unit_cost"),
+        )
+    )
+
+
+# --- Q8-style market share -----------------------------------------------------
+
+_Q8_ORACLE = f"""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       {sround_sql(
+           _dsum_sql("CASE WHEN n2.n_name = 'NATION_3' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")
+           + " / " + _dsum_sql("l.l_extendedprice * (1 - l.l_discount)"), 6)} AS mkt_share
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'AMERICA'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+GROUP BY year(o.o_orderdate)
+"""
+
+
+@query("q8_market_share", _Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of AMERICA-market ECONOMY-part
+    revenue by order year. 7-way star join — every dim side broadcast,
+    the conditional and total sums ride ONE shuffle (group by year) with
+    map-side combine; the share division happens on two decimal-exact
+    sums (identical IEEE op in both engines, then stable-rounded)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = n.alias("n1")
+    n2 = n.alias("n2")
+    cust_america = c.join(
+        F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey")
+    ).join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey).select("c_custkey")
+    supp_nation = s.join(
+        F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey")
+    ).select("s_suppkey", F.col("n2.n_name").alias("supp_nation"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_america), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+    )
+    nation_disc = F.when(F.col("supp_nation") == "NATION_3", disc).otherwise(F.lit(0.0))
+    return joined.groupBy(
+        F.year(F.col("o_orderdate")).cast("long").alias("o_year")
+    ).agg(
+        stable_round((_dsum(nation_disc) / _dsum(disc)), 6).alias("mkt_share")
+    )
+
+
+# --- Q11-style important suppliers ---------------------------------------------
+
+_Q11_NATIONS = "('NATION_1', 'NATION_2', 'NATION_3')"
+
+_Q11_ORACLE = f"""
+WITH sv AS (
+  SELECT s.s_suppkey AS s_suppkey,
+         sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))) AS vd
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name IN {_Q11_NATIONS}
+  GROUP BY s.s_suppkey
+), tot AS (SELECT sum(vd) AS tv FROM sv)
+SELECT sv.s_suppkey AS s_suppkey,
+       {sround_sql("CAST(sv.vd AS DOUBLE)", 2)} AS supp_value
+FROM sv, tot
+WHERE sv.vd * 100 > tot.tv * 9
+"""
+
+
+@query("q11_important_suppliers", _Q11_ORACLE)
+def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: suppliers (in a nation set) holding > 9% of the
+    group's total revenue. The scalar `HAVING sum > frac * (SELECT ...)`
+    decorrelates to a 1-row broadcast cross join — no collect, no second
+    scan of lineitem (the total re-aggregates the per-supplier decimal
+    sums, which is exact and order-independent). The 9%-threshold
+    comparison is pure decimal arithmetic: no float boundary between
+    engines."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    sv = (
+        li.join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("double")
+                .cast("decimal(27,6)")
+            ).alias("vd")
+        )
+    )
+    tot = sv.agg(F.sum("vd").alias("tv"))
+    return (
+        sv.join(F.broadcast(tot))
+        .filter(F.col("vd") * 100 > F.col("tv") * 9)
+        .select(
+            "s_suppkey",
+            stable_round(F.col("vd").cast("double"), 2).alias("supp_value"),
+        )
+    )
+
+
+# --- Q20-style excess-shipment suppliers ---------------------------------------
+
+_Q20_ORACLE = """
+WITH sq AS (
+  SELECT l.l_suppkey
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'small%'
+    AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING sum(CAST(l.l_quantity AS DECIMAL(27,2))) > 60
+)
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+             AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM sq)
+"""
+
+
+@query("q20_excess_shipments", _Q20_ORACLE)
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved > 60 units of any 'small%'
+    part in 1995-96 (nested IN-subqueries over part and the shipment
+    aggregate). Decorrelation: part-filter broadcast semi-shrinks
+    lineitem BEFORE the (suppkey, partkey) aggregate; the surviving
+    supplier key set is tiny -> broadcast LEFT SEMI into supplier. The
+    threshold compares decimal sums (exact). One shuffle total (the
+    pair aggregate)."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1995-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    movers = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("_q"))
+        .filter(F.col("_q") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(movers), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# --- Q21-style sole-blame supplier ---------------------------------------------
+
+_Q21_ORACLE = """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+), ord AS (
+  SELECT l_orderkey, count(*) AS n_supp,
+         CAST(sum(has_r) AS BIGINT) AS n_r_supp
+  FROM per GROUP BY l_orderkey
+)
+SELECT s.s_name AS s_name, count(*) AS numwait
+FROM per
+JOIN ord ON ord.l_orderkey = per.l_orderkey
+JOIN orders o ON o.o_orderkey = per.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = per.l_suppkey
+WHERE per.has_r = 1 AND ord.n_supp >= 2 AND ord.n_r_supp = 1
+GROUP BY s.s_name
+"""
+
+
+@query("q21_sole_blame_supplier", _Q21_ORACLE)
+def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (schema-adapted: no receipt/commit dates, so
+    "late" = returned lines, l_returnflag = 'R'): suppliers who were the
+    ONLY supplier with a returned line on a finished multi-supplier
+    order. The classic EXISTS (other supplier) AND NOT EXISTS (other
+    late supplier) pair decorrelates to per-order counts: n_supp >= 2
+    carries the EXISTS, n_r_supp = 1 (+ has_r on the probe row) carries
+    the NOT EXISTS — aggregation instead of two correlated joins, the
+    formulation that survives at scale.
+
+    Shuffle budget: pair agg (partial/final on l_orderkey+l_suppkey),
+    per-order rollup + self-join co-partitioned on l_orderkey, orders
+    joined on the same key (no extra exchange under AQE), supplier
+    broadcast, final tiny agg on s_name."""
+    li = t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    ord_stats = per.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_r_supp"),
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    blamed = (
+        per.filter(F.col("has_r") == 1)
+        .join(ord_stats, per.l_orderkey == F.col("_ok"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(o, per.l_orderkey == o.o_orderkey, "left_semi")
+        .join(F.broadcast(s), per.l_suppkey == s.s_suppkey)
+    )
+    return blamed.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
