@@ -698,3 +698,101 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb.filter(F.col("vec_id") < 10), emb, k=5, n_cells=8, n_probe=2, kmeans_iters=2
     )
+
+
+# --- Deterministic curation: sampling / stratified top-k / budget packing ------
+
+from dod_etl_spark.operators.sampling import (  # noqa: E402
+    hash_bucket,
+    hash_bucket_sql,
+    hash_sample,
+    stratified_topk,
+    token_budget_pack,
+)
+
+# SQL mirrors of functions.text quality/token expressions (same literal
+# arithmetic as _TEXT_STATS_ORACLE).
+_N_TOKENS_SQL = "len(string_split(text, ' '))"
+_QUALITY_SQL = """least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+       * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                / greatest(length(text), 1))"""
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, {hash_bucket_sql('doc_id', 42)} AS bucket
+FROM documents
+WHERE {hash_bucket_sql('doc_id', 42)} < 2000
+"""
+
+
+@query("sample_docs_deterministic", _SAMPLE_ORACLE)
+def sample_docs_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20% reproducible corpus sample (operators/sampling.hash_sample):
+    the keep-decision is md5(content key), NOT rand()/df.sample(), so it
+    is invariant to partitioning, AQE re-plans, and engine — a pure
+    pushed-down filter, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.2, seed=42).select(
+        "doc_id", "source", hash_bucket(F.col("doc_id"), 42).alias("bucket")
+    )
+
+
+_QUALITY_TOPK_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, {_QUALITY_SQL} AS q FROM documents
+), ranked AS (
+  SELECT doc_id, source, q,
+         row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk, {sround_sql('q', 4)} AS quality
+FROM ranked WHERE rnk <= 10
+"""
+
+
+@query("quality_topk_per_source", _QUALITY_TOPK_ORACLE)
+def quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified curation: the 10 highest-quality documents per source
+    (operators/sampling.stratified_topk). One shuffle on source;
+    WindowGroupLimit prunes to k rows per group map-side before the
+    exchange."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("q")
+    )
+    return stratified_topk(scored, "source", "q", 10, "doc_id").select(
+        "doc_id", "source", "rnk", stable_round("q", 4).alias("quality")
+    )
+
+
+_BUDGET_PACK_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, {_N_TOKENS_SQL} AS n_toks, {_QUALITY_SQL} AS q
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_toks,
+         CAST(sum(n_toks) OVER (
+           PARTITION BY source ORDER BY q DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, n_toks, cum_tokens
+FROM packed WHERE cum_tokens <= 2000
+"""
+
+
+@query("token_budget_pack_docs", _BUDGET_PACK_ORACLE)
+def token_budget_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-quota packing: fill each source's 2000-token budget with
+    its best documents (operators/sampling.token_budget_pack) — greedy
+    prefix-sum cut after a quality sort. One shuffle + one in-partition
+    sort; the running sum is a frame-bounded window."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        n_tokens(F.col("text")).alias("n_toks"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    return token_budget_pack(scored, "source", "q", "n_toks", 2000, "doc_id").select(
+        "doc_id", "source", "n_toks", "cum_tokens"
+    )

@@ -1,0 +1,78 @@
+"""Deterministic-curation operator properties (operators/sampling.py)."""
+
+from pyspark.sql import functions as F
+
+from dod_etl_spark.catalog import load_table
+from dod_etl_spark.operators.sampling import (
+    SAMPLE_BUCKETS,
+    hash_bucket,
+    hash_sample,
+    split_train_holdout,
+    stratified_topk,
+    token_budget_pack,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    docs = load_table(spark, SF, "documents")
+    a = sorted(r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).collect())
+    # Different partitioning must select the IDENTICAL row set.
+    b = sorted(
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(7, "source"), "doc_id", 0.3).collect()
+    )
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_hash_sample_fraction_roughly_holds(spark):
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    k = hash_sample(docs, "doc_id", 0.5).count()
+    assert abs(k / n - 0.5) < 0.15  # md5 uniformity at small n
+
+
+def test_split_train_holdout_disjoint_exhaustive(spark):
+    docs = load_table(spark, SF, "documents")
+    train, hold = split_train_holdout(docs, "doc_id", 0.25)
+    nt, nh, n = train.count(), hold.count(), docs.count()
+    assert nt + nh == n and nh > 0 and nt > 0
+    assert train.join(hold, "doc_id", "inner").count() == 0
+    # Side assignment is the bucket cut — re-derivable, content-stable.
+    cut = int(0.25 * SAMPLE_BUCKETS)
+    assert hold.filter(hash_bucket(F.col("doc_id"), 7) >= cut).count() == 0
+
+
+def test_stratified_topk_bounds_and_order(spark):
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", F.length("text").alias("score")
+    )
+    out = stratified_topk(docs, "source", "score", 5, "doc_id")
+    per = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.min("score").alias("mn")
+    )
+    assert per.filter(F.col("n") > 5).count() == 0
+    # Every kept row's score >= the best excluded score in its group.
+    excluded = docs.join(out.select("doc_id"), "doc_id", "left_anti").groupBy(
+        "source"
+    ).agg(F.max("score").alias("best_out"))
+    bad = per.join(excluded, "source").filter(F.col("mn") < F.col("best_out"))
+    assert bad.count() == 0
+
+
+def test_token_budget_pack_respects_budget(spark):
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        "source",
+        F.length("text").alias("score"),
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    out = token_budget_pack(docs, "source", "score", "n_toks", 500, "doc_id")
+    assert out.filter(F.col("cum_tokens") > 500).count() == 0
+    # Greedy: per group the packed set is a prefix of the score-desc order,
+    # so its max cum_tokens equals the sum of its token counts.
+    chk = out.groupBy("source").agg(
+        (F.max("cum_tokens") == F.sum("n_toks")).alias("ok")
+    )
+    assert chk.filter(~F.col("ok")).count() == 0
