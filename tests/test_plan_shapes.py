@@ -45,6 +45,18 @@ def _count(plan: str, op: str) -> int:
         # Star joins broadcast; single-shuffle aggregate.
         ("q5_revenue_by_nation", 1),
         ("q1_pricing_summary", 1),
+        # Correlated-min decorrelation: pair agg + candidate-set window.
+        ("q2_min_cost_supplier", 2),
+        # 7-way star, all dims broadcast, single group-by-year shuffle.
+        ("q8_market_share", 1),
+        # Pair agg + distinct before the broadcast semi-join.
+        ("q20_excess_shipments", 2),
+        # per-pair agg, per-order rollup, join alignment, final name agg.
+        ("q21_sole_blame_supplier", 4),
+        # Content-hash sample is a pure pushed filter: NO exchange.
+        ("sample_docs_deterministic", 0),
+        ("quality_topk_per_source", 1),
+        ("token_budget_pack_docs", 1),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
@@ -76,3 +88,22 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters: [" in plan
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
     assert "IsNotNull" in pushed or "GreaterThan" in pushed, pushed
+
+
+def test_q11_scalar_is_broadcast_not_cartesian(spark):
+    """The Q11 total is a 1-row broadcast: BroadcastNestedLoopJoin with a
+    single-row build side (legitimate scalar pattern), never a
+    CartesianProduct, and the heavy side shuffles at most thrice
+    (per-supplier agg, global total, re-join alignment)."""
+    plan = _plan(spark, "q11_important_suppliers")
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "Exchange") <= 3
+    assert _count(plan, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_topk_pushes_group_limit(spark):
+    """stratified_topk must keep Spark's WindowGroupLimit (partial top-k
+    below the exchange) — the property that bounds shuffle volume to
+    k rows/group/mapper at any SF."""
+    plan = _plan(spark, "quality_topk_per_source")
+    assert "WindowGroupLimit" in plan
