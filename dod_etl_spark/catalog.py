@@ -72,6 +72,34 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed managed table (parquet in the session
+    warehouse). Pre-shuffling ONCE at write time is the 100 TB answer to
+    a join/aggregate that would otherwise shuffle the fact table on
+    every query: two tables bucketed on the same keys with the same
+    bucket count hash-align at scan time, so the join plans with ZERO
+    Exchange — tests/test_skew_bucketing.py pins that plan shape.
+    (sort_cols keeps files clustered for min/max skipping; modern Spark
+    re-sorts in-partition for SMJ regardless, which is local CPU only.)
+
+    Size n_buckets for the TARGET scale: ~(table_size / desired
+    partition size), e.g. 100 TB at 256 MB -> ~400k buckets. Too few
+    buckets caps join parallelism at n_buckets; too many makes small
+    files. Bucket counts that differ by an integer factor still avoid
+    the shuffle on one side (Spark coalesces bucketed scans)."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def load_catalog(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

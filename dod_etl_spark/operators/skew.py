@@ -1,0 +1,89 @@
+"""Skew-mitigation operators: salted joins and salted heavy aggregation.
+
+AQE's skew-join split (spark.sql.adaptive.skewJoin) handles most
+shuffle-join skew at runtime, but it cannot help when (a) the skewed
+side feeds a HASH AGGREGATE whose function has no partial combine
+(collect_list/collect_set), or (b) the join is stream-static (no AQE
+re-plan inside a micro-batch). These operators pre-split hot keys with
+a deterministic content-derived salt — the same row salts identically
+on any partitioning, so results are reproducible (no rand()).
+
+Reference parity: none — the reference runs single-node (SURVEY §0) and
+never meets skew; this is part of the design-for-100TB surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def _content_salt(df: DataFrame, n_salts: int, salt_src: Sequence[str] | None) -> Column:
+    """Deterministic salt in [0, n_salts): xxhash64 of non-key columns
+    (or all columns), so identical logical rows still spread — xxhash64
+    over the full row differs row-to-row for distinct payloads, and for
+    true full duplicates the salt collision is harmless (they belong in
+    the same group anyway)."""
+    cols = [F.col(c) for c in (salt_src or df.columns)]
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_src: Sequence[str] | None = None,
+) -> DataFrame:
+    """Equi join where `skewed` has hot keys and `small` is too large to
+    broadcast outright: salt the skewed side, replicate `small`
+    n_salts ways, join on (keys + salt).
+
+    Scale math: a key holding p% of the big side spreads over n_salts
+    reducers instead of one; the price is an n_salts-way blowup of the
+    OTHER side's shuffle (replicate-the-small-side skew join). Use when
+    small is 10-100x over the broadcast threshold; below that just
+    broadcast, above parity AQE's splitter is usually enough.
+    """
+    keys = list(on)
+    salted = skewed.withColumn(_SALT, _content_salt(skewed, n_salts, salt_src))
+    replicated = small.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted.join(replicated, keys + [_SALT], how)
+    return out.drop(_SALT)
+
+
+def salted_collect_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    agg_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """collect_list per key when some keys are hot. collect_list has no
+    map-side combine, so a plain groupBy ships every row of the hot key
+    to ONE reducer — the classic executor-OOM shape. Two-phase instead:
+    group on (key, salt) to build bounded partial lists, then flatten
+    the (at most n_salts) partials per key.
+
+    Order within the list is salt-order (deterministic given the salt),
+    not arrival order — callers needing a total order should sort the
+    array (cheap: per-key data, already assembled).
+    """
+    keys = list(keys)
+    partial = (
+        df.withColumn(_SALT, _content_salt(df, n_salts, None))
+        .groupBy(*keys, _SALT)
+        .agg(F.sort_array(F.collect_list(agg_col)).alias("_part"))
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(
+            F.array_sort(F.flatten(F.collect_list("_part"))).alias(f"{agg_col}_list")
+        )
+    )
