@@ -796,3 +796,35 @@ def token_budget_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_pack(scored, "source", "q", "n_toks", 2000, "doc_id").select(
         "doc_id", "source", "n_toks", "cum_tokens"
     )
+
+
+# --- Dedup clusters: transitive closure of near-dup pairs ----------------------
+
+from dod_etl_spark.operators.graph import dedup_cluster_assignments  # noqa: E402
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_1, id_2 FROM ({_minhash_oracle()})
+), edges AS (
+  SELECT id_1 AS s, id_2 AS d FROM pairs
+  UNION ALL
+  SELECT id_2 AS s, id_1 AS d FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@query("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: MinHash-LSH candidate pairs as
+    edges, connected components via min-label propagation
+    (operators/graph.py), cluster id = min doc_id. The oracle computes
+    the same closure with a recursive CTE — an oracle-paired ITERATIVE
+    algorithm. keep-one cut downstream: doc_id == cluster_id."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_candidates(docs, num_hashes=8, band_size=2, shingle_len=5)
+    return dedup_cluster_assignments(docs, pairs.select("id_1", "id_2"))

@@ -1,0 +1,37 @@
+"""Connected-components operator (operators/graph.py)."""
+
+from dod_etl_spark.operators.graph import (
+    connected_components,
+    dedup_cluster_assignments,
+)
+
+
+def test_connected_components_chain_and_singleton(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "node long")
+    # chain 1-2-3 (transitive: 1~3 without a direct edge), pair 4-5, singleton 6
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "src long, dst long")
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 12-hop path needs ~12 propagation rounds — exercises the loop,
+    the lineage truncation, and the fixpoint stop."""
+    n = 13
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out = connected_components(nodes, edges)
+    assert {r["component"] for r in out.collect()} == {0}
+
+
+def test_dedup_cluster_assignments_keep_one_cut(spark):
+    docs = spark.createDataFrame([(i,) for i in [10, 11, 12, 20]], "doc_id long")
+    pairs = spark.createDataFrame([(10, 11), (11, 12)], "id_1 long, id_2 long")
+    out = dedup_cluster_assignments(docs, pairs)
+    keep = sorted(r["doc_id"] for r in out.filter("doc_id = cluster_id").collect())
+    assert keep == [10, 20]  # one canonical per cluster + the singleton
