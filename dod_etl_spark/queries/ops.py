@@ -365,3 +365,34 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("asof_ts")).alias("asof_ts_ms"),
         F.col("o_orderkey").alias("asof_orderkey"),
     )
+
+
+# --- Mergeable-sketch profile (approximate by design: rows-only check) ---------
+
+from dod_etl_spark.functions.sketches import approx_quantiles, hll_distinct  # noqa: E402
+
+
+@query("sketch_events_profile")  # no SQL oracle: sketches are approximate;
+# the error bound is enforced in tests/test_sketches.py instead.
+def sketch_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type profile via mergeable sketches: HLL distinct users
+    (Datasketches binary, unions across any rollup topology) + GK
+    approximate value quantiles. The 100 TB substitute for
+    count(DISTINCT ...): partials are lgK-sized binaries, not value
+    sets, so the shuffle is O(groups), not O(distinct values)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            hll_distinct("user_id").alias("approx_users"),
+            approx_quantiles("value", [0.5, 0.95]).alias("value_q"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "approx_users",
+            F.col("value_q")[0].alias("value_p50"),
+            F.col("value_q")[1].alias("value_p95"),
+        )
+    )

@@ -1,0 +1,45 @@
+"""Sketch accuracy + mergeability contracts (functions/sketches.py)."""
+
+from pyspark.sql import functions as F
+
+from dod_etl_spark.catalog import load_table
+from dod_etl_spark.functions.sketches import (
+    approx_quantiles,
+    hll_distinct,
+    hll_merge,
+    hll_partial,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_estimate_within_error_bound(spark):
+    ev = load_table(spark, SF, "events")
+    got = ev.agg(
+        hll_distinct("user_id").alias("est"),
+        F.count_distinct("user_id").alias("exact"),
+    ).first()
+    assert abs(got["est"] - got["exact"]) / got["exact"] < 0.05  # lgK=12 ~1.6% typ
+
+
+def test_hll_union_of_partials_equals_one_shot(spark):
+    """Mergeability — the property that makes sketches the scale path:
+    per-group partial sketches unioned give the SAME estimate as one
+    global sketch (identical binary algebra, not merely close)."""
+    ev = load_table(spark, SF, "events")
+    one_shot = ev.agg(hll_distinct("user_id")).first()[0]
+    rolled = (
+        ev.groupBy("event_type")
+        .agg(hll_partial("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(hll_merge("sk")).cast("long"))
+        .first()[0]
+    )
+    assert rolled == one_shot
+
+
+def test_approx_quantiles_rank_accuracy(spark):
+    ev = load_table(spark, SF, "events").select(F.col("value").cast("double"))
+    n = ev.count()
+    q = ev.agg(approx_quantiles("value", [0.5]).alias("q")).first()["q"][0]
+    rank = ev.filter(F.col("value") <= q).count()
+    assert abs(rank / n - 0.5) < 0.01  # accuracy=10000 -> 1e-4 rank err + ties
