@@ -396,3 +396,75 @@ def sketch_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value_q")[1].alias("value_p95"),
         )
     )
+
+
+# --- SCD2 history derivation ---------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH v AS (
+  SELECT user_id, epoch_ms(ts) AS valid_from_ms, value,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to_ms,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, CAST(version AS BIGINT) AS version, valid_from_ms, valid_to_ms,
+       value AS amount, CAST(valid_to_ms IS NULL AS BOOLEAN) AS is_current
+FROM v
+"""
+
+
+@query("scd2_purchase_history", _SCD2_ORACLE)
+def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 derivation from a change stream:
+    each key's updates become versioned validity intervals
+    ([valid_from, valid_to), open-ended current row) — the warehouse
+    twin of the reference's latest-only upsert (J6 keeps the last value;
+    SCD2 keeps the lineage). One shuffle on the key; both window
+    functions share the single sort. Deterministic tiebreak on event_id
+    for equal timestamps."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return (
+        ev.select(
+            "user_id",
+            F.row_number().over(w).cast("long").alias("version"),
+            ms.alias("valid_from_ms"),
+            F.lead(ms).over(w).alias("valid_to_ms"),
+            F.col("value").alias("amount"),
+        )
+        .withColumn("is_current", F.col("valid_to_ms").isNull())
+    )
+
+
+# --- Pivot (wide metrics) ------------------------------------------------------
+
+_EVENT_TYPES = ("click", "view", "signup", "purchase", "error")
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(sum(CASE WHEN event_type = '{et}' THEN 1 ELSE 0 END) AS BIGINT)"
+           f" AS n_{et}" for et in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+@query("pivot_event_counts", _PIVOT_ORACLE)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity matrix via pivot with an EXPLICIT value
+    list — at scale the implicit form needs a full extra pass to
+    discover the pivot domain; pinning the list keeps it one shuffle
+    with map-side combine (plans as a plain grouped aggregate of
+    conditional counts)."""
+    ev = t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(et), F.lit(0)).cast("long").alias(f"n_{et}") for et in _EVENT_TYPES],
+    )
