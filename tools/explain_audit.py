@@ -24,6 +24,15 @@ AUDIT = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "cube_pricing",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q11_important_suppliers",
+    "q21_sole_blame_supplier",
+    "sample_docs_deterministic",
+    "quality_topk_per_source",
+    "token_budget_pack_docs",
+    "pivot_event_counts",
+    "scd2_purchase_history",
 ]
 
 
