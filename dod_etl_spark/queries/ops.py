@@ -468,3 +468,31 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(et), F.lit(0)).cast("long").alias(f"n_{et}") for et in _EVENT_TYPES],
     )
+
+
+# --- Inter-event gaps + ntile (window-function breadth) ------------------------
+
+_DELTAS_ORACLE = """
+SELECT user_id, event_id,
+       epoch_ms(ts) - lag(epoch_ms(ts))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS quartile
+FROM events WHERE event_type = 'click'
+"""
+
+
+@query("user_event_deltas", _DELTAS_ORACLE)
+def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gaps (lag) + temporal quartile (ntile), both
+    windows sharing ONE (user_id | ts,event_id) sort — one shuffle for
+    the whole projection. Deterministic tiebreak on event_id."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
