@@ -42,6 +42,12 @@ class TableSpec:
     jdbcLowerBound: int | None = None
     jdbcUpperBound: int | None = None
     jdbcNumPartitions: int = 8
+    # Engine extension: at-least-once source dedup for the operational
+    # stream (reference T6 is at-least-once and lets duplicates flow,
+    # SURVEY §2.7). When set, the fact stream is deduplicated on these
+    # keys within the watermark window (state bounded, executor-side).
+    dedupKeys: list[str] | None = None
+    eventTimeColumnName: str | None = None  # watermark column for dedup
 
 
 @dataclass(frozen=True)

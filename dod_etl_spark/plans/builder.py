@@ -22,7 +22,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dod_etl_spark.config import GlobalSpec, PipelineSpec, TableSpec
-from dod_etl_spark.operators.dedup import latest_per_key
+from dod_etl_spark.operators.dedup import dedup_stream_exact, latest_per_key
 from dod_etl_spark.plans.pipeline import OeeResult, run_oee_pipeline
 from dod_etl_spark.sources.jdbc import read_jdbc
 from dod_etl_spark.streaming.dimensions import DimensionMaintainer
@@ -88,6 +88,27 @@ def build_batch(spark: SparkSession, spec: PipelineSpec) -> OeeResult:
         dims["product_quality"],
         dims["equipment_status"],
     )
+
+
+def prepare_event_stream(spec: PipelineSpec, events: DataFrame) -> DataFrame:
+    """Pre-processing the spec asks for on the operational stream before
+    it reaches a pipeline: watermark-windowed exact dedup when the table
+    configures `dedupKeys` (+ `eventTimeColumnName`). Turns the
+    reference's at-least-once Kafka consumption (T6) into
+    effectively-once with executor-side, watermark-evicted state."""
+    op = spec.operational
+    if op.dedupKeys:
+        if not op.eventTimeColumnName:
+            raise ValueError(
+                f"table {op.tableName}: dedupKeys requires eventTimeColumnName"
+            )
+        return dedup_stream_exact(
+            events,
+            list(op.dedupKeys),
+            op.eventTimeColumnName,
+            delay=f"{spec.global_spec.watermarkMinutes} minutes",
+        )
+    return events
 
 
 def _make_maintainers(

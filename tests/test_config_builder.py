@@ -115,3 +115,67 @@ def test_build_streaming_wiring(spark, conf_dir):
     pipeline.process_batch(fx["product_events"], 0)
     assert len(sink.rows) > 0
     assert pipeline.pending == 1  # event 5's PO 999 never arrives
+
+
+def test_prepare_event_stream_dedup_knob(spark, tmp_path):
+    """dedupKeys + eventTimeColumnName on the operational table inject a
+    DeduplicateWithinWatermark node; without the knob the stream passes
+    through untouched."""
+    import json
+
+    from dod_etl_spark.config import load_pipeline_spec
+    from dod_etl_spark.plans.builder import prepare_event_stream
+
+    conf = tmp_path / "conf"
+    conf.mkdir()
+    (conf / "globalConfig.json").write_text(json.dumps({"watermarkMinutes": 5}))
+    (conf / "tableConfig.json").write_text(
+        json.dumps(
+            [
+                {
+                    "tableName": "EVENTS",
+                    "isOperational": True,
+                    "dedupKeys": ["ID"],
+                    "eventTimeColumnName": "event_time",
+                }
+            ]
+        )
+    )
+    spec = load_pipeline_spec(str(conf))
+    assert spec.operational.dedupKeys == ["ID"]
+
+    src = tmp_path / "events_src"
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "ID long, event_time string"
+    ).withColumn("event_time", __import__("pyspark").sql.functions.col("event_time").cast("timestamp")).write.parquet(str(src))
+    stream = spark.readStream.schema("ID long, event_time timestamp").parquet(str(src))
+    out = prepare_event_stream(spec, stream)
+    assert "dropDuplicatesWithinWatermark" in out._jdf.queryExecution().logical().toString() \
+        or "DeduplicateWithinWatermark" in out._jdf.queryExecution().logical().toString()
+
+    # no knob -> identity
+    (conf / "tableConfig.json").write_text(
+        json.dumps([{"tableName": "EVENTS", "isOperational": True}])
+    )
+    spec2 = load_pipeline_spec(str(conf))
+    assert prepare_event_stream(spec2, stream) is stream
+
+
+def test_prepare_event_stream_requires_ts(spark, tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from dod_etl_spark.config import load_pipeline_spec
+    from dod_etl_spark.plans.builder import prepare_event_stream
+
+    conf = tmp_path / "conf"
+    conf.mkdir()
+    (conf / "globalConfig.json").write_text("{}")
+    (conf / "tableConfig.json").write_text(
+        json.dumps([{"tableName": "E", "isOperational": True, "dedupKeys": ["ID"]}])
+    )
+    spec = load_pipeline_spec(str(conf))
+    df = spark.range(1)
+    with _pytest.raises(ValueError, match="eventTimeColumnName"):
+        prepare_event_stream(spec, df)
