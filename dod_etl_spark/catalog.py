@@ -110,3 +110,39 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in cat.items():
         df.createOrReplaceTempView(name)
     return cat
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_mb: int = 256,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet location into
+    ~target_file_mb files. Streaming sinks and fine-grained ingestion
+    leave thousands of KB-sized files; at 100 TB that murders the
+    driver's file-listing and per-task scheduling long before I/O does
+    (every file is a split, every split a task).
+
+    File count comes from the actual byte size on disk (file-index sum,
+    no data scan). `sort_within_by` clusters rows inside each output
+    file so parquet row-group min/max stats prune later range scans —
+    sortWithinPartitions, NOT a global sort: no extra shuffle beyond
+    the repartition. Returns the output file count."""
+    import math
+
+    df = spark.read.parquet(src)
+    total_bytes = sum(
+        f.getLen()
+        for f in spark._jvm.org.apache.hadoop.fs.Path(src)
+        .getFileSystem(spark._jsc.hadoopConfiguration())
+        .listStatus(spark._jvm.org.apache.hadoop.fs.Path(src))
+        if f.isFile() and not f.getPath().getName().startswith("_")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(dest)
+    return n_files
