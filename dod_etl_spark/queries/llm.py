@@ -828,3 +828,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     pairs = minhash_candidates(docs, num_hashes=8, band_size=2, shingle_len=5)
     return dedup_cluster_assignments(docs, pairs.select("id_1", "id_2"))
+
+
+# --- Embedding int8 quantization ----------------------------------------------
+
+_QUANT_ORACLE = f"""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       {sround_sql("CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)", 6)}
+         AS scale_absmax,
+       CAST(list_sum(list_transform(embedding,
+           x -> CAST(floor(x * 127.0
+                / list_max(list_transform(embedding, y -> abs(y))) + 0.5) AS BIGINT)))
+         AS BIGINT) AS q_checksum
+FROM embeddings
+"""
+
+
+@query("embedding_quantize_int8", _QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector absmax int8 quantization — the bandwidth play at
+    100 TB: 4 bytes -> 1 byte per dimension before any shuffle or ANN
+    stage, dequantize with one scalar per vector. Pure array-expression
+    projection (transform/array_max/aggregate, all codegen'd; no UDF,
+    no shuffle). Emitted as (dim, scale, integer checksum) — scalars,
+    so the cross-engine value hash is well-defined; floor-form rounding
+    keeps ties deterministic in both engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x * F.lit(127.0) / mx + F.lit(0.5)).cast("long"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        stable_round(mx.cast("double"), 6).alias("scale_absmax"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "q_checksum"
+        ),
+    )

@@ -496,3 +496,71 @@ def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ms - F.lag(ms).over(w)).alias("gap_ms"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+# --- Per-key linear trend (exact-sum least squares) ----------------------------
+
+# x = whole seconds since 2024-01-01 (events all land in Jan 2024):
+# integer, so every regression sum below is EXACT in both engines and
+# the closed-form slope is identical IEEE double arithmetic.
+_TREND_X0 = 1704067200
+
+_TREND_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id,
+         epoch_ms(ts) // 1000 - {_TREND_X0} AS x,
+         value AS y
+  FROM events WHERE event_type = 'purchase'
+), sums AS (
+  SELECT user_id,
+         count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(y AS DECIMAL(27,6)) * x) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x * x AS DECIMAL(27,0))) AS DOUBLE) AS sxx
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n,
+       (floor((((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 86400.0)
+              * 100000000 + 0.5) / 100000000) AS slope_per_day
+FROM sums WHERE n >= 3 AND (n * sxx - sx * sx) <> 0
+"""
+
+
+@query("trend_per_user", _TREND_ORACLE)
+def trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key least-squares trend (purchase value per day) from the
+    closed-form normal equations — grouped regression as ONE aggregate
+    pass (no ML library, no iteration): n/sx/sy/sxy/sxx ride a single
+    shuffle with map-side combine. x is integer seconds and y sums in
+    exact decimals, so all five aggregates are exact and the slope is
+    deterministic double arithmetic — bit-identical across engines and
+    partitionings."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    x = F.expr("unix_millis(cast(ts as timestamp)) div 1000") - F.lit(_TREND_X0)
+    ydec = F.col("y").cast("decimal(27,6)")
+    sums = (
+        ev.select("user_id", x.alias("x"), F.col("value").alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum(ydec).cast("double").alias("sy"),
+            F.sum(ydec * F.col("x")).cast("double").alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(27,0)"))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    denom = n * sxx - sx * sx
+    return (
+        sums.filter((n >= 3) & (denom != 0))
+        .select(
+            "user_id",
+            "n",
+            stable_round((n * sxy - sx * sy) / denom * F.lit(86400.0), 8).alias(
+                "slope_per_day"
+            ),
+        )
+    )
