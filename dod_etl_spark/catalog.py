@@ -146,3 +146,20 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_within_by)
     out.write.mode("overwrite").parquet(dest)
     return n_files
+
+
+def write_partitioned(
+    df: DataFrame,
+    dest: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned layout (dest/col=value/...): the storage
+    contract that lets Catalyst PRUNE partitions — a filter on a
+    partition column never lists, opens, or schedules the other
+    directories, which at 100 TB is the difference between scanning a
+    day and scanning a decade. Choose LOW-cardinality columns (date,
+    category); high-cardinality partitioning makes a small-files
+    problem instead (see compact_parquet). Pruning is asserted in
+    tests/test_compaction.py::test_partition_pruning."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(dest)

@@ -37,3 +37,25 @@ def test_compact_sort_within_clusters_rows(spark, tmp_path):
         .count()
     )
     assert viol == 0
+
+
+def test_partition_pruning(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning), not a data filter: non-matching partitions are
+    never scheduled."""
+    from dod_etl_spark.catalog import write_partitioned
+
+    dest = str(tmp_path / "by_type")
+    ev = load_table(spark, SF, "events")
+    write_partitioned(ev, dest, ["event_type"])
+    out = spark.read.parquet(dest).filter("event_type = 'click'")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+    # and the pruned read returns exactly the partition's rows
+    assert out.count() == ev.filter("event_type = 'click'").count()
