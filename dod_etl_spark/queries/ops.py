@@ -564,3 +564,76 @@ def trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Exact percentiles / histogram / shared-SQL-text surface -------------------
+
+_PCT_ORACLE = f"""
+SELECT event_type,
+       {sround_sql("quantile_cont(value, 0.25)", 6)} AS p25,
+       {sround_sql("quantile_cont(value, 0.50)", 6)} AS p50,
+       {sround_sql("quantile_cont(value, 0.90)", 6)} AS p90
+FROM events GROUP BY event_type
+"""
+
+
+@query("value_percentiles_by_type", _PCT_ORACLE)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed percentiles (linear interpolation — verified
+    identical to DuckDB's quantile_cont to 10 decimals). Spark computes
+    them without a global sort: per-partition digests merge on the
+    single aggregation shuffle. For the sketch-bounded version at
+    extreme group counts, see sketch_events_profile."""
+    ev = t(spark, sf_dir, "events")
+    p = F.expr("percentile(value, array(0.25D, 0.50D, 0.90D))")
+    return ev.groupBy("event_type").agg(p.alias("_p")).select(
+        "event_type",
+        stable_round(F.col("_p")[0], 6).alias("p25"),
+        stable_round(F.col("_p")[1], 6).alias("p50"),
+        stable_round(F.col("_p")[2], 6).alias("p90"),
+    )
+
+
+_HIST_ORACLE = """
+SELECT event_type,
+       CAST(least(floor(value / 10.0), 19) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM events WHERE value >= 0
+GROUP BY event_type, CAST(least(floor(value / 10.0), 19) AS BIGINT)
+"""
+
+
+@query("value_histogram", _HIST_ORACLE)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 buckets of 10, clamped tail) with the
+    bucketing written as explicit floor arithmetic — engine-portable
+    (DuckDB has no width_bucket) and deterministic. One conditional-
+    count aggregate, map-side combined."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    bucket = F.least(F.floor(F.col("value") / 10.0), F.lit(19)).cast("long")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ONE SQL string, two engines: Spark's SQL frontend runs the LITERAL
+# oracle text (decimal-exact sum + floor-form round are ANSI enough for
+# both). This pins frontend parity, not just DataFrame parity.
+_SHARED_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       (floor(CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) * 100 + 0.5)
+        / 100) AS total_price
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_surface_pricing", _SHARED_SQL)
+def sql_surface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() surface executing the EXACT oracle text — the
+    reference never had a SQL frontend (SURVEY §0); ours is Spark SQL
+    itself, demonstrated by running the same string both engines run."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SHARED_SQL)
