@@ -5,7 +5,7 @@ bit-identical)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dod_etl_spark.functions.text import (
@@ -867,4 +867,78 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
             "q_checksum"
         ),
+    )
+
+
+# --- Decontamination + class balancing ----------------------------------------
+
+_DECON_ORACLE = f"""
+WITH holdout AS (
+  SELECT md5(text) AS fp FROM documents
+  WHERE {hash_bucket_sql('doc_id', 7)} < 1000
+)
+SELECT d.doc_id AS doc_id, d.source AS source
+FROM documents d
+WHERE {hash_bucket_sql('d.doc_id', 7)} >= 1000
+  AND md5(d.text) NOT IN (SELECT fp FROM holdout)
+"""
+
+
+@query("decontaminate_train_docs", _DECON_ORACLE)
+def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop any train document whose exact
+    content fingerprint appears in the (hash-split) holdout — the step
+    that keeps eval sets out of training corpora. Composition of the
+    deterministic split (operators/sampling.split_train_holdout) with a
+    broadcast LEFT ANTI on md5(text): the holdout fingerprint set is
+    tiny relative to the corpus, so the anti join ships fingerprints,
+    never documents. Near-dup decontamination = same shape over
+    minhash_candidates/dedup_clusters edges instead of md5 equality."""
+    from dod_etl_spark.operators.sampling import split_train_holdout
+
+    docs = t(spark, sf_dir, "documents")
+    train, holdout = split_train_holdout(docs, "doc_id", 0.1, seed=7)
+    hold_fp = holdout.select(F.md5(F.col("text").cast("binary")).alias("fp")).distinct()
+    clean = train.withColumn(
+        "_fp", F.md5(F.col("text").cast("binary"))
+    ).join(F.broadcast(hold_fp), F.col("_fp") == hold_fp.fp, "left_anti")
+    return clean.select("doc_id", "source")
+
+
+_BALANCE_ORACLE = f"""
+WITH sized AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), floor_n AS (
+  SELECT min(n) AS n_keep FROM sized
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '_bal'), doc_id) AS rnk
+  FROM documents
+)
+SELECT r.doc_id AS doc_id, r.lang AS lang
+FROM ranked r, floor_n
+WHERE r.rnk <= floor_n.n_keep
+"""
+
+
+@query("balance_classes_docs", _BALANCE_ORACLE)
+def balance_classes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class balancing: downsample every language to the
+    smallest class's size, choosing rows by content-hash order (md5 of
+    the salted key) — reproducible on any partitioning, no rand(). One
+    shuffle for the per-class window + a 1-row broadcast for the floor;
+    WindowGroupLimit cannot apply (the cut is data-dependent) but the
+    md5 sort key is computed map-side."""
+    docs = t(spark, sf_dir, "documents")
+    floor_n = docs.groupBy("lang").count().agg(F.min("count").alias("n_keep"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_bal"))), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .join(F.broadcast(floor_n))
+        .filter(F.col("rnk") <= F.col("n_keep"))
+        .select("doc_id", "lang")
     )
