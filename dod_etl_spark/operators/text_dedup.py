@@ -47,12 +47,31 @@ def minhash_perm_params(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
+def shingle_hash(shingle, hash_fn: str = "md5"):
+    """32-bit-ranged shingle hash column.
+
+    md5 (default): bit-identical in any engine — the ORACLE-CHECKABLE
+    choice; every correctness pairing in queries/ uses it.
+    xxhash64: Spark-native codegen'd hash, ~3-5x cheaper per shingle —
+    the PRODUCTION throughput choice when cross-engine replay isn't
+    needed. Identical dedup quality (both uniform on 32 bits); at 100 TB
+    the shingle-hash stream is the dominant CPU cost of MinHash, so the
+    switch is worth real cluster-hours.
+    """
+    if hash_fn == "md5":
+        return md5_prefix_long(shingle)
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(shingle), F.lit(1 << 32)).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (md5|xxhash64)")
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 8,
     shingle_len: int = 5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Wide per-document signature: (id, h0..h{K-1}), h_k BIGINT.
 
@@ -65,7 +84,7 @@ def minhash_signatures(
     K×|shingles| rows and shuffling |docs| rows."""
     sh = spread(docs).select(
         F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_len))).alias("shingle")
-    ).withColumn("_h32", md5_prefix_long(F.col("shingle")))
+    ).withColumn("_h32", shingle_hash(F.col("shingle"), hash_fn))
     aggs = [
         F.min((F.lit(a) * F.col("_h32") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{k}")
         for k, (a, b) in enumerate(minhash_perm_params(num_hashes))
@@ -99,11 +118,13 @@ def minhash_candidates(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_len: int = 5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Distinct candidate pairs (id_1 < id_2) sharing >= 1 LSH band, with
-    the number of matching bands."""
+    the number of matching bands. `hash_fn="xxhash64"` is the production
+    throughput mode (see shingle_hash); oracles pin the md5 default."""
     bands = minhash_bands(
-        minhash_signatures(docs, id_col, text_col, num_hashes, shingle_len),
+        minhash_signatures(docs, id_col, text_col, num_hashes, shingle_len, hash_fn),
         id_col,
         band_size,
         num_hashes,

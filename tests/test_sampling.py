@@ -76,3 +76,26 @@ def test_token_budget_pack_respects_budget(spark):
         (F.max("cum_tokens") == F.sum("n_toks")).alias("ok")
     )
     assert chk.filter(~F.col("ok")).count() == 0
+
+
+def test_minhash_xxhash64_mode_finds_exact_dups(spark):
+    """Production hash mode (hash_fn="xxhash64", ~3-5x cheaper per
+    shingle): identical-content documents share every shingle, hence
+    every signature and every band, under ANY hash function — so each
+    exact-dup pair MUST surface as a full-band candidate. (Borderline
+    near-dup candidates legitimately differ between hash functions;
+    that's LSH, not a defect — md5 stays the oracle-checkable mode.)"""
+    from dod_etl_spark.operators.text_dedup import minhash_candidates
+
+    base = load_table(spark, SF, "documents").select("doc_id", "text")
+    shift = 100_000
+    docs = base.union(
+        base.withColumn("doc_id", F.col("doc_id") + shift)
+    )  # every doc now has one exact duplicate at id+shift
+    expected_pairs = {(r["doc_id"], r["doc_id"] + shift) for r in base.collect()}
+    xx = {
+        (r["id_1"], r["id_2"]): r["n_bands"]
+        for r in minhash_candidates(docs, hash_fn="xxhash64").collect()
+    }
+    for pair in expected_pairs:
+        assert xx.get(pair) == 4, f"exact dup {pair} missing/partial in xxhash64 mode"
