@@ -52,11 +52,12 @@ def shingle_hash(shingle, hash_fn: str = "md5"):
 
     md5 (default): bit-identical in any engine — the ORACLE-CHECKABLE
     choice; every correctness pairing in queries/ uses it.
-    xxhash64: Spark-native codegen'd hash, ~3-5x cheaper per shingle —
-    the PRODUCTION throughput choice when cross-engine replay isn't
-    needed. Identical dedup quality (both uniform on 32 bits); at 100 TB
-    the shingle-hash stream is the dominant CPU cost of MinHash, so the
-    switch is worth real cluster-hours.
+    xxhash64: Spark-native codegen'd hash — the PRODUCTION throughput
+    choice when cross-engine replay isn't needed. Measured 1.5x
+    end-to-end on sf0.1 minhash_candidates (2.40s -> 1.56s steady
+    state); the gap grows with document length because the hash stream
+    scales with shingle count while the band join does not. Identical
+    dedup quality (both uniform on 32 bits).
     """
     if hash_fn == "md5":
         return md5_prefix_long(shingle)

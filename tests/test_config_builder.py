@@ -179,3 +179,26 @@ def test_prepare_event_stream_requires_ts(spark, tmp_path):
     df = spark.range(1)
     with _pytest.raises(ValueError, match="eventTimeColumnName"):
         prepare_event_stream(spec, df)
+
+
+def test_cli_batch_end_to_end(spark, conf_dir, tmp_path):
+    """python -m dod_etl_spark --mode batch: config in, OEE parquet out
+    (runs in-process against the session fixture; the CLI builds its own
+    session via getOrCreate, which reuses this one)."""
+    from dod_etl_spark.__main__ import main
+
+    out = str(tmp_path / "cli_out")
+    rc = main(["--conf", conf_dir, "--output", out, "--mode", "batch"])
+    assert rc == 0
+    oee = spark.read.parquet(out + "/oee")
+    assert oee.count() > 0
+    assert "OEE" in oee.columns or len(oee.columns) > 3
+    # retry branches persisted, not buffered
+    assert spark.read.parquet(out + "/missing_po").columns
+
+
+def test_cli_streaming_mode_refuses_without_broker(conf_dir, tmp_path):
+    from dod_etl_spark.__main__ import main
+
+    rc = main(["--conf", conf_dir, "--output", str(tmp_path / "x"), "--mode", "streaming"])
+    assert rc == 2
