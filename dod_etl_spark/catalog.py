@@ -64,10 +64,17 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     plan->RDD conversion df.rdd.getNumPartitions() forces on the driver
     for every call (round-1 VERDICT item 5). It under-counts splits when
     single files span many row groups; the cost of that miss is one
-    redundant repartition that AQE coalesces, not lost parallelism."""
+    redundant repartition that AQE coalesces, not lost parallelism.
+    Non-file-backed frames (createDataFrame fixtures, foreachBatch
+    micro-batch frames) report zero input files; only for those do we
+    pay the rdd partition probe, so an already-parallel in-memory input
+    is not force-shuffled."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) >= target:
+    n_files = len(df.inputFiles())
+    if n_files >= target:
+        return df
+    if n_files == 0 and df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 
@@ -125,21 +132,25 @@ def compact_parquet(
     driver's file-listing and per-task scheduling long before I/O does
     (every file is a split, every split a task).
 
-    File count comes from the actual byte size on disk (file-index sum,
-    no data scan). `sort_within_by` clusters rows inside each output
-    file so parquet row-group min/max stats prune later range scans —
-    sortWithinPartitions, NOT a global sort: no extra shuffle beyond
-    the repartition. Returns the output file count."""
+    File count comes from the actual byte size on disk (recursive
+    file-index sum, no data scan) — recursive so Hive-partitioned
+    sources (col=value subdirectories) size correctly instead of
+    collapsing to one file. `sort_within_by` clusters rows inside each
+    output file so parquet row-group min/max stats prune later range
+    scans — sortWithinPartitions, NOT a global sort: no extra shuffle
+    beyond the repartition. Returns the output file count."""
     import math
 
     df = spark.read.parquet(src)
-    total_bytes = sum(
-        f.getLen()
-        for f in spark._jvm.org.apache.hadoop.fs.Path(src)
-        .getFileSystem(spark._jsc.hadoopConfiguration())
-        .listStatus(spark._jvm.org.apache.hadoop.fs.Path(src))
-        if f.isFile() and not f.getPath().getName().startswith("_")
-    )
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)  # recursive: descends col=value dirs
+    total_bytes = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            total_bytes += f.getLen()
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     out = df.repartition(n_files)
     if sort_within_by:

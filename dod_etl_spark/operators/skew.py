@@ -50,6 +50,16 @@ def salted_join(
     small is 10-100x over the broadcast threshold; below that just
     broadcast, above parity AQE's splitter is usually enough.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        # right/full would emit every unmatched replicated small-side row
+        # n_salts times (the small side exists once per salt value).
+        raise ValueError(
+            f"salted_join supports skewed-side-preserving modes {sorted(allowed)}; "
+            f"got how={how!r} — unmatched small-side rows would duplicate "
+            f"{n_salts}x under right/full outer joins"
+        )
     keys = list(on)
     salted = skewed.withColumn(_SALT, _content_salt(skewed, n_salts, salt_src))
     replicated = small.withColumn(

@@ -81,7 +81,7 @@ def build_batch(spark: SparkSession, spec: PipelineSpec) -> OeeResult:
         if role is None:
             continue
         dims[role] = _compact(_read_table(spark, t, g), t)
-    events = _read_table(spark, spec.operational, g)
+    events = prepare_event_stream(spec, _read_table(spark, spec.operational, g))
     return run_oee_pipeline(
         events,
         dims["production_order"],
@@ -98,6 +98,10 @@ def prepare_event_stream(spec: PipelineSpec, events: DataFrame) -> DataFrame:
     effectively-once with executor-side, watermark-evicted state."""
     op = spec.operational
     if op.dedupKeys:
+        if not events.isStreaming:
+            # Batch replay of the same config: plain key dedup (no
+            # watermark state needed on a bounded input).
+            return events.dropDuplicates(list(op.dedupKeys))
         if not op.eventTimeColumnName:
             raise ValueError(
                 f"table {op.tableName}: dedupKeys requires eventTimeColumnName"
@@ -150,7 +154,11 @@ def build_streaming(
         return {role: spark.table(f"dim_{role}") for role in maintainers}
 
     pipeline = OeeStreamingPipeline(
-        spark, dims_fn=dims_fn, sink=sink, max_retry_batches=max_retry_batches
+        spark,
+        dims_fn=dims_fn,
+        sink=sink,
+        max_retry_batches=max_retry_batches,
+        pre=lambda ev: prepare_event_stream(spec, ev),
     )
     return maintainers, pipeline
 
@@ -189,5 +197,6 @@ def build_streaming_strict(
         dead_letter=dead_letter,
         n_buckets=n_buckets,
         timeout_ms=spec.global_spec.watermarkMinutes * 60 * 1000,
+        pre=lambda ev: prepare_event_stream(spec, ev),
     )
     return maintainers, pipeline

@@ -84,6 +84,10 @@ class StrictReleasePipeline:
     dead_letter: Callable[[DataFrame, int], None] | None = None
     n_buckets: int = 16
     timeout_ms: int = 10 * 60 * 1000  # reference watermark T1
+    # Applied to the raw event stream in start() BEFORE the gate — the
+    # spec compiler wires prepare_event_stream here so configured
+    # dedupKeys take effect without the caller remembering to apply them.
+    pre: Callable[[DataFrame], DataFrame] | None = None
     _event_schema: object = None
 
     def release_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
@@ -137,6 +141,8 @@ class StrictReleasePipeline:
         ts_col: str = "timestamp",
         trigger: dict | None = None,
     ):
+        if self.pre is not None:
+            event_stream = self.pre(event_stream)
         gated = self.gate_plan(event_stream, marker_streams, ts_col=ts_col)
         writer = (
             gated.writeStream.foreachBatch(self.release_batch)
@@ -163,6 +169,7 @@ class OeeStreamingPipeline:
     dims_fn: Callable[[], dict[str, DataFrame]]
     sink: Callable[[DataFrame, int], None]
     max_retry_batches: int | None = None
+    pre: Callable[[DataFrame], DataFrame] | None = None
     _retry_rows: list = field(default_factory=list)
     _retry_schema: object = None
 
@@ -205,6 +212,8 @@ class OeeStreamingPipeline:
         return len(self._retry_rows)
 
     def start(self, event_stream: DataFrame, checkpoint: str):
+        if self.pre is not None:
+            event_stream = self.pre(event_stream)
         return (
             event_stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint)

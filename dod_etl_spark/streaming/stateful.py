@@ -73,7 +73,14 @@ def hold_and_release(
     """The per-key handler (signature: key tuple, batch iterator, group
     state). Input rows: (COD_EQUIPMENT, ID, event_ts, high_water) where
     high_water is the minimum of the required tables' A2 marks at batch
-    time. Emits (COD_EQUIPMENT, ID, event_ts, released)."""
+    time. Emits (COD_EQUIPMENT, ID, event_ts, released).
+
+    NOTE: patience here is a per-EQUIPMENT approximation — the timeout
+    re-arms whenever the key still holds pending events, so under steady
+    per-key traffic an old event can wait past the nominal bound, and a
+    firing flushes every pending event for the key. The production gate
+    (make_gate_handler) tracks exact per-event deadlines; this simpler
+    operator keeps the reference's (id, ts)-only shape for tests."""
     pending = _pending_from_state(state)
     (key,) = key
     high_water = 0
@@ -188,7 +195,10 @@ GATE_OUTPUT_SCHEMA = StructType(
 GATE_STATE_SCHEMA = StructType(
     [
         StructField("marks", StringType(), True),  # json {table: hw_ms}
-        StructField("pending", StringType(), True),  # json [[equip,id,ts,payload],...]
+        # json [[equip, id, ts, payload, deadline_ms], ...] — deadline is
+        # the per-EVENT dead-letter instant (arrival + timeout), so
+        # patience is bounded per event, not per bucket.
+        StructField("pending", StringType(), True),
     ]
 )
 
@@ -249,18 +259,30 @@ def make_gate_handler(required_tables: list[str], timeout_ms: int = 10 * 60 * 10
     """Build the per-bucket handler. `required_tables`: the dimension
     tables whose A2 marks must ALL pass an event's timestamp before it
     releases (min-gate). Closure args, not state — the required set is
-    plan-time configuration."""
+    plan-time configuration.
+
+    Patience is a PER-EVENT bound: each pending event carries its own
+    dead-letter deadline (processing-time arrival + timeout_ms). The
+    GroupState processing-time timeout is re-armed to the EARLIEST
+    pending deadline each invocation, and when it fires only events past
+    their own deadline are flushed released=false — a fresh arrival in
+    the same bucket keeps its full patience window."""
     import json as _json
+    import time as _time
 
     required = list(required_tables)
 
     def gate(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        now_ms = int(_time.time() * 1000)
         marks: dict[str, int] = {}
         pending: list[list] = []
         if state.exists:
             marks_json, pending_json = state.get
             marks = _json.loads(marks_json) if marks_json else {}
             pending = _json.loads(pending_json) if pending_json else []
+            for r in pending:  # pre-deadline checkpoint state: pad in place
+                if len(r) == 4:
+                    r.append(now_ms + timeout_ms)
 
         for pdf in pdf_iter:
             if len(pdf) == 0:
@@ -270,37 +292,35 @@ def make_gate_handler(required_tables: list[str], timeout_ms: int = 10 * 60 * 10
                 marks[t] = max(marks.get(t, 0), int(h))
             ev = pdf.loc[~is_marker]
             pending.extend(
-                [e, int(i), int(ts), p]
+                [e, int(i), int(ts), p, now_ms + timeout_ms]
                 for e, i, ts, p in zip(
                     ev["COD_EQUIPMENT"], ev["ID"], ev["event_ts"], ev["payload"]
                 )
             )
 
-        if state.hasTimedOut:
-            # Patience exhausted: flush everything unreleased (dead-letter
-            # downstream), keep the marks — they are monotone progress.
-            expired, pending = pending, []
-            state.update((_json.dumps(marks), "[]"))
-            if expired:
-                yield pd.DataFrame(
-                    {
-                        "COD_EQUIPMENT": [r[0] for r in expired],
-                        "ID": [r[1] for r in expired],
-                        "event_ts": [r[2] for r in expired],
-                        "payload": [r[3] for r in expired],
-                        "released": [False] * len(expired),
-                    }
-                )
-            return
-
+        # Release first (a releasable-and-overdue event still releases),
+        # then dead-letter only the rows past their OWN deadline.
         hw = min((marks.get(t, 0) for t in required), default=float("inf"))
         released = [r for r in pending if r[2] < hw]
-        still = [r for r in pending if r[2] >= hw]
+        held = [r for r in pending if r[2] >= hw]
+        expired = [r for r in held if r[4] <= now_ms]
+        still = [r for r in held if r[4] > now_ms]
 
         state.update((_json.dumps(marks), _json.dumps(still)))
         if still:
-            state.setTimeoutDuration(timeout_ms)
+            next_fire = min(r[4] for r in still) - now_ms
+            state.setTimeoutDuration(max(int(next_fire), 1000))
 
+        if expired:
+            yield pd.DataFrame(
+                {
+                    "COD_EQUIPMENT": [r[0] for r in expired],
+                    "ID": [r[1] for r in expired],
+                    "event_ts": [r[2] for r in expired],
+                    "payload": [r[3] for r in expired],
+                    "released": [False] * len(expired),
+                }
+            )
         if released:
             yield pd.DataFrame(
                 {

@@ -59,3 +59,30 @@ def test_partition_pruning(spark, tmp_path):
     assert m and "event_type" in m.group(1), plan
     # and the pruned read returns exactly the partition's rows
     assert out.count() == ev.filter("event_type = 'click'").count()
+
+
+def test_compact_sizes_partitioned_source(spark, tmp_path):
+    """Hive-partitioned sources (col=value subdirs) must size from the
+    RECURSIVE listing: with a 1 MB target and >1 MB of partitioned data
+    the old non-recursive listStatus summed ~0 bytes and collapsed
+    everything to one file."""
+    src, dest = str(tmp_path / "part_src"), str(tmp_path / "part_dest")
+    base = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    li = base
+    for _ in range(3):  # inflate past the 1 MB target (partitioned parquet compresses)
+        li = li.unionAll(base)
+    li.write.partitionBy("l_returnflag").parquet(src)
+    n = compact_parquet(spark, src, dest, target_file_mb=1)
+    assert n > 1  # sized from real bytes, not the empty top-level listing
+    assert spark.read.parquet(dest).count() == li.count()
+
+
+def test_spread_skips_already_parallel_memory_input(spark):
+    """Non-file-backed frames report zero inputFiles; spread() must probe
+    rdd partitioning instead of unconditionally shuffling."""
+    from dod_etl_spark.catalog import spread
+
+    df = spark.range(1000).repartition(16)
+    assert spread(df, min_partitions=8) is df
+    tiny = spark.range(10).coalesce(1)
+    assert spread(tiny, min_partitions=8).rdd.getNumPartitions() >= 8

@@ -176,9 +176,46 @@ def test_prepare_event_stream_requires_ts(spark, tmp_path):
         json.dumps([{"tableName": "E", "isOperational": True, "dedupKeys": ["ID"]}])
     )
     spec = load_pipeline_spec(str(conf))
-    df = spark.range(1)
+    # Streaming input without an event-time column is the error case;
+    # a BATCH input with dedupKeys needs no watermark — plain dedup.
+    stream = spark.readStream.format("rate").load()
     with _pytest.raises(ValueError, match="eventTimeColumnName"):
-        prepare_event_stream(spec, df)
+        prepare_event_stream(spec, stream)
+
+    batch = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "ID long, v string")
+    assert prepare_event_stream(spec, batch).count() == 2
+
+
+def test_builder_wires_pre_dedup(spark, tmp_path):
+    """build_streaming/build_streaming_strict attach prepare_event_stream
+    as the pipeline `pre` hook, so configured dedupKeys take effect
+    without the caller invoking it manually (ADVICE r2)."""
+    import json
+
+    from dod_etl_spark.config import load_pipeline_spec
+    from dod_etl_spark.plans.builder import build_streaming, build_streaming_strict
+
+    conf = tmp_path / "conf"
+    conf.mkdir()
+    (conf / "globalConfig.json").write_text(json.dumps({"watermarkMinutes": 5}))
+    (conf / "tableConfig.json").write_text(
+        json.dumps(
+            [
+                {
+                    "tableName": "EVENTS",
+                    "isOperational": True,
+                    "dedupKeys": ["ID"],
+                    "eventTimeColumnName": "event_time",
+                }
+            ]
+        )
+    )
+    spec = load_pipeline_spec(str(conf))
+    _, pipeline = build_streaming(spark, spec, MemorySink())
+    _, strict = build_streaming_strict(spark, spec, MemorySink())
+    dups = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "ID long, v string")
+    assert pipeline.pre is not None and pipeline.pre(dups).count() == 2
+    assert strict.pre is not None and strict.pre(dups).count() == 2
 
 
 def test_cli_batch_end_to_end(spark, conf_dir, tmp_path):

@@ -1,0 +1,102 @@
+"""Per-event patience in the strict release gate (streaming/stateful.py):
+each pending event carries its own dead-letter deadline, so steady
+per-bucket traffic cannot starve an old event past the bound, and a
+timeout firing flushes ONLY the overdue events, not fresh arrivals.
+
+Driven by calling the handler directly with a fake GroupState — the
+handler is pure per-key logic, which is the point of the design."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pandas as pd
+
+from dod_etl_spark.streaming.stateful import make_gate_handler
+
+REQUIRED = ["dim_a"]
+
+
+class FakeState:
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+
+    def remove(self):
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def _batch(rows):
+    cols = ["kind", "table_name", "hw", "COD_EQUIPMENT", "ID", "event_ts", "payload"]
+    return iter([pd.DataFrame(rows, columns=cols)])
+
+
+def _event(eq, id_, ts):
+    return ("event", None, None, eq, id_, ts, json.dumps({"ID": id_}))
+
+
+def _marker(table, hw):
+    return ("marker", table, hw, None, None, None, None)
+
+
+def test_unreleasable_event_is_held_with_deadline():
+    gate = make_gate_handler(REQUIRED, timeout_ms=60_000)
+    state = FakeState()
+    out = list(gate((0,), _batch([_event("EQ1", 1, 5000)]), state))
+    assert out == []  # no marks yet -> held
+    _, pending_json = state.get
+    (row,) = json.loads(pending_json)
+    assert len(row) == 5 and row[4] > int(time.time() * 1000)  # own deadline
+    assert state.timeout_set is not None and state.timeout_set <= 60_000
+
+
+def test_timeout_fires_only_overdue_events():
+    gate = make_gate_handler(REQUIRED, timeout_ms=60_000)
+    now = int(time.time() * 1000)
+    # Old event already past its deadline; legacy 4-element row proves
+    # checkpointed pre-deadline state is padded, then event B arrives.
+    old = ["EQ1", 1, 5000, json.dumps({"ID": 1}), now - 10]
+    state = FakeState(value=(json.dumps({}), json.dumps([old])), timed_out=True)
+    out = list(gate((0,), _batch([_event("EQ2", 2, 7000)]), state))
+    flushed = pd.concat(out) if out else pd.DataFrame()
+    assert list(flushed["ID"]) == [1] and not flushed["released"].iloc[0]
+    _, pending_json = state.get
+    (held,) = json.loads(pending_json)
+    assert held[1] == 2  # fresh event keeps its full patience window
+
+
+def test_legacy_state_rows_get_deadlines():
+    gate = make_gate_handler(REQUIRED, timeout_ms=60_000)
+    legacy = ["EQ1", 1, 5000, json.dumps({"ID": 1})]  # 4-element checkpoint row
+    state = FakeState(value=(json.dumps({}), json.dumps([legacy])))
+    out = list(gate((0,), _batch([]), state))
+    assert out == []
+    _, pending_json = state.get
+    (row,) = json.loads(pending_json)
+    assert len(row) == 5 and row[4] > int(time.time() * 1000)
+
+
+def test_releasable_and_overdue_event_releases():
+    gate = make_gate_handler(REQUIRED, timeout_ms=60_000)
+    now = int(time.time() * 1000)
+    overdue = ["EQ1", 1, 5000, json.dumps({"ID": 1}), now - 10]
+    state = FakeState(value=(json.dumps({}), json.dumps([overdue])), timed_out=True)
+    out = list(gate((0,), _batch([_marker("dim_a", 6000)]), state))
+    (df,) = out
+    assert list(df["ID"]) == [1] and df["released"].iloc[0]  # release wins

@@ -104,3 +104,17 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_salted_join_rejects_small_side_preserving_modes(spark):
+    """right/full would emit each unmatched replicated small-side row
+    n_salts times; the guard refuses those modes up front."""
+    import pytest
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey")
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(li, o, ["l_orderkey"], n_salts=4, how=how)
