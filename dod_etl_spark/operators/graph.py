@@ -3,26 +3,35 @@
 Near-dup pair lists (MinHash/SimHash candidates) are EDGES; the unit a
 curation pipeline actually drops or keeps is the CLUSTER (transitive
 closure: A~B, B~C => {A,B,C} even if A,C never collide). This operator
-closes that gap: min-label propagation over the pair graph, canonical
-cluster id = min(doc_id) in the component.
+closes that gap: component id = min(doc_id) reachable in the pair graph.
+
+Two formulations, one API:
+
+- "propagation": min-label propagation, one hop per round — rounds =
+  graph diameter. Cheapest per round; right for the shallow near-dup
+  balls dedup produces.
+- "star": alternating large-star/small-star contraction (Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+  O(log n) rounds on ANY topology, at a higher per-round cost (two
+  grouped mins + a distinct per phase). Right for adversarial chains
+  (template-drift corpora) where diameter ~ n.
+- "auto" (default): propagation for `switch_after` rounds; if not yet
+  converged, CONTRACT the graph by the labels learned so far and finish
+  with star on the (strictly smaller) contracted graph, composing the
+  labels. Shallow graphs never pay star's constant; deep graphs escape
+  diameter-many shuffles.
 
 Iterative Spark done right:
 - data never leaves executors; the driver only runs the loop and reads
   ONE aggregate per iteration (the convergence scalar);
-- labels monotonically decrease, so convergence is `sum(label)`
-  unchanged — an O(1)-row action, not a full-frame comparison;
+- propagation labels monotonically decrease, so convergence is
+  `sum(label)` unchanged — an O(1)-row action; star convergence is an
+  (edge-count, xxhash64-sum) checksum, equally O(1)-row;
 - `localCheckpoint(eager=True)` after each round truncates the lineage
   that otherwise grows linearly and re-executes from scratch on every
   action (the classic iterative-DataFrame trap). On a real cluster with
   an unreliable-executor budget, swap for reliable `checkpoint()` to a
   cluster-visible directory.
-
-Rounds needed = graph diameter (one hop per round). Dedup clusters are
-shallow (near-dup balls), so this converges in a handful of rounds; for
-adversarial long-chain graphs use the alternating large-star/small-star
-formulation (Kiveris et al., "Connected Components in MapReduce",
-O(log n) rounds) — same join primitives, left as the documented scale
-escape hatch.
 
 Reference parity: none (single-node reference, no graph surface) —
 LLM-pipeline extension per the brief.
@@ -34,27 +43,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(
-    nodes: DataFrame,
-    edges: DataFrame,
-    node_col: str = "node",
-    src_col: str = "src",
-    dst_col: str = "dst",
-    max_iters: int = 25,
-) -> DataFrame:
-    """(node, component) for every node; component = min node id
-    reachable via undirected edges. Nodes absent from `edges` are their
-    own singleton component."""
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("label")
-    ).localCheckpoint(eager=True)
-    sym = (
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
-        .localCheckpoint(eager=True)
-    )
+def _symmetrize(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    return e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+
+
+def _propagate(
+    labels: DataFrame, sym: DataFrame, max_rounds: int
+) -> tuple[DataFrame, bool]:
+    """Min-label propagation. Returns (labels, converged)."""
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iters):
+    for _ in range(max_rounds):
         nbr_min = (
             sym.join(labels, sym.s == labels.node)
             .groupBy("d")
@@ -72,9 +71,135 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:  # labels only decrease -> fixpoint
-            break
+            return labels, True
         prev_sum = cur_sum
-    return labels.select("node", F.col("label").alias("component"))
+    return labels, False
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to m = min(N(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    mins = sym.groupBy("s").agg(F.min("d").alias("_mv"))
+    mins = mins.select("s", F.least(F.col("s"), F.col("_mv")).alias("_m"))
+    return (
+        sym.join(mins, "s")
+        .filter(F.col("d") > F.col("s"))
+        .select(F.col("d").alias("s"), F.col("_m").alias("d"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every smaller neighbor (and u itself) to m = min of u's
+    smaller neighborhood."""
+    oriented = (
+        e.filter(F.col("s") != F.col("d"))
+        .select(
+            F.greatest(F.col("s"), F.col("d")).alias("s"),
+            F.least(F.col("s"), F.col("d")).alias("d"),
+        )
+        .distinct()
+    )
+    mins = oriented.groupBy("s").agg(F.min("d").alias("_m"))
+    spokes = (
+        oriented.join(mins, "s")
+        .filter(F.col("d") != F.col("_m"))
+        .select(F.col("d").alias("s"), F.col("_m").alias("d"))
+    )
+    hubs = mins.select("s", F.col("_m").alias("d"))
+    return spokes.union(hubs).distinct()
+
+
+def star_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star contraction over an edge list. Returns
+    ((node, label) for every node APPEARING IN AN EDGE, rounds used).
+    Converges in O(log n) rounds on any topology (Kiveris et al. §4)."""
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    prev = None
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        cnt, chk = e.agg(
+            F.count(F.lit(1)),
+            # bit_xor, not sum: xxhash64 sums overflow long under ANSI.
+            F.expr("bit_xor(xxhash64(s, d))"),
+        ).first()
+        if (cnt, chk) == prev:  # star fixpoint: every edge is (node, comp-min)
+            break
+        prev = (cnt, chk)
+    labels = e.groupBy("s").agg(F.min("d").alias("label")).select(
+        F.col("s").alias("node"), "label"
+    )
+    # Component minima appear only as destinations; they label themselves.
+    hubs = e.select(F.col("d").alias("node")).distinct().join(
+        labels, "node", "left_anti"
+    ).select("node", F.col("node").alias("label"))
+    return labels.union(hubs), rounds
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 25,
+    method: str = "auto",
+    switch_after: int = 5,
+) -> DataFrame:
+    """(node, component) for every node; component = min node id
+    reachable via undirected edges. Nodes absent from `edges` are their
+    own singleton component. `method`: "propagation" | "star" | "auto"
+    (propagation, then star on the label-contracted graph if diameter
+    exceeds `switch_after`)."""
+    if method not in ("auto", "propagation", "star"):
+        raise ValueError(f"unknown method {method!r}")
+    base = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).localCheckpoint(eager=True)
+
+    if method == "star":
+        star_lab, _ = star_components(edges, src_col, dst_col)
+        out = base.select("node").join(star_lab, "node", "left").select(
+            "node", F.coalesce(F.col("label"), F.col("node")).alias("component")
+        )
+        return out
+
+    sym = _symmetrize(edges, src_col, dst_col).localCheckpoint(eager=True)
+    rounds = switch_after if method == "auto" else max_iters
+    labels, converged = _propagate(base, sym, rounds)
+    if converged or method == "propagation":
+        return labels.select("node", F.col("label").alias("component"))
+
+    # Contract by the labels learned so far: every partial cluster is one
+    # super-node, so star runs on a strictly smaller graph; compose back.
+    lmap = labels.select(F.col("node").alias("_n"), F.col("label").alias("_l"))
+    contracted = (
+        sym.join(lmap, sym.s == F.col("_n")).select(F.col("_l").alias("s"), "d")
+        .join(lmap.withColumnRenamed("_n", "_n2").withColumnRenamed("_l", "_l2"),
+              F.col("d") == F.col("_n2"))
+        .select("s", F.col("_l2").alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    star_lab, _ = star_components(contracted, "s", "d")
+    star_lab = star_lab.select(
+        F.col("node").alias("_sn"), F.col("label").alias("_sl")
+    )
+    return labels.join(star_lab, labels.label == F.col("_sn"), "left").select(
+        "node", F.coalesce(F.col("_sl"), F.col("label")).alias("component")
+    )
 
 
 def dedup_cluster_assignments(

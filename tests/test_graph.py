@@ -35,3 +35,36 @@ def test_dedup_cluster_assignments_keep_one_cut(spark):
     out = dedup_cluster_assignments(docs, pairs)
     keep = sorted(r["doc_id"] for r in out.filter("doc_id = cluster_id").collect())
     assert keep == [10, 20]  # one canonical per cluster + the singleton
+
+
+def test_star_chain_converges_in_log_rounds(spark):
+    """Adversarial worst case for propagation (diameter = n): the
+    large-star/small-star contraction must close a 10k-node path in
+    O(log n) rounds — the Kiveris et al. bound, ~2*log2(n)."""
+    import math
+
+    from dod_etl_spark.operators.graph import star_components
+
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels, rounds = star_components(edges)
+    bound = 2 * math.ceil(math.log2(n)) + 2  # +2: checksum needs a stable round
+    assert rounds <= bound, f"{rounds} rounds > {bound}"
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert set(got) == set(range(n)) and set(got.values()) == {0}
+
+
+def test_auto_switches_to_star_on_deep_graph(spark):
+    """auto mode: a path much deeper than switch_after must still land
+    every node in component 0 (propagation alone would need n rounds)."""
+    from dod_etl_spark.operators.graph import connected_components
+
+    n = 300
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out = connected_components(nodes, edges, method="auto", switch_after=3)
+    assert {r["component"] for r in out.collect()} == {0}

@@ -52,8 +52,11 @@ def test_components_match_union_find(spark, g):
         if edges
         else spark.createDataFrame([], "src long, dst long")
     )
-    got = {
-        r["node"]: r["component"]
-        for r in connected_components(nodes_df, edges_df, max_iters=n + 1).collect()
-    }
-    assert got == expected
+    for method in ("propagation", "star", "auto"):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                nodes_df, edges_df, max_iters=n + 1, method=method, switch_after=2
+            ).collect()
+        }
+        assert got == expected, method
