@@ -172,6 +172,7 @@ def build_streaming_strict(
     n_buckets: int = 16,
     snapshot_root: str | None = None,
     required_roles: tuple[str, ...] = ("production_order", "product_quality", "equipment_status"),
+    regate_dir: str | None = None,
 ) -> tuple[dict[str, DimensionMaintainer], StrictReleasePipeline]:
     """Streaming mode, STRICT default: one DimensionMaintainer per
     metadata table (the IMTU thread-per-table analog,
@@ -182,8 +183,16 @@ def build_streaming_strict(
     fact stream goes to `pipeline.start(events, marker_streams, ckpt)`.
 
     Gate timeout = the configured watermark (T1) — the reference's
-    unbounded patience, bounded."""
+    unbounded patience, bounded.
+
+    `regate_dir` (auto-derived from snapshot_root when present) enables
+    the lossless release/snapshot-race loop: a first post-gate miss
+    re-enters the gate once instead of going straight to missing_sink."""
+    import os
+
     maintainers = _make_maintainers(spark, spec, snapshot_root)
+    if regate_dir is None and snapshot_root is not None:
+        regate_dir = os.path.join(snapshot_root, "_regate")
 
     def dims_fn() -> dict[str, DataFrame]:
         return {role: spark.table(f"dim_{role}") for role in maintainers}
@@ -198,5 +207,6 @@ def build_streaming_strict(
         n_buckets=n_buckets,
         timeout_ms=spec.global_spec.watermarkMinutes * 60 * 1000,
         pre=lambda ev: prepare_event_stream(spec, ev),
+        regate_dir=regate_dir,
     )
     return maintainers, pipeline

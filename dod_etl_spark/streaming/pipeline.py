@@ -63,17 +63,19 @@ class StrictReleasePipeline:
     timestamp) -> foreachBatch{ parse payload, enrich against the
     CURRENT dimension snapshots, route misses, OEE, sink }.
 
-    Post-gate misses are genuinely-absent dimension rows (the gate
-    guarantees the dim stream has caught PAST the event's timestamp), so
-    they go to `missing_sink` (J5), not back into a buffer. Gate-expired
-    events (patience exceeded) arrive released=false -> `dead_letter`.
-
-    Note one deliberate race: release is gated on marks that ride the
-    unioned stream, while enrichment reads the maintainer's snapshot view
-    updated by a SEPARATE streaming query — a released event can beat the
-    snapshot merge by one micro-batch. The reference has the same window
-    (marks published after the H2 MERGE, InMemoryTableUpdater.scala:
-    173-215); miss routing catches the stragglers.
+    Post-gate misses: release is gated on marks that ride the unioned
+    stream, while enrichment reads the maintainer's snapshot view updated
+    by a SEPARATE streaming query — so a released event can beat the
+    snapshot merge by one micro-batch (the reference has the same window:
+    marks published after the H2 MERGE, InMemoryTableUpdater.scala:
+    173-215). With `regate_dir` set (the builder default), a first miss
+    RE-ENTERS the gate through a file-stream feedback loop — executors
+    write the miss rows, the gate consumes them next micro-batch, by
+    which time the snapshot merge has landed — making the race lossless.
+    The `_regate` counter in the payload bounds the loop: a second miss
+    is a genuinely-absent dimension row and routes to `missing_sink`
+    (J5). Gate-expired events (patience exceeded) arrive released=false
+    -> `dead_letter`.
     """
 
     spark: SparkSession
@@ -88,7 +90,48 @@ class StrictReleasePipeline:
     # spec compiler wires prepare_event_stream here so configured
     # dedupKeys take effect without the caller remembering to apply them.
     pre: Callable[[DataFrame], DataFrame] | None = None
+    # Feedback directory for the lossless re-gate loop (None disables:
+    # every miss routes straight to missing_sink).
+    regate_dir: str | None = None
+    max_regate: int = 1
     _event_schema: object = None
+
+    def _route_misses(self, released_rows: DataFrame, missing: DataFrame, batch_id: int) -> None:
+        """Misses either re-enter the gate (first `max_regate` times, via
+        the feedback files) or go to missing_sink (exhausted => the dim
+        row is genuinely absent, not racing the snapshot merge)."""
+        if self.regate_dir is None:
+            if self.missing_sink is not None:
+                self.missing_sink(missing, batch_id)
+            return
+        regate_n = F.coalesce(
+            F.get_json_object(F.col("payload"), "$._regate").cast("int"), F.lit(0)
+        )
+        miss_rows = released_rows.join(
+            F.broadcast(missing.select("ID").distinct()), "ID", "left_semi"
+        ).withColumn("_rg", regate_n)
+        if self.missing_sink is not None:
+            exhausted_ids = miss_rows.filter(
+                F.col("_rg") >= self.max_regate
+            ).select("ID")
+            self.missing_sink(
+                missing.join(F.broadcast(exhausted_ids), "ID", "left_semi"),
+                batch_id,
+            )
+        retry = miss_rows.filter(F.col("_rg") < self.max_regate)
+        parsed = F.from_json("payload", self._event_schema)
+        fields = [f.name for f in self._event_schema.fields]
+        new_payload = F.to_json(
+            F.struct(
+                *[parsed.getField(n).alias(n) for n in fields],
+                (F.col("_rg") + 1).alias("_regate"),
+            )
+        )
+        out = retry.select(
+            "COD_EQUIPMENT", "ID", "event_ts", new_payload.alias("payload")
+        )
+        if out.limit(1).count() > 0:  # skip empty-file churn on clean batches
+            out.write.mode("append").parquet(self.regate_dir)
 
     def release_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         """foreachBatch body over the gate's output; directly callable in
@@ -97,19 +140,17 @@ class StrictReleasePipeline:
         if self.dead_letter is not None:
             self.dead_letter(expired, batch_id)
 
-        ev = (
-            batch.filter(F.col("released"))
-            .select(F.from_json("payload", self._event_schema).alias("e"))
-            .select("e.*")
-        )
+        released_rows = batch.filter(F.col("released"))
+        ev = released_rows.select(
+            F.from_json("payload", self._event_schema).alias("e")
+        ).select("e.*")
         ev = normalize_events(ev)
         dims = self.dims_fn()
         enriched = enrich_with_orders(
             ev, dims["production_order"], dims["product_quality"]
         )
         ok, missing = split_missing_po(enriched)
-        if self.missing_sink is not None:
-            self.missing_sink(missing, batch_id)
+        self._route_misses(released_rows, missing, batch_id)
         grains = build_fact_grains(ok, dims["equipment_status"])
         self.sink(compute_oee(grains), batch_id)
 
@@ -120,12 +161,23 @@ class StrictReleasePipeline:
         ts_col: str = "timestamp",
     ) -> DataFrame:
         """The declarative half: union shape -> stateful gate."""
-        from dod_etl_spark.streaming.stateful import events_for_gate, strict_gate
+        from dod_etl_spark.streaming.stateful import (
+            FEEDBACK_SCHEMA,
+            events_for_gate,
+            regated_for_gate,
+            strict_gate,
+        )
 
         self._event_schema = event_stream.schema
         un = events_for_gate(event_stream, self.n_buckets, ts_col=ts_col)
         for m in marker_streams:
             un = un.unionByName(m)
+        if self.regate_dir is not None:
+            import os
+
+            os.makedirs(self.regate_dir, exist_ok=True)
+            fb = self.spark.readStream.schema(FEEDBACK_SCHEMA).parquet(self.regate_dir)
+            un = un.unionByName(regated_for_gate(fb, self.n_buckets))
         return strict_gate(un, self.required_tables, self.timeout_ms)
 
     def markers(self, cdc_stream: DataFrame, table_name: str, tx_col: str) -> DataFrame:

@@ -255,6 +255,38 @@ def markers_for_gate(cdc: DataFrame, table_name: str, tx_col: str, n_buckets: in
     )
 
 
+# Shape of the re-gate feedback files (streaming/pipeline.py writes them
+# for post-gate misses; the gate consumes them as one more event source).
+FEEDBACK_SCHEMA = StructType(
+    [
+        StructField("COD_EQUIPMENT", StringType(), True),
+        StructField("ID", LongType(), False),
+        StructField("event_ts", LongType(), False),
+        StructField("payload", StringType(), True),
+    ]
+)
+
+
+def regated_for_gate(feedback: DataFrame, n_buckets: int) -> DataFrame:
+    """Project re-gated miss rows (FEEDBACK_SCHEMA) back into the gate's
+    union shape. Their payload already carries the `_regate` counter, so
+    a second miss routes to missing_sink instead of looping."""
+    from pyspark.sql import functions as F
+
+    return feedback.select(
+        F.pmod(F.xxhash64(F.col("COD_EQUIPMENT").cast("string")), F.lit(n_buckets))
+        .cast("long")
+        .alias("bucket"),
+        F.lit("event").alias("kind"),
+        F.lit(None).cast("string").alias("table_name"),
+        F.lit(None).cast("long").alias("hw"),
+        F.col("COD_EQUIPMENT"),
+        F.col("ID"),
+        F.col("event_ts"),
+        F.col("payload"),
+    )
+
+
 def make_gate_handler(required_tables: list[str], timeout_ms: int = 10 * 60 * 1000):
     """Build the per-bucket handler. `required_tables`: the dimension
     tables whose A2 marks must ALL pass an event's timestamp before it
