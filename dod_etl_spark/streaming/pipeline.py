@@ -130,8 +130,29 @@ class StrictReleasePipeline:
         out = retry.select(
             "COD_EQUIPMENT", "ID", "event_ts", new_payload.alias("payload")
         )
-        if out.limit(1).count() > 0:  # skip empty-file churn on clean batches
-            out.write.mode("append").parquet(self.regate_dir)
+        # Idempotent under micro-batch replay (foreachBatch is at-least-
+        # once): each batch writes to its OWN subdirectory, committed by
+        # atomic rename — a replayed batch sees the directory and skips,
+        # so a miss row never re-enters the gate twice for one failure.
+        # Underscore-prefixed staging dirs are invisible to Spark readers.
+        import os
+        import shutil
+
+        batch_dir = os.path.join(self.regate_dir, f"b{batch_id:012d}")
+        if os.path.exists(batch_dir):
+            return
+        # One materialization: cache, count from cache, write from cache
+        # (the old limit(1).count() + write ran the miss-join/JSON-rebuild
+        # plan twice per batch with misses).
+        out = out.persist()
+        try:
+            if out.count() > 0:
+                staging = os.path.join(self.regate_dir, f"_staging-b{batch_id:012d}")
+                shutil.rmtree(staging, ignore_errors=True)
+                out.write.mode("overwrite").parquet(staging)
+                os.rename(staging, batch_dir)
+        finally:
+            out.unpersist()
 
     def release_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         """foreachBatch body over the gate's output; directly callable in
