@@ -51,6 +51,12 @@ BENCH_QUERIES = [
     "oee_by_shift",
     "simhash_near_pairs",
     "multimodal_features",
+    # Round-3+ heavies: iterative and multi-stage plans so the
+    # per-round regression net covers them too (judge r2 item 6).
+    "dedup_clusters",
+    "prep_pipeline_docs",
+    "lsh_ann_multiprobe",
+    "q21_sole_blame_supplier",
 ]
 
 
@@ -98,18 +104,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)
         if fn is None:
             continue
         runs[name] = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = consume(df)
-            runs[name].append(round(time.perf_counter() - t0, 3))
-            assert n >= 0
-        timings[name] = min(runs[name])
+        try:
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                n = consume(df)
+                runs[name].append(round(time.perf_counter() - t0, 3))
+                assert n >= 0
+            timings[name] = min(runs[name])
+        except Exception as e:  # one broken query must not zero the round
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -120,6 +130,7 @@ def main() -> None:
                 "queries": timings,
                 "runs": runs,
                 "sf": sf,
+                "errors": errors,
                 "protocol": {"n_runs": N_RUNS, "stat": "min", "consume": "xxhash64(all cols)"},
             }
         )

@@ -38,15 +38,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet scan => columnar vectorized read,
     predicate pushdown and column pruning come from Catalyst for free.
 
-    events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects (PARQUET_TYPE_ILLEGAL); we read nanos as long via the legacy
-    conf and rebuild a microsecond TimestampType column — the same
-    ns->us truncation DuckDB applies, so both engines see identical
-    values."""
+    events.parquet's `ts` physical type has varied across testdata
+    generations (TIMESTAMP(NANOS), TIMESTAMP(MICROS) no-tz), so the
+    load is schema-adaptive rather than pinned to one vintage:
+
+    - TIMESTAMP(NANOS): Spark's reader rejects it (PARQUET_TYPE_ILLEGAL)
+      unless the legacy nanosAsLong conf maps it to long; we rebuild a
+      microsecond TimestampType column — the same ns->us truncation
+      DuckDB applies.
+    - TIMESTAMP(MICROS) without isAdjustedToUTC: Spark reads
+      TIMESTAMP_NTZ; cast to TimestampType. The session timezone is
+      pinned to UTC (session.py), so the cast preserves the wall clock
+      and unix_millis(ts) equals DuckDB's epoch_ms(ts) on the same file.
+    Either way downstream sees one canonical TimestampType `ts`."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if ts_type != "timestamp":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

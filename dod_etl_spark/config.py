@@ -60,6 +60,13 @@ class GlobalSpec:
     memTable: bool = True  # True: broadcast replica; False: JDBC lookups
     jdbcUrl: str | None = None
     watermarkMinutes: int = 10  # reference intended watermark (T1)
+    # Engine extension: shingle-hash implementation for the text-dedup
+    # family. "md5" (default) is bit-identical across engines — the
+    # oracle-checkable mode every correctness pairing pins. "xxhash64"
+    # is the Spark-native codegen'd production mode (~1.5x end-to-end
+    # on minhash at sf0.1, operators/text_dedup.py:50-66) for runs that
+    # don't need cross-engine replay.
+    hashFn: str = "md5"
     extra: dict = field(default_factory=dict)
 
 

@@ -197,6 +197,14 @@ def build_streaming_strict(
     def dims_fn() -> dict[str, DataFrame]:
         return {role: spark.table(f"dim_{role}") for role in maintainers}
 
+    # transactionTimeColumnName per snapshot, for the miss-routing
+    # freshness check (racing the snapshot merge vs genuinely absent).
+    dim_tx_cols = {
+        f"dim_{_DIM_ROLES[t.tableName.upper()]}": t.transactionTimeColumnName
+        for t in spec.dimensions
+        if t.tableName.upper() in _DIM_ROLES and t.transactionTimeColumnName
+    }
+
     pipeline = StrictReleasePipeline(
         spark,
         dims_fn=dims_fn,
@@ -208,5 +216,17 @@ def build_streaming_strict(
         timeout_ms=spec.global_spec.watermarkMinutes * 60 * 1000,
         pre=lambda ev: prepare_event_stream(spec, ev),
         regate_dir=regate_dir,
+        dim_tx_cols=dim_tx_cols,
     )
     return maintainers, pipeline
+
+
+def build_dedup_candidates(docs: DataFrame, spec: PipelineSpec, **kwargs) -> DataFrame:
+    """Spec-driven MinHash+LSH candidate pairs: the global `hashFn` knob
+    selects the shingle hash (md5 = oracle-replayable default, xxhash64
+    = production throughput mode; config.py GlobalSpec.hashFn). Keeps
+    pipeline configs — not code — in charge of the speed/replayability
+    trade, the same way memTable flips the dimension source."""
+    from dod_etl_spark.operators.text_dedup import minhash_candidates
+
+    return minhash_candidates(docs, hash_fn=spec.global_spec.hashFn, **kwargs)

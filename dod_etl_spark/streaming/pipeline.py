@@ -68,14 +68,22 @@ class StrictReleasePipeline:
     by a SEPARATE streaming query — so a released event can beat the
     snapshot merge by one micro-batch (the reference has the same window:
     marks published after the H2 MERGE, InMemoryTableUpdater.scala:
-    173-215). With `regate_dir` set (the builder default), a first miss
-    RE-ENTERS the gate through a file-stream feedback loop — executors
-    write the miss rows, the gate consumes them next micro-batch, by
-    which time the snapshot merge has landed — making the race lossless.
-    The `_regate` counter in the payload bounds the loop: a second miss
-    is a genuinely-absent dimension row and routes to `missing_sink`
-    (J5). Gate-expired events (patience exceeded) arrive released=false
-    -> `dead_letter`.
+    173-215). With `regate_dir` set (the builder default), a miss that
+    is actually RACING the snapshot merge re-enters the gate through a
+    file-stream feedback loop — executors write the miss rows, the gate
+    consumes them next micro-batch, by which time the snapshot merge has
+    landed — making the race lossless.
+
+    Racing vs genuinely absent is decided by SNAPSHOT FRESHNESS
+    (`dim_tx_cols`): if every required dimension snapshot's own
+    high-water mark (max tx-col) already covers the event's timestamp,
+    the snapshot the enrichment just read was complete up to the event —
+    the dim row is genuinely absent and routes straight to
+    `missing_sink` (J5), with no wasted feedback hop. Only events whose
+    snapshot was still behind re-gate, and the `_regate` counter in the
+    payload bounds that loop (`max_regate`) as a backstop when freshness
+    can't be established. Gate-expired events (patience exceeded) arrive
+    released=false -> `dead_letter`.
     """
 
     spark: SparkSession
@@ -94,12 +102,47 @@ class StrictReleasePipeline:
     # every miss routes straight to missing_sink).
     regate_dir: str | None = None
     max_regate: int = 1
+    # snapshot-table name -> CDC transaction-time column, used for the
+    # freshness check (builder wires transactionTimeColumnName here).
+    dim_tx_cols: dict[str, str] | None = None
     _event_schema: object = None
 
-    def _route_misses(self, released_rows: DataFrame, missing: DataFrame, batch_id: int) -> None:
-        """Misses either re-enter the gate (first `max_regate` times, via
-        the feedback files) or go to missing_sink (exhausted => the dim
-        row is genuinely absent, not racing the snapshot merge)."""
+    def _snapshot_high_water_ms(self, dims: dict[str, DataFrame]) -> int | None:
+        """Min over required dims of max(tx_col) in the CURRENT snapshot,
+        as epoch ms — events at or below this instant cannot be racing
+        the snapshot merge (the snapshot they were enriched against was
+        complete past their timestamp). None = freshness unknowable
+        (missing tx col / empty snapshot) -> caller falls back to the
+        bounded regate counter. One tiny max() agg per required dim per
+        batch; scalar result, no data to the driver beyond it."""
+        if not self.dim_tx_cols:
+            return None
+        hws = []
+        for table in self.required_tables:
+            role = table.removeprefix("dim_")
+            tx = self.dim_tx_cols.get(table) or self.dim_tx_cols.get(role)
+            df = dims.get(role)
+            if tx is None or df is None or tx not in df.columns:
+                return None
+            v = df.agg(
+                F.unix_millis(F.max(F.col(tx).cast("timestamp"))).alias("hw")
+            ).first()["hw"]
+            if v is None:
+                return None
+            hws.append(v)
+        return min(hws) if hws else None
+
+    def _route_misses(
+        self,
+        released_rows: DataFrame,
+        missing: DataFrame,
+        batch_id: int,
+        dims: dict[str, DataFrame] | None = None,
+    ) -> None:
+        """Misses re-enter the gate only while plausibly racing the
+        snapshot merge (snapshot high-water < event_ts, bounded by
+        `max_regate`); otherwise the dim row is genuinely absent and they
+        go to missing_sink."""
         if self.regate_dir is None:
             if self.missing_sink is not None:
                 self.missing_sink(missing, batch_id)
@@ -110,15 +153,20 @@ class StrictReleasePipeline:
         miss_rows = released_rows.join(
             F.broadcast(missing.select("ID").distinct()), "ID", "left_semi"
         ).withColumn("_rg", regate_n)
+        hw_ms = self._snapshot_high_water_ms(dims or {})
+        # racing = the snapshot this batch enriched against did not yet
+        # cover the event's instant. Unknown freshness -> assume racing
+        # (the _rg counter still bounds the loop).
+        racing = F.lit(True) if hw_ms is None else F.col("event_ts") > F.lit(hw_ms)
         if self.missing_sink is not None:
-            exhausted_ids = miss_rows.filter(
-                F.col("_rg") >= self.max_regate
+            settled_ids = miss_rows.filter(
+                (F.col("_rg") >= self.max_regate) | ~racing
             ).select("ID")
             self.missing_sink(
-                missing.join(F.broadcast(exhausted_ids), "ID", "left_semi"),
+                missing.join(F.broadcast(settled_ids), "ID", "left_semi"),
                 batch_id,
             )
-        retry = miss_rows.filter(F.col("_rg") < self.max_regate)
+        retry = miss_rows.filter((F.col("_rg") < self.max_regate) & racing)
         parsed = F.from_json("payload", self._event_schema)
         fields = [f.name for f in self._event_schema.fields]
         new_payload = F.to_json(
@@ -171,7 +219,7 @@ class StrictReleasePipeline:
             ev, dims["production_order"], dims["product_quality"]
         )
         ok, missing = split_missing_po(enriched)
-        self._route_misses(released_rows, missing, batch_id)
+        self._route_misses(released_rows, missing, batch_id, dims)
         grains = build_fact_grains(ok, dims["equipment_status"])
         self.sink(compute_oee(grains), batch_id)
 
@@ -197,7 +245,15 @@ class StrictReleasePipeline:
             import os
 
             os.makedirs(self.regate_dir, exist_ok=True)
-            fb = self.spark.readStream.schema(FEEDBACK_SCHEMA).parquet(self.regate_dir)
+            # recursiveFileLookup: _route_misses commits each batch's
+            # feedback into its own b<batch_id> subdirectory (atomic
+            # rename = replay idempotency); the stream must descend into
+            # them — a flat listing would silently never re-gate.
+            fb = (
+                self.spark.readStream.schema(FEEDBACK_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(self.regate_dir)
+            )
             un = un.unionByName(regated_for_gate(fb, self.n_buckets))
         return strict_gate(un, self.required_tables, self.timeout_ms)
 

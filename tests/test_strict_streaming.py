@@ -331,3 +331,118 @@ def test_dedup_stream_exact(spark, tmp_path):
     rows = spark.sql("SELECT * FROM dedup_stream_t").collect()
     assert sorted(r["ID"] for r in rows) == [1, 2, 3]
     assert {r["payload"] for r in rows if r["ID"] == 1} == {"a"}  # first wins
+
+
+def test_regate_race_lossless(spark, tmp_path):
+    """The release/snapshot race, made lossless: the PO row for event 1
+    lands in the maintainer's snapshot one cycle AFTER its in-band
+    marker released the event. First pass: enrichment misses while the
+    PO snapshot's high-water is still BEHIND the event (racing) -> the
+    miss re-enters the gate via the feedback stream, NOT missing_sink.
+    Second pass (snapshot merged): the regated event produces grains.
+    """
+    conf_dir, fx = _write_conf(spark, tmp_path)
+    spec = load_pipeline_spec(conf_dir)
+
+    sink, missing, dead = MemorySink(), MemorySink(), MemorySink()
+    maintainers, pipeline = build_streaming_strict(
+        spark,
+        spec,
+        sink,
+        missing_sink=missing,
+        dead_letter=dead,
+        n_buckets=4,
+        snapshot_root=str(tmp_path / "snapshots"),
+    )
+    assert pipeline.regate_dir is not None
+    assert pipeline.dim_tx_cols  # freshness check is wired by builder
+
+    late = lambda df: df.withColumn(  # noqa: E731
+        "DT_LAST_MODIFICATION",
+        F.col("DT_LAST_MODIFICATION") + F.expr("INTERVAL 10 HOURS"),
+    )
+    # PQ + ES snapshots are fully maintained up front (hw = BASE+10h).
+    for role in ["product_quality", "equipment_status"]:
+        src = str(tmp_path / f"cdc_{role}")
+        late(fx[role]).write.parquet(src)
+        stream = spark.readStream.schema(late(fx[role]).schema).parquet(src)
+        maintainers[role].start(
+            stream, str(tmp_path / f"ckpt_{role}"), trigger={"availableNow": True}
+        ).awaitTermination(120)
+
+    # PO CDC arrives in two files: v1 = only PO 102 at BASE (stale hw),
+    # v2 = PO 101 (event 1's order) at BASE+10h — the LATE row.
+    po = fx["production_order"]
+    po_src = str(tmp_path / "cdc_production_order")
+    po_v1 = po.filter(F.col("ID") == 102)
+    po_v2 = late(po.filter(F.col("ID") == 101))
+    po_v1.coalesce(1).write.mode("append").parquet(po_src)
+    po_ckpt = str(tmp_path / "ckpt_production_order")
+    po_schema = po.schema
+
+    def run_po_maintainer():
+        stream = spark.readStream.schema(po_schema).parquet(po_src)
+        maintainers["production_order"].start(
+            stream, po_ckpt, trigger={"availableNow": True}
+        ).awaitTermination(120)
+
+    run_po_maintainer()  # snapshot: {PO 102 @ BASE}; event 1 needs PO 101
+
+    # Markers claim PO progress at BASE+10h (the marker beats the merge).
+    marker_src = str(tmp_path / "po_markers")
+    po_v2.coalesce(1).write.parquet(marker_src)
+
+    ev_src = str(tmp_path / "events_src")
+    fx["product_events"].filter(F.col("ID") == 1).write.parquet(ev_src)
+
+    def run_gate():
+        ev_stream = spark.readStream.schema(fx["product_events"].schema).parquet(ev_src)
+        marker_streams = [
+            pipeline.markers(
+                spark.readStream.schema(po_schema).parquet(marker_src),
+                "dim_production_order",
+                "DT_LAST_MODIFICATION",
+            )
+        ]
+        for role in ["product_quality", "equipment_status"]:
+            src = str(tmp_path / f"cdc_{role}")
+            marker_streams.append(
+                pipeline.markers(
+                    spark.readStream.schema(late(fx[role]).schema).parquet(src),
+                    f"dim_{role}",
+                    "DT_LAST_MODIFICATION",
+                )
+            )
+        pipeline.start(
+            ev_stream,
+            marker_streams,
+            str(tmp_path / "ckpt_gate"),
+            trigger={"availableNow": True},
+        ).awaitTermination(180)
+
+    run_gate()
+    # Racing, not settled: nothing in missing_sink, feedback written.
+    assert missing.rows == []
+    assert sink.rows == []
+    import os
+
+    assert any(d.startswith("b") for d in os.listdir(pipeline.regate_dir))
+
+    # The late PO row lands; the maintainer merges it.
+    po_v2.coalesce(1).write.mode("append").parquet(po_src)
+    run_po_maintainer()
+
+    run_gate()  # drains the feedback stream through the same checkpoint
+
+    # The regated event now produces the same grains as the batch plan.
+    batch_oee = run_oee_pipeline(
+        fx["product_events"].filter(F.col("ID") == 1),
+        po,
+        fx["product_quality"],
+        fx["equipment_status"],
+    ).oee
+    got = sorted((r["ID"], r["ID_EQUIPMENT_STATUS"]) for r in sink.rows)
+    want = sorted((r["ID"], r["ID_EQUIPMENT_STATUS"]) for r in batch_oee.collect())
+    assert got == want and got
+    assert missing.rows == []
+    assert dead.rows == []
