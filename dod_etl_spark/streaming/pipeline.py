@@ -18,11 +18,13 @@ Two late-data modes (SURVEY §4.3.2):
   foreachBatch enrichment + OEE + sink. The driver never holds an event
   row.
 
-- `OeeStreamingPipeline` below is the TEST-SCALE strict variant: a
-  foreachBatch retry loop whose buffer is collect()ed to the driver.
-  Deterministic and convenient for batch-driven tests, but driver-bounded
-  — do not deploy it; `plans/builder.build_streaming_strict` wires the
-  stateful pipeline as the default.
+- `OeeStreamingPipeline` below is the deterministic batch-drivable
+  strict variant: a foreachBatch retry loop whose buffer spills to
+  versioned parquet between batches (executors write and re-read it;
+  the driver holds a path + count, never rows). Its cost model — the
+  full enrichment re-planned for every held event each batch — is why
+  `plans/builder.build_streaming_strict` wires the stateful gate
+  pipeline as the production default.
 
 Transformation logic is the SAME batch functions (plans/pipeline.py) —
 batch/stream parity by construction.
@@ -285,9 +287,14 @@ class StrictReleasePipeline:
 
 @dataclass
 class OeeStreamingPipeline:
-    """STRICT-mode streaming pipeline with a retry buffer — TEST-SCALE
-    variant (driver-resident buffer); see module docstring. The default
-    production path is StrictReleasePipeline.
+    """STRICT-mode streaming pipeline with a retry buffer, spilled to
+    versioned parquet between micro-batches — deterministic and
+    batch-drivable (tests), with NO driver-resident rows: the buffer
+    lives on storage, written and re-read by executors; the driver holds
+    a path and a count. The default production path is still
+    StrictReleasePipeline (GroupState gate; this variant re-plans the
+    whole enrichment for held events every batch, which the gate
+    avoids).
 
     `dims_fn` returns the *current* dimension snapshots each batch (the
     maintained temp views from streaming.dimensions) — so late dimension
@@ -299,21 +306,28 @@ class OeeStreamingPipeline:
     sink: Callable[[DataFrame, int], None]
     max_retry_batches: int | None = None
     pre: Callable[[DataFrame], DataFrame] | None = None
-    _retry_rows: list = field(default_factory=list)
-    _retry_schema: object = None
+    buffer_dir: str | None = None  # spill root; a mkdtemp if unset
+    _retry_path: str | None = None
+    _pending: int = 0
+    _gen: int = 0
+
+    def _buffer_root(self) -> str:
+        if self.buffer_dir is None:
+            import tempfile
+
+            self.buffer_dir = tempfile.mkdtemp(prefix="oee_retry_")
+        return self.buffer_dir
 
     def _retry_df(self, like: DataFrame) -> DataFrame:
-        if self._retry_rows:
-            return self.spark.createDataFrame(self._retry_rows, schema=self._retry_schema)
-        return like.limit(0)
+        if self._retry_path is None:
+            return like.limit(0)
+        return self.spark.read.parquet(self._retry_path)
 
     def process_batch(self, new_events: DataFrame, batch_id: int = 0) -> None:
         """foreachBatch body; directly callable in batch tests."""
         ev = normalize_events(new_events)
         if "_retries" not in ev.columns:
             ev = ev.withColumn("_retries", F.lit(0))
-        if self._retry_schema is None:
-            self._retry_schema = ev.schema
         batch = ev.unionByName(self._retry_df(ev))
 
         dims = self.dims_fn()
@@ -326,19 +340,33 @@ class OeeStreamingPipeline:
         self.sink(compute_oee(grains), batch_id)
 
         # Misses go back to the buffer with their ORIGINAL wire shape so
-        # the next batch re-enriches them from scratch.
+        # the next batch re-enriches them from scratch. Write-then-
+        # repoint (a fresh generation directory per batch): executors
+        # write, the next batch's scan reads — row data never transits
+        # the driver. Keep current+previous generations (dimensions.py
+        # versioning discipline), GC older.
+        import os
+        import shutil
+
         miss_keys = missing.select("ID").distinct()
         retry = batch.join(F.broadcast(miss_keys), "ID", "left_semi").withColumn(
             "_retries", F.col("_retries") + 1
         )
         if self.max_retry_batches is not None:
             retry = retry.filter(F.col("_retries") <= self.max_retry_batches)
-        self._retry_rows = retry.collect()
+        path = os.path.join(self._buffer_root(), f"g{self._gen:010d}")
+        self._gen += 1
+        retry.write.mode("overwrite").parquet(path)
+        n = self.spark.read.parquet(path).count()
+        self._retry_path = path if n else None
+        self._pending = int(n)
+        for d in sorted(os.listdir(self.buffer_dir))[:-2]:
+            shutil.rmtree(os.path.join(self.buffer_dir, d), ignore_errors=True)
 
     @property
     def pending(self) -> int:
         """Events currently held in the retry buffer."""
-        return len(self._retry_rows)
+        return self._pending
 
     def start(self, event_stream: DataFrame, checkpoint: str):
         if self.pre is not None:

@@ -239,3 +239,38 @@ def test_cli_streaming_mode_refuses_without_broker(conf_dir, tmp_path):
 
     rc = main(["--conf", conf_dir, "--output", str(tmp_path / "x"), "--mode", "streaming"])
     assert rc == 2
+
+
+def test_hashfn_knob_flows_to_minhash(spark, tmp_path):
+    """GlobalSpec.hashFn selects the shingle hash for the spec-driven
+    dedup path: md5 (default, oracle-replayable) vs xxhash64 (production
+    throughput). The knob must survive JSON loading and show up in the
+    compiled plan's expressions."""
+    import json as _json
+
+    from dod_etl_spark.config import load_global_spec
+    from dod_etl_spark.plans.builder import build_dedup_candidates
+    from dod_etl_spark.config import GlobalSpec, PipelineSpec, TableSpec
+
+    p = tmp_path / "globalConfig.json"
+    p.write_text(_json.dumps({"hashFn": "xxhash64", "memTable": True}))
+    g = load_global_spec(str(p))
+    assert g.hashFn == "xxhash64"
+    # default stays the oracle-checkable md5
+    assert GlobalSpec().hashFn == "md5"
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumped")],
+        "doc_id long, text string",
+    )
+    spec = PipelineSpec(global_spec=g, tables=(TableSpec("D", isOperational=True),))
+    plan = build_dedup_candidates(docs, spec)._jdf.queryExecution().analyzed().toString()
+    assert "xxhash64" in plan and "md5" not in plan
+
+    spec_md5 = PipelineSpec(
+        global_spec=GlobalSpec(), tables=(TableSpec("D", isOperational=True),)
+    )
+    plan_md5 = build_dedup_candidates(docs, spec_md5)._jdf.queryExecution().analyzed().toString()
+    assert "md5" in plan_md5 and "xxhash64" not in plan_md5
+    # Both modes produce the same candidate pair on this near-dup pair.
+    assert build_dedup_candidates(docs, spec).count() == build_dedup_candidates(docs, spec_md5).count() == 1
