@@ -65,6 +65,14 @@ class DimensionMaintainer:
     retention_days: int | None = None
     retention_ts_col: str | None = None
     snapshot_dir: str | None = None
+    # How many snapshot versions survive GC. 2 (current+previous) is the
+    # minimum that never deletes files under a plan started against the
+    # previous version. Raise it when long-running readers can lag more
+    # than one merge cycle (the N-2-reader window a real Delta/Iceberg
+    # MERGE INTO with time-travel retention would close; that backend
+    # isn't available in this environment, so retention depth is the
+    # knob — each extra version costs one snapshot's worth of storage).
+    keep_versions: int = 2
     high_water: dict[str, int] = field(default_factory=dict)
     _version: int = 0
 
@@ -130,7 +138,9 @@ class DimensionMaintainer:
 
     def _gc_versions(self) -> None:
         root = self._root()
-        keep = {f"v{self._version:010d}", f"v{self._version - 1:010d}"}
+        keep = {
+            f"v{self._version - i:010d}" for i in range(max(2, self.keep_versions))
+        }
         try:
             for name in os.listdir(root):
                 if name.startswith("v") and name not in keep:

@@ -446,3 +446,29 @@ def test_regate_race_lossless(spark, tmp_path):
     assert got == want and got
     assert missing.rows == []
     assert dead.rows == []
+
+
+def test_snapshot_retention_depth_knob(spark, tmp_path):
+    """keep_versions widens the GC window for readers that can lag more
+    than one merge cycle (the stand-in for lakehouse time-travel
+    retention)."""
+    import os
+
+    from dod_etl_spark.streaming.dimensions import DimensionMaintainer
+
+    m = DimensionMaintainer(
+        spark,
+        table_name="dim_keep4",
+        key_cols=["ID"],
+        version_cols=["DT_LAST_MODIFICATION"],
+        snapshot_dir=str(tmp_path / "snap"),
+        keep_versions=4,
+    )
+    batch = spark.createDataFrame([(1, "a")], "ID long, NAME string").withColumn(
+        "DT_LAST_MODIFICATION", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    for i in range(6):
+        m.apply_batch(batch, i)
+    versions = sorted(d for d in os.listdir(str(tmp_path / "snap")) if d.startswith("v"))
+    assert versions == [f"v{v:010d}" for v in (3, 4, 5, 6)]
+    assert spark.table("dim_keep4").count() == 1
