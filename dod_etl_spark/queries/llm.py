@@ -942,3 +942,126 @@ def balance_classes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= F.col("n_keep"))
         .select("doc_id", "lang")
     )
+
+
+# --- PII redaction -----------------------------------------------------------
+
+# Patterns restricted to the RE2 ∩ Java-regex common dialect so both
+# engines see identical matches. Applied in a fixed order (email, phone,
+# ipv4) on the progressively-scrubbed text.
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\d{3}[-.]\d{3}[-.]\d{4}", "<PHONE>"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+]
+
+
+def _pii_oracle() -> str:
+    clean = "text"
+    counts = []
+    for name, pat, repl in _PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({clean}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id, {', '.join(counts)}, md5({clean}) AS clean_fp
+FROM documents
+"""
+
+
+@query("pii_scrub_docs", _pii_oracle())
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails / phone numbers / IPv4 literals are
+    replaced with typed placeholder tokens, per-document match counts
+    kept for audit. Pure codegen'd regexp_replace/regexp_count — no
+    Python in the loop, linear scan, zero shuffles (grep-shaped at
+    100 TB). The output carries md5(clean_text) instead of the scrubbed
+    text so the fingerprint — not megabytes of text — crosses the wire.
+    Behavior on PII-bearing text is pinned by tests/test_text_curation.py
+    (the synthetic corpus contains no PII, so counts here are 0)."""
+    docs = t(spark, sf_dir, "documents")
+    clean = F.col("text")
+    cols = [F.col("doc_id")]
+    for name, pat, repl in _PII_PATTERNS:
+        cols.append(F.regexp_count(clean, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        clean = F.regexp_replace(clean, pat, repl)
+    return docs.select(*cols, F.md5(clean.cast("binary")).alias("clean_fp"))
+
+
+# --- Repetition-ratio quality signal ----------------------------------------
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_toks,
+       CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+       {sround_sql("1.0 - len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)", 4)}
+         AS rep_ratio,
+       (1.0 - len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)) >= 0.3
+         AS is_repetitive
+FROM toks
+"""
+
+
+@query("repetition_ratio_docs", _REPETITION_ORACLE)
+def repetition_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/repetition quality signal: 1 - distinct/total token
+    ratio, flagged at 0.3 (the CCNet/Gopher-style repetitious-text
+    filter). All JVM array built-ins, zero shuffles — at 100 TB this is
+    a map-only scan whose filter pushes into the same stage as the
+    read."""
+    docs = t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    n_toks = F.size(tk).cast("long")
+    n_uniq = F.size(F.array_distinct(tk)).cast("long")
+    ratio = F.lit(1.0) - n_uniq / n_toks.cast("double")
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_toks"),
+        n_uniq.alias("n_uniq"),
+        stable_round(ratio, 4).alias("rep_ratio"),
+        (ratio >= 0.3).alias("is_repetitive"),
+    )
+
+
+# --- Per-domain frequency cap ------------------------------------------------
+
+_DOMAIN_CAP = 15
+
+_DOMAIN_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '_cap'), doc_id) AS rnk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_DOMAIN_CAP}
+"""
+
+
+@query("domain_cap_docs", _DOMAIN_CAP_ORACLE)
+def domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter domain capping (the web-corpus counterpart of class
+    balancing): at most {cap} documents survive per source, chosen in
+    content-hash order — deterministic under any partitioning, unlike
+    rand(). The cap is a LITERAL, so Catalyst's WindowGroupLimit prunes
+    each partition to the top rows map-side BEFORE the single source
+    shuffle — at 100 TB the exchange carries ~cap×|domains| rows, not
+    the corpus (contrast balance_classes_docs, whose data-dependent
+    floor defeats the pushdown)."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_cap"))), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _DOMAIN_CAP)
+        .select("doc_id", "source", "rnk")
+    )
