@@ -57,6 +57,13 @@ def _count(plan: str, op: str) -> int:
         ("sample_docs_deterministic", 0),
         ("quality_topk_per_source", 1),
         ("token_budget_pack_docs", 1),
+        # Map-only curation scans: regex scrub and token-ratio flag are
+        # pure projections — any exchange is a regression.
+        ("pii_scrub_docs", 0),
+        ("repetition_ratio_docs", 0),
+        # One shuffle on source; the literal cap must keep engaging
+        # WindowGroupLimit (map-side top-k pruning before the exchange).
+        ("domain_cap_docs", 1),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
@@ -106,4 +113,11 @@ def test_topk_pushes_group_limit(spark):
     below the exchange) — the property that bounds shuffle volume to
     k rows/group/mapper at any SF."""
     plan = _plan(spark, "quality_topk_per_source")
+    assert "WindowGroupLimit" in plan
+
+
+def test_domain_cap_window_group_limit(spark):
+    """domain_cap_docs' literal cap must engage WindowGroupLimit so each
+    map task prunes to <= cap rows per source before the shuffle."""
+    plan = _plan(spark, "domain_cap_docs")
     assert "WindowGroupLimit" in plan

@@ -28,6 +28,11 @@ AUDIT = [
     "q8_market_share",
     "q11_important_suppliers",
     "q21_sole_blame_supplier",
+    "dedup_clusters",
+    "lsh_ann_multiprobe",
+    "pii_scrub_docs",
+    "repetition_ratio_docs",
+    "domain_cap_docs",
     "sample_docs_deterministic",
     "quality_topk_per_source",
     "token_budget_pack_docs",
