@@ -1049,7 +1049,7 @@ FROM ranked WHERE rnk <= {_DOMAIN_CAP}
 @query("domain_cap_docs", _DOMAIN_CAP_ORACLE)
 def domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter domain capping (the web-corpus counterpart of class
-    balancing): at most {cap} documents survive per source, chosen in
+    balancing): at most _DOMAIN_CAP (15) documents survive per source, chosen in
     content-hash order — deterministic under any partitioning, unlike
     rand(). The cap is a LITERAL, so Catalyst's WindowGroupLimit prunes
     each partition to the top rows map-side BEFORE the single source
@@ -1064,4 +1064,126 @@ def domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _DOMAIN_CAP)
         .select("doc_id", "source", "rnk")
+    )
+
+
+# --- Fixed-length sequence packing -------------------------------------------
+
+_SEQ_LEN = 512
+
+_SEQ_PACK_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, source, CAST({_N_TOKENS_SQL} AS BIGINT) AS n_toks
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_toks,
+         CAST(sum(n_toks) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_toks AS start_tok
+  FROM sized
+)
+SELECT doc_id, source, n_toks,
+       CAST(floor(start_tok / {_SEQ_LEN}.0) AS BIGINT) AS bin_id,
+       CAST(start_tok % {_SEQ_LEN} AS BIGINT) AS offset_in_bin
+FROM packed
+"""
+
+
+@query("pack_sequences_docs", _SEQ_PACK_ORACLE)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing of documents into fixed 512-token
+    training windows, per source: each doc gets the bin (sequence id)
+    and offset where its first token lands. Deterministic (doc_id
+    order), one window shuffle per source — the streaming-friendly
+    approximation of first-fit-decreasing that LLM data loaders use
+    (docs spanning a boundary are split by the loader; the bin ids here
+    decide shard placement). At 100 TB: exchange on source only, running
+    sum is frame-bounded, no second shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select(
+        "doc_id", "source", F.size(tk).cast("long").alias("n_toks")
+    )
+    start = (F.sum("n_toks").over(w) - F.col("n_toks")).alias("start_tok")
+    packed = sized.select("doc_id", "source", "n_toks", start)
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.floor(F.col("start_tok") / _SEQ_LEN).cast("long").alias("bin_id"),
+        (F.col("start_tok") % _SEQ_LEN).cast("long").alias("offset_in_bin"),
+    )
+
+
+# --- N-gram overlap decontamination ------------------------------------------
+
+_NGRAM_DECON_N = 5  # token-gram length (13 in Gopher; 5 fits the corpus)
+
+_NGRAM_DECON_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           range(1, greatest(len(tk) - {_NGRAM_DECON_N - 1}, 1) + 1),
+           i -> array_to_string(tk[i:i+{_NGRAM_DECON_N - 1}], ' '))) AS gram
+  FROM tk
+), hold_grams AS (
+  SELECT DISTINCT gram FROM grams
+  WHERE {{hold}} < 1000
+), contaminated AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN hold_grams USING (gram)
+  WHERE {{train}} >= 1000
+)
+SELECT d.doc_id AS doc_id, d.source AS source
+FROM documents d
+WHERE {{train_d}} >= 1000
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+""".format(
+    hold=hash_bucket_sql("doc_id", 7),
+    train=hash_bucket_sql("g.doc_id", 7),
+    train_d=hash_bucket_sql("d.doc_id", 7),
+)
+
+
+@query("ngram_decontaminate_docs", _NGRAM_DECON_ORACLE)
+def ngram_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram overlap decontamination (the Gopher/GPT-3 protocol,
+    exact-fingerprint decontamination's stronger sibling): a train doc
+    is dropped if ANY of its token 5-grams appears in the holdout.
+    Shape for 100 TB: the holdout gram set is distinct-compacted and
+    BROADCAST; the train side explodes to grams map-side, semi-joins
+    against the broadcast to find contaminated doc ids (small), and a
+    final broadcast anti-join drops them — the corpus is never
+    shuffled, only grams of the tiny holdout and the contaminated-id
+    list cross the wire."""
+    from dod_etl_spark.operators.sampling import split_train_holdout
+
+    docs = t(spark, sf_dir, "documents")
+    train, holdout = split_train_holdout(docs, "doc_id", 0.1, seed=7)
+
+    def grams(df: DataFrame) -> DataFrame:
+        tk = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+        n = _NGRAM_DECON_N
+        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1)))
+        g = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+        return df.select("doc_id", F.explode(g).alias("gram"))
+
+    hold_grams = grams(holdout).select("gram").distinct()
+    contaminated = (
+        grams(train)
+        .join(F.broadcast(hold_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return train.join(F.broadcast(contaminated), "doc_id", "left_anti").select(
+        "doc_id", "source"
     )
