@@ -344,6 +344,12 @@ def test_regate_race_lossless(spark, tmp_path):
     conf_dir, fx = _write_conf(spark, tmp_path)
     spec = load_pipeline_spec(conf_dir)
 
+    # The session-scoped fixture leaks dim_* temp views from earlier
+    # tests; a leftover PO snapshot would absorb this test's stale-v1
+    # merge and erase the race. Start from no views.
+    for role in ["production_order", "product_quality", "equipment_status"]:
+        spark.catalog.dropTempView(f"dim_{role}")
+
     sink, missing, dead = MemorySink(), MemorySink(), MemorySink()
     maintainers, pipeline = build_streaming_strict(
         spark,
