@@ -259,3 +259,38 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", stable_round("jaccard", 4).alias("jaccard"))
     )
+
+
+def minhash_cluster_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_len: int = 5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Connectivity-equivalent star contraction of the LSH candidate
+    graph, for CLUSTERING consumers: per (band, band_hash) bucket,
+    every member connects to the bucket minimum — k-1 edges where
+    minhash_candidates emits the k(k-1)/2 verification pairs. The
+    transitive closure is identical (a bucket is a clique either way;
+    a star spans it), but the component step never materializes
+    cliques: at sf0.1 this is ~20k edges instead of 2.9M pairs, and at
+    100 TB it is the difference between edge volume ~ corpus size and
+    edge volume ~ sum of squared bucket sizes. Window-min over the
+    bucket (single shuffle), no join."""
+    from pyspark.sql import Window
+
+    bands = minhash_bands(
+        minhash_signatures(docs, id_col, text_col, num_hashes, shingle_len, hash_fn),
+        id_col,
+        band_size,
+        num_hashes,
+    )
+    bucket_min = F.min(id_col).over(Window.partitionBy("band", "band_hash"))
+    return (
+        bands.select(F.col(id_col).alias("id_1"), bucket_min.alias("id_2"))
+        .filter(F.col("id_1") != F.col("id_2"))
+        .distinct()
+    )

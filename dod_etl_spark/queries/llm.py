@@ -19,6 +19,7 @@ from dod_etl_spark.functions.text import (
 from dod_etl_spark.operators.similarity import brute_force_topk
 from dod_etl_spark.operators.text_dedup import (
     minhash_candidates,
+    minhash_cluster_edges,
     ngram_jaccard_pairs,
     simhash16,
 )
@@ -820,14 +821,17 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
 
 @query("dedup_clusters", _CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-dup clustering: MinHash-LSH candidate pairs as
-    edges, connected components via min-label propagation
-    (operators/graph.py), cluster id = min doc_id. The oracle computes
-    the same closure with a recursive CTE — an oracle-paired ITERATIVE
-    algorithm. keep-one cut downstream: doc_id == cluster_id."""
+    """Transitive near-dup clustering: MinHash-LSH bucket-star edges
+    (minhash_cluster_edges — connectivity-equivalent to the pairwise
+    candidate cliques at ~1/100th the edge volume), connected
+    components via min-label propagation (operators/graph.py), cluster
+    id = min doc_id. The oracle computes the same closure over the full
+    PAIR graph with a recursive CTE — same components by clique/star
+    equivalence — an oracle-paired ITERATIVE algorithm. keep-one cut
+    downstream: doc_id == cluster_id."""
     docs = t(spark, sf_dir, "documents")
-    pairs = minhash_candidates(docs, num_hashes=8, band_size=2, shingle_len=5)
-    return dedup_cluster_assignments(docs, pairs.select("id_1", "id_2"))
+    edges = minhash_cluster_edges(docs, num_hashes=8, band_size=2, shingle_len=5)
+    return dedup_cluster_assignments(docs, edges)
 
 
 # --- Embedding int8 quantization ----------------------------------------------

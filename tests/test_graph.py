@@ -68,3 +68,29 @@ def test_auto_switches_to_star_on_deep_graph(spark):
     )
     out = connected_components(nodes, edges, method="auto", switch_after=3)
     assert {r["component"] for r in out.collect()} == {0}
+
+
+def test_bucket_star_edges_same_components_as_cliques(spark, sf_dir):
+    """minhash_cluster_edges (k-1 star edges per LSH bucket) must yield
+    the exact same transitive closure as the k(k-1)/2 pairwise
+    candidate edges, at ~1/100th the edge volume."""
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.catalog import load_table
+    from dod_etl_spark.operators.graph import dedup_cluster_assignments
+    from dod_etl_spark.operators.text_dedup import (
+        minhash_candidates,
+        minhash_cluster_edges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(docs, num_hashes=8, band_size=2, shingle_len=5)
+    stars = minhash_cluster_edges(docs, num_hashes=8, band_size=2, shingle_len=5)
+    n_pairs, n_stars = pairs.count(), stars.count()
+    assert n_stars < n_pairs  # the contraction actually contracts
+
+    via_pairs = dedup_cluster_assignments(docs, pairs.select("id_1", "id_2")).toPandas()
+    via_stars = dedup_cluster_assignments(docs, stars).toPandas()
+    assert via_pairs.sort_values("doc_id").reset_index(drop=True).equals(
+        via_stars.sort_values("doc_id").reset_index(drop=True)
+    )
