@@ -120,16 +120,36 @@ def minhash_candidates(
     band_size: int = 2,
     shingle_len: int = 5,
     hash_fn: str = "md5",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_1 < id_2) sharing >= 1 LSH band, with
     the number of matching bands. `hash_fn="xxhash64"` is the production
-    throughput mode (see shingle_hash); oracles pin the md5 default."""
+    throughput mode (see shingle_hash); oracles pin the md5 default.
+
+    `max_bucket_size` is the production skew guard: a degenerate bucket
+    (boilerplate corpora collapse thousands of near-identical docs into
+    one (band, band_hash)) contributes |bucket|^2 pairs to the self-join
+    — one 1M-doc bucket is 10^12 pairs, a single-key job-killer at
+    100 TB. Buckets larger than the cap are dropped from CANDIDATE
+    generation (standard MinHashLSH practice; members that duplicated
+    exactly are caught by exact dedup, and near-dups that large share
+    many other buckets). None (default) disables the cap — the
+    oracle-checked exhaustive mode."""
     bands = minhash_bands(
         minhash_signatures(docs, id_col, text_col, num_hashes, shingle_len, hash_fn),
         id_col,
         band_size,
         num_hashes,
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        n_in_bucket = F.count(F.lit(1)).over(
+            Window.partitionBy("band", "band_hash")
+        )
+        bands = bands.withColumn("_bn", n_in_bucket).filter(
+            F.col("_bn") <= max_bucket_size
+        ).drop("_bn")
     a = bands.select(F.col(id_col).alias("id_1"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("id_2"), "band", "band_hash")
     pairs = a.join(b, ["band", "band_hash"]).filter(F.col("id_1") < F.col("id_2"))

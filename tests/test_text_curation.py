@@ -65,3 +65,28 @@ def test_domain_cap_is_deterministic_and_bounded(spark, sf_dir):
     assert a.sort_values("doc_id").equals(b.sort_values("doc_id"))  # no rand()
     per_source = a.groupby("source").size()
     assert (per_source <= _DOMAIN_CAP).all()
+
+
+def test_minhash_bucket_size_cap(spark):
+    """max_bucket_size drops degenerate LSH buckets from candidate
+    generation: identical boilerplate docs form a mega-bucket whose
+    pairs vanish under the cap, while a small genuine near-dup bucket
+    survives. Uncapped behavior is unchanged (the oracle mode)."""
+    from dod_etl_spark.operators.text_dedup import minhash_candidates
+
+    boiler = [(i, "exact same boilerplate text repeated everywhere") for i in range(40)]
+    near = [
+        (100, "a genuinely unique document about spark shuffles"),
+        (101, "a genuinely unique document about spark shuffling"),
+    ]
+    docs = spark.createDataFrame(boiler + near, "doc_id long, text string")
+
+    uncapped = minhash_candidates(docs, num_hashes=8, band_size=2, shingle_len=5)
+    capped = minhash_candidates(
+        docs, num_hashes=8, band_size=2, shingle_len=5, max_bucket_size=10
+    )
+    # 40 identical docs -> C(40,2)=780 boilerplate pairs uncapped.
+    assert uncapped.filter("id_1 < 100").count() == 780
+    assert capped.filter("id_1 < 100").count() == 0  # mega-bucket dropped
+    # The small near-dup bucket survives the cap.
+    assert capped.filter("id_1 = 100 AND id_2 = 101").count() == 1
