@@ -90,3 +90,101 @@ def test_minhash_bucket_size_cap(spark):
     assert capped.filter("id_1 < 100").count() == 0  # mega-bucket dropped
     # The small near-dup bucket survives the cap.
     assert capped.filter("id_1 = 100 AND id_2 = 101").count() == 1
+
+
+def test_fingerprint_store_dedups_across_batches(spark, tmp_path):
+    """Persistent-history exact dedup: content seen in ANY earlier batch
+    (not just the watermark window) is suppressed; within-batch dups
+    collapse to the min-id representative; the store grows append-only
+    and is bucketed on fp (store side never shuffles in the anti-join).
+    Also drivable by a real stream via foreachBatch."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from dod_etl_spark.streaming.dedup_store import FingerprintStore
+
+    store = FingerprintStore(spark, table="dedup_fp_test", n_buckets=4)
+    spark.sql("DROP TABLE IF EXISTS dedup_fp_test")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/dedup_fp_test", ignore_errors=True)
+
+    b1 = spark.createDataFrame(
+        [(3, "alpha"), (1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    out1 = store.dedup_batch(b1)
+    rows1 = {(r["doc_id"], r["text"]) for r in out1.collect()}
+    assert rows1 == {(1, "alpha"), (2, "beta")}  # min-id wins within batch
+    assert store.seen_count() == 2
+
+    # Batch 2: one historical dup (alpha), one new (gamma).
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma")], "doc_id long, text string"
+    )
+    out2 = store.dedup_batch(b2)
+    assert {(r["doc_id"], r["text"]) for r in out2.collect()} == {(11, "gamma")}
+    assert store.seen_count() == 3
+
+    # Replay of batch 2 (at-least-once source): everything suppressed.
+    assert store.dedup_batch(b2).count() == 0
+    assert store.seen_count() == 3
+
+    # Streaming drive: new content flows, historical dups do not.
+    src = tmp_path / "fp_src"
+    spark.createDataFrame(
+        [(20, "beta"), (21, "delta")], "doc_id long, text string"
+    ).write.parquet(str(src))
+    from dod_etl_spark.streaming.sinks import MemorySink
+
+    sink = MemorySink()
+
+    def body(df, bid):
+        sink(store.dedup_batch(df), bid)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src))
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", str(tmp_path / "fp_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {(r["doc_id"], r["text"]) for r in sink.rows} == {(21, "delta")}
+    assert store.seen_count() == 4
+    spark.sql("DROP TABLE IF EXISTS dedup_fp_test")
+
+
+def test_fingerprint_store_scan_is_bucketed(spark, tmp_path):
+    """At scale (store past the broadcast threshold) the anti-join must
+    read the store through its bucket layout — the seen-set side joins
+    with NO exchange, only the micro-batch hashes into the layout."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.streaming.dedup_store import FingerprintStore
+
+    spark.sql("DROP TABLE IF EXISTS fp_bucket_t")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/fp_bucket_t", ignore_errors=True)
+    store = FingerprintStore(spark, table="fp_bucket_t", n_buckets=4)
+    store.dedup_batch(
+        spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = spark.createDataFrame(
+            [(3, "z")], "doc_id long, text string"
+        ).withColumn("fp", F.md5(F.col("text").cast("binary")))
+        plan = (
+            batch.join(spark.table("fp_bucket_t"), "fp", "left_anti")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS fp_bucket_t")
