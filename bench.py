@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "prep_pipeline_docs",
     "lsh_ann_multiprobe",
     "q21_sole_blame_supplier",
+    # md5 vs xxhash64 hash-mode twin of minhash_lsh_candidates: the
+    # production-throughput dividend, measured not claimed.
+    "minhash_lsh_prod",
 ]
 
 

@@ -1191,3 +1191,18 @@ def ngram_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.join(F.broadcast(contaminated), "doc_id", "left_anti").select(
         "doc_id", "source"
     )
+
+
+@query("minhash_lsh_prod")  # no oracle BY DESIGN: xxhash64 is Spark-private,
+# so there is no cross-engine replay; correctness comes from the md5 twin
+# (minhash_lsh_candidates, oracle-green) plus the mode-equality config test.
+def minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-mode MinHash+LSH (hashFn=xxhash64, codegen'd JVM hash
+    instead of md5): the throughput configuration a real 100 TB dedup
+    run uses when cross-engine replay isn't needed. Benchmarked against
+    minhash_lsh_candidates (identical plan shape, md5 hash) to quantify
+    the hash-function dividend."""
+    docs = t(spark, sf_dir, "documents")
+    return minhash_candidates(
+        docs, num_hashes=8, band_size=2, shingle_len=5, hash_fn="xxhash64"
+    )
