@@ -100,24 +100,28 @@ def brute_force_topk(
 
     Ranking is on the ROUNDED similarity with id tiebreak, so ordering
     is stable across engines/float paths."""
-    dim = _probe_dim(corpus, vec_col)
+    dim = _probe_dim(corpus, vec_col) or 1  # empty corpus -> no rows anyway
     # Norms are computed once per row on each side (not once per pair) —
-    # identical float values, 1/k of the work.
+    # identical float values, 1/k of the work. Parsed-SQL expression
+    # forms: same arithmetic, one JVM parse instead of ~4·dim py4j
+    # calls per tree (plan-BUILD cost only).
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
-            norm(F.col(vec_col), dim).alias("_qn"),
+            F.expr(_norm_sql(vec_col, dim)).alias("_qn"),
         )
     )
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        norm(F.col(vec_col), dim).alias("_cn"),
+        F.expr(_norm_sql(vec_col, dim)).alias("_cn"),
     )
     scored = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     denom = F.col("_qn") * F.col("_cn")
-    sim = F.when(denom > 0, dot(F.col("_qv"), F.col("_cv"), dim) / denom).otherwise(F.lit(0.0))
+    sim = F.when(
+        denom > 0, F.expr(_dot_sql("_qv", "_cv", dim)) / denom
+    ).otherwise(F.lit(0.0))
     scored = scored.withColumn("cosine", stable_round(sim, round_digits))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -142,6 +146,42 @@ def hyperplane_sign_bits(vec: Column, seeds: list[int]) -> Column:
         proj = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
         bucket = bucket + F.when(proj > 0, F.lit(1 << bit).cast("long")).otherwise(F.lit(0))
     return bucket
+
+
+def _dot_sql(a_name: str, b_name: str, dim: int) -> str:
+    """Unrolled dot product as ONE SQL string. Identical arithmetic to
+    dot(dim=...) — left-to-right multiply-add on doubles — but parsed
+    JVM-side in a single call instead of ~4·dim py4j round trips per
+    expression tree. Plan-BUILD cost, not execution: constructing the
+    LSH/top-k plans dropped ~4s -> <1s per invocation at dim=64 (PLANS
+    audit); the compiled plan is the same."""
+    return " + ".join(
+        f"CAST({a_name}[{i}] AS DOUBLE) * CAST({b_name}[{i}] AS DOUBLE)"
+        for i in range(dim)
+    )
+
+
+def _norm_sql(name: str, dim: int) -> str:
+    return f"SQRT({_dot_sql(name, name, dim)})"
+
+
+def _hyperplane_bucket_sql(vec_name: str, seeds: list[int], dim: int) -> str:
+    """hyperplane_sign_bits as one parsed SQL expression: the per-(seed,
+    component) weights are exact integer arithmetic, reproduced here in
+    Python (same integers, same /1000.0 IEEE division); the projection
+    fold is the same left-to-right order the aggregate() form uses, so
+    buckets are bit-identical — pinned by test."""
+    terms = []
+    for bit, seed in enumerate(seeds):
+        ws = [
+            ((i + 1) * (seed * 2654435761 % 1000003) % 2001 - 1000) / 1000.0
+            for i in range(dim)
+        ]
+        proj = " + ".join(
+            f"CAST({vec_name}[{i}] AS DOUBLE) * {w!r}" for i, w in enumerate(ws)
+        )
+        terms.append(f"(CASE WHEN ({proj}) > 0.0 THEN CAST({1 << bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return " + ".join(terms) if terms else "CAST(0 AS BIGINT)"
 
 
 def sign_bucket(vec: Column, n_dims: int) -> Column:
@@ -173,13 +213,13 @@ def embedding_near_dup_pairs(
     sign_dims=None derives the width from the corpus size per
     auto_block_bits (bounded E[|bucket|] at any N); an explicit value
     pins it (oracle queries do, for cross-engine determinism)."""
-    dim = _probe_dim(emb, vec_col)
+    dim = _probe_dim(emb, vec_col) or 1  # empty corpus -> no rows anyway
     if sign_dims is None:
-        sign_dims = min(auto_block_bits(emb.count()), dim or 1)
+        sign_dims = min(auto_block_bits(emb.count()), dim)
     e = spread(emb).select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
-        norm(F.col(vec_col), dim).alias("_n"),
+        F.expr(_norm_sql(vec_col, dim)).alias("_n"),
         sign_bucket(F.col(vec_col), sign_dims).alias("_bucket"),
     )
     a = e.select(
@@ -191,9 +231,9 @@ def embedding_near_dup_pairs(
         F.col("_n").alias("_n2"), "_bucket",
     )
     denom = F.col("_n1") * F.col("_n2")
-    sim = F.when(denom > 0, dot(F.col("_v1"), F.col("_v2"), dim) / denom).otherwise(
-        F.lit(0.0)
-    )
+    sim = F.when(
+        denom > 0, F.expr(_dot_sql("_v1", "_v2", dim)) / denom
+    ).otherwise(F.lit(0.0))
     return (
         a.join(b, "_bucket")
         .filter(F.col("id_1") < F.col("id_2"))
@@ -224,15 +264,20 @@ def lsh_bucketed_topk(
     fans out ×(probe_bits+1) — the corpus side never replicates, so
     recall is bought with query-side work only. Probed buckets are
     distinct, so no pair dedup is needed."""
-    dim = _probe_dim(corpus, vec_col)
+    dim = _probe_dim(corpus, vec_col) or 1  # empty corpus -> no rows anyway
     if n_bits is None:
         n_bits = auto_block_bits(corpus.count())
     seeds = list(range(1, n_bits + 1))
+    # Parsed-SQL expression forms (_dot_sql/_hyperplane_bucket_sql):
+    # bit-identical arithmetic, built in ONE JVM parse per expression —
+    # the Column-by-Column construction paid ~4s of py4j round trips
+    # per invocation at dim=64.
+    bucket_sql = _hyperplane_bucket_sql(vec_col, seeds, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        norm(F.col(vec_col), dim).alias("_qn"),
-        hyperplane_sign_bits(F.col(vec_col), seeds).alias("_bucket"),
+        F.expr(_norm_sql(vec_col, dim)).alias("_qn"),
+        F.expr(bucket_sql).alias("_bucket"),
     )
     if probe_bits > 0:
         probes = F.array(
@@ -243,11 +288,13 @@ def lsh_bucketed_topk(
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        norm(F.col(vec_col), dim).alias("_cn"),
-        hyperplane_sign_bits(F.col(vec_col), seeds).alias("_bucket"),
+        F.expr(_norm_sql(vec_col, dim)).alias("_cn"),
+        F.expr(bucket_sql).alias("_bucket"),
     )
     denom = F.col("_qn") * F.col("_cn")
-    sim = F.when(denom > 0, dot(F.col("_qv"), F.col("_cv"), dim) / denom).otherwise(F.lit(0.0))
+    sim = F.when(
+        denom > 0, F.expr(_dot_sql("_qv", "_cv", dim)) / denom
+    ).otherwise(F.lit(0.0))
     scored = (
         F.broadcast(q)
         .join(c, "_bucket")

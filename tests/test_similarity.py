@@ -181,3 +181,35 @@ def test_ivf_kmeans_refinement(spark, emb):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert r["cosine"] == exact_scores[key]
+
+
+def test_sql_expr_forms_match_column_forms(spark, emb):
+    """The parsed-SQL dot/norm/hyperplane-bucket builders (plan-build
+    fast path) must be bit-identical to the Column-built forms."""
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.operators.similarity import (
+        _dot_sql,
+        _hyperplane_bucket_sql,
+        _norm_sql,
+        _probe_dim,
+        dot,
+        hyperplane_sign_bits,
+        norm,
+    )
+
+    dim = _probe_dim(emb, "embedding")
+    two = emb.select(
+        F.col("embedding").alias("a"),
+        F.reverse(F.col("embedding")).alias("b"),
+    )
+    cmp = two.select(
+        (dot(F.col("a"), F.col("b"), dim) == F.expr(_dot_sql("a", "b", dim))).alias("d_eq"),
+        (norm(F.col("a"), dim) == F.expr(_norm_sql("a", dim))).alias("n_eq"),
+        (
+            hyperplane_sign_bits(F.col("a"), [1, 2, 3, 4])
+            == F.expr(_hyperplane_bucket_sql("a", [1, 2, 3, 4], dim))
+        ).alias("b_eq"),
+    )
+    bad = cmp.filter(~F.col("d_eq") | ~F.col("n_eq") | ~F.col("b_eq")).count()
+    assert bad == 0
