@@ -1154,3 +1154,40 @@ def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), per.l_suppkey == s.s_suppkey)
     )
     return blamed.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+# --- GROUPING SETS -----------------------------------------------------------
+
+_GSETS_ORACLE = f"""
+SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+       coalesce(l_linestatus, '<all>') AS l_linestatus,
+       {ssum_sql("l_quantity", 2)} AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+@query("groupingsets_pricing", _GSETS_ORACLE)
+def groupingsets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the irregular-lattice sibling of
+    rollup/cube (a set list neither would produce: (a,b), (b), ()).
+    One shuffle; Spark expands the sets map-side with a single Expand
+    node, so input is scanned once regardless of how many sets."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    out = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        stable_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return out.select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+        "sum_qty",
+        "n",
+    )
