@@ -1206,3 +1206,44 @@ def minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(
         docs, num_hashes=8, band_size=2, shingle_len=5, hash_fn="xxhash64"
     )
+
+
+# --- Text normalization ------------------------------------------------------
+
+_NORMALIZE_ORACLE = """
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(lower(text), '[\\x00-\\x1F\\x7F]', '', 'g'),
+         ' +', ' ', 'g')) AS norm_text,
+       md5(trim(regexp_replace(
+         regexp_replace(lower(text), '[\\x00-\\x1F\\x7F]', '', 'g'),
+         ' +', ' ', 'g'))) AS norm_fp
+FROM documents
+"""
+
+
+@query("normalize_text_docs", _NORMALIZE_ORACLE)
+def normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization before dedup/fingerprinting:
+    casefold, strip control characters, collapse runs of spaces, trim.
+    Without this, trivially-different encodings of the same document
+    defeat exact dedup and skew MinHash shingles. Pure codegen'd
+    regexp_replace chain, zero shuffles, map-only at any scale; the
+    normalized fingerprint is what exact-dedup/decontamination keys
+    should use. (Unicode NFC is deliberately out: Spark exposes no
+    built-in normalizer, and a Python UDF here would put the slowest
+    possible code on the hottest path — documents whose dedup needs
+    NFC should normalize at ingest.)"""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[\\x00-\\x1F\\x7F]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm.cast("binary")).alias("norm_fp"),
+    )
