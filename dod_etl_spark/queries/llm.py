@@ -1247,3 +1247,211 @@ def normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.md5(norm.cast("binary")).alias("norm_fp"),
     )
+
+
+# --- Overlapping token-window chunking ----------------------------------------
+
+_CHUNK_W, _CHUNK_S = 64, 48  # window / stride (16-token overlap)
+
+_CHUNK_ORACLE = f"""
+WITH toksed AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, greatest(len(toks), 1) AS n FROM toksed
+), exploded AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(floor((n - 1) / {_CHUNK_S}.0) AS BIGINT))) AS i
+  FROM sized
+)
+SELECT doc_id,
+       i AS chunk_id,
+       i * {_CHUNK_S} AS start_tok,
+       CAST(len(list_slice(toks, i * {_CHUNK_S} + 1, i * {_CHUNK_S} + {_CHUNK_W})) AS BIGINT)
+         AS n_chunk_toks,
+       md5(array_to_string(list_slice(toks, i * {_CHUNK_S} + 1, i * {_CHUNK_S} + {_CHUNK_W}), ' '))
+         AS chunk_fp
+FROM exploded
+"""
+
+
+@query("chunk_docs_stride", _CHUNK_ORACLE)
+def chunk_docs_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the step that turns documents
+    into training windows (context-length W with stride S so no span is
+    lost at a boundary). Pure map-side: tokenize, sequence+explode the
+    chunk indices, slice the token array per chunk. ZERO shuffles at any
+    scale — output volume is input x (1 + overlap fraction), and the
+    explode fan-out stays inside the scan stage. Chunk identity is
+    emitted as an md5 fingerprint (cross-engine replayable) rather than
+    the chunk text, which is what a downstream cross-chunk dedup keys
+    on anyway."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n1 = F.greatest(F.size(toks), F.lit(1))
+    max_i = F.floor((n1 - F.lit(1)) / F.lit(float(_CHUNK_S))).cast("long")
+    chunked = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), max_i)).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_id").cast("int") * _CHUNK_S + 1, _CHUNK_W
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * _CHUNK_S).alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_chunk_toks"),
+        F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_fp"),
+    )
+
+
+# --- Near-dup removal endpoint: surviving corpus -------------------------------
+
+_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_1, id_2 FROM ({_minhash_oracle()})
+), edges AS (
+  SELECT id_1 AS s, id_2 AS d FROM pairs
+  UNION ALL
+  SELECT id_2 AS s, id_1 AS d FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+), assign AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT cluster_id AS doc_id,
+       count(*) AS n_members,
+       count(*) - 1 AS n_removed
+FROM assign GROUP BY cluster_id
+"""
+
+
+@query("dedup_survivors_docs", _SURVIVORS_ORACLE)
+def dedup_survivors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing end of near-dup dedup: MinHash-LSH star edges ->
+    connected components -> keep ONE representative per cluster
+    (min doc_id == cluster id). Output is the surviving corpus with the
+    per-survivor removal count — i.e. what you actually train on.
+    Adds exactly one aggregation shuffle (on cluster_id) over
+    dedup_clusters; at 100 TB the grouped frame carries two longs per
+    document, not the text."""
+    docs = t(spark, sf_dir, "documents")
+    edges = minhash_cluster_edges(docs, num_hashes=8, band_size=2, shingle_len=5)
+    assign = dedup_cluster_assignments(docs, edges)
+    return assign.groupBy(F.col("cluster_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_removed"),
+    )
+
+
+# --- Corpus profile report -----------------------------------------------------
+
+_PROFILE_ORACLE = f"""
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS total_tokens,
+       {sround_sql("CAST(sum(n_chars) AS DOUBLE) / count(*)", 6)} AS avg_chars,
+       {sround_sql("quantile_cont(n_chars, 0.50)", 6)} AS p50_chars,
+       {sround_sql("quantile_cont(n_chars, 0.95)", 6)} AS p95_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+@query("corpus_profile", _PROFILE_ORACLE)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus report: doc/token volume and length
+    distribution — the first query anyone runs on a new 100 TB crawl.
+    One shuffle (the group-by); token counts and char sums aggregate as
+    exact BIGINTs map-side, percentiles merge per-partition digests on
+    the same exchange (no global sort). avg is computed as
+    sum/count of integers — order-independent, bit-stable."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    p = F.expr("percentile(n_chars, array(0.50D, 0.95D))")
+    return (
+        docs.withColumn("_nt", F.size(toks).cast("long"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.sum("n_chars").alias("_sc"),
+            p.alias("_p"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_tokens",
+            stable_round(
+                F.col("_sc").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("avg_chars"),
+            stable_round(F.col("_p")[0], 6).alias("p50_chars"),
+            stable_round(F.col("_p")[1], 6).alias("p95_chars"),
+        )
+    )
+
+
+# --- TF-IDF top terms per document ---------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+    FROM documents
+  )
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * (SELECT count(*) FROM documents) / df.df AS w
+  FROM tf JOIN df USING (tok)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, tok ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, tok, tf, df, {sround_sql("w", 6)} AS weight
+FROM ranked WHERE rk <= 3
+"""
+
+
+@query("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by rational tf-idf weight
+    (tf x N / df). The weight deliberately avoids ln(): integer-derived
+    IEEE multiply/divide is bit-identical across engines, log is
+    libm-dependent. Plan: explode -> (doc,tok) count [shuffle 1] ->
+    term doc-freq [shuffle 2, tok-partitioned] -> join back on tok
+    (reuses the tok partitioning — no third exchange on the big side)
+    -> per-doc WindowGroupLimit top-3 [shuffle 3]. The term-frequency
+    frame carries (doc_id, tok, count), never the text; ties break on
+    tok ASC so the top-3 cut is total-order deterministic."""
+    docs = t(spark, sf_dir, "documents")
+    tok = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    ).alias("tok")
+    tf = docs.select("doc_id", tok).groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.col("tf").cast("double") * F.col("_n").cast("double") / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "df", stable_round(F.col("w"), 6).alias("weight"))
+    )
