@@ -64,6 +64,12 @@ def _count(plan: str, op: str) -> int:
         # One shuffle on source; the literal cap must keep engaging
         # WindowGroupLimit (map-side top-k pruning before the exchange).
         ("domain_cap_docs", 1),
+        # Chunking is explode-in-scan: map-only, any exchange is a
+        # regression.
+        ("chunk_docs_stride", 0),
+        # Corpus report: the single group-by shuffle carries scalars
+        # (counts/sums/percentile digests), never text.
+        ("corpus_profile", 1),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
@@ -121,3 +127,15 @@ def test_domain_cap_window_group_limit(spark):
     map task prunes to <= cap rows per source before the shuffle."""
     plan = _plan(spark, "domain_cap_docs")
     assert "WindowGroupLimit" in plan
+
+
+def test_tfidf_group_limit_and_shape(spark):
+    """tfidf_top_terms: the per-doc top-3 cut must engage
+    WindowGroupLimit; the tf-df join on tok is an honest big-big join
+    (the term dictionary of a web corpus is NOT broadcastable), so SMJ
+    is allowed there — but never a cartesian, and the exchange count
+    stays bounded (tf agg, df agg, join re-align, final window)."""
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "WindowGroupLimit" in plan
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "Exchange") <= 5, plan
