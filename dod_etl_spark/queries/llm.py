@@ -1455,3 +1455,148 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "tok", "tf", "df", stable_round(F.col("w"), 6).alias("weight"))
     )
+
+
+# --- Cross-source contamination matrix -----------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH grams AS (
+  SELECT DISTINCT source, md5(gram) AS fp
+  FROM (
+    SELECT source,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 4, 0)),
+             i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS gram
+    FROM (
+      SELECT source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+  )
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_shared_grams
+FROM grams a JOIN grams b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+@query("source_overlap_matrix", _OVERLAP_ORACLE)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources copy each other: per source pair, the count of
+    token 5-grams both contain — the contamination report that decides
+    which crawl snapshots to drop or decontaminate first (same 5-gram
+    protocol as ngram_decontaminate_docs). The self-join runs on the
+    DISTINCT (source, gram-fp) frame — a string key and a hash, never
+    document text — equi on fp with the `<` residual keeping each
+    unordered pair once; the pair aggregation is one scalar shuffle.
+    At 100 TB the frame is bounded by vocabulary x sources, orders of
+    magnitude below corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    grams = (
+        docs.select("source", toks.alias("toks"))
+        # sequence(1, n-4) must not run on n<5: Spark's sequence(1, 0)
+        # DESCENDS ([1,0]) where the oracle's generate_series is empty.
+        .where(F.size("toks") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 4),
+                    lambda i: F.array_join(F.slice("toks", i, 5), " "),
+                )
+            ).alias("gram"),
+        )
+        .select("source", F.md5(F.col("gram").cast("binary")).alias("fp"))
+        .distinct()
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+# --- Per-source quality percentile rank ----------------------------------------
+
+_QRANK_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         {sround_sql('''least(CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS DOUBLE) / 100.0, 1.0)
+           * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                    / greatest(length(text), 1))''', 6)} AS q
+  FROM documents
+)
+SELECT doc_id, source, q,
+       {sround_sql("percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id)", 6)}
+         AS q_rank
+FROM scored
+"""
+
+
+@query("quality_percentile_rank", _QRANK_ORACLE)
+def quality_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality calibration: raw heuristic scores are not
+    comparable between a curated source and a raw crawl, so curation
+    thresholds should cut on the WITHIN-SOURCE percentile rank, not the
+    raw score. One window shuffle on source; doc_id tiebreak makes the
+    rank total-order deterministic. (percent_rank = (rank-1)/(n-1) is
+    integer-derived IEEE division — bit-identical cross-engine.)"""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    q = stable_round(
+        F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
+        * (
+            F.lit(1.0)
+            - punct_count(F.col("text")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)).cast("double")
+        ),
+        6,
+    )
+    w = Window.partitionBy("source").orderBy(F.col("q").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", q.alias("q"))
+        .withColumn("q_rank", stable_round(F.percent_rank().over(w), 6))
+    )
+
+
+# --- Deterministic shard assignment --------------------------------------------
+
+_N_SHARDS = 16
+
+_SHARD_ORACLE = f"""
+SELECT CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % {_N_SHARDS} AS BIGINT)
+         AS shard,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+@query("shard_assignment_stats", _SHARD_ORACLE)
+def shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-side endpoint: content-hash shard assignment for the
+    final training corpus (shard = md5(text) mod N). Content-derived
+    sharding is reproducible across engines and runs — rand() or
+    monotonically_increasing_id() are neither — and balances shard
+    sizes to the hash's uniformity, which this query measures. In
+    production the assignment feeds write_partitioned/repartition(N,
+    shard); here it aggregates to per-shard row/byte balance in one
+    shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % _N_SHARDS
+    )
+    return docs.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
