@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     # md5 vs xxhash64 hash-mode twin of minhash_lsh_candidates: the
     # production-throughput dividend, measured not claimed.
     "minhash_lsh_prod",
+    # Round-5 corpus analytics: the explode-heavy map-only chunker and
+    # the three-shuffle tf-idf top-k.
+    "chunk_docs_stride",
+    "tfidf_top_terms",
 ]
 
 

@@ -1427,9 +1427,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tf x N / df). The weight deliberately avoids ln(): integer-derived
     IEEE multiply/divide is bit-identical across engines, log is
     libm-dependent. Plan: explode -> (doc,tok) count [shuffle 1] ->
-    term doc-freq [shuffle 2, tok-partitioned] -> join back on tok
-    (reuses the tok partitioning — no third exchange on the big side)
-    -> per-doc WindowGroupLimit top-3 [shuffle 3]. The term-frequency
+    doc-frequency as count() OVER (PARTITION BY tok) on the SAME tf
+    frame [shuffle 2] — a tf-vs-df self-JOIN would recompute the whole
+    explode+aggregate lineage twice (Spark plans each join input
+    independently); the window form reads the tokenize pass once ->
+    per-doc WindowGroupLimit top-3 [shuffle 3]. The term-frequency
     frame carries (doc_id, tok, count), never the text; ties break on
     tok ASC so the top-3 cut is total-order deterministic."""
     docs = t(spark, sf_dir, "documents")
@@ -1439,10 +1441,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = docs.select("doc_id", tok).groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
     scored = (
-        tf.join(df_, "tok")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "w",
@@ -1486,12 +1487,15 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which sources copy each other: per source pair, the count of
     token 5-grams both contain — the contamination report that decides
     which crawl snapshots to drop or decontaminate first (same 5-gram
-    protocol as ngram_decontaminate_docs). The self-join runs on the
-    DISTINCT (source, gram-fp) frame — a string key and a hash, never
-    document text — equi on fp with the `<` residual keeping each
-    unordered pair once; the pair aggregation is one scalar shuffle.
-    At 100 TB the frame is bounded by vocabulary x sources, orders of
-    magnitude below corpus size."""
+    protocol as ngram_decontaminate_docs). Instead of a gram-fp
+    self-JOIN (which would recompute the whole tokenize+explode lineage
+    for both inputs and hash-join on hot shared-gram keys), each gram
+    groups its source set once (collect_set, one shuffle) and the
+    unordered source pairs are generated INSIDE the group with array
+    transforms — the LSH-bucket pairing shape. The grouped frame
+    carries (fp, source array), never text; per-gram fan-out is bounded
+    by n_sources^2, a constant, so the pair stream stays linear in
+    vocabulary at 100 TB."""
     docs = t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     grams = (
@@ -1511,14 +1515,23 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.md5(F.col("gram").cast("binary")).alias("fp"))
         .distinct()
     )
-    a, b = grams.alias("a"), grams.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")),
+    by_gram = grams.groupBy("fp").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    ).where(F.size("ss") >= 2)
+    # All i<j pairs from the sorted source array, generated in-row.
+    pairs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + F.lit(2), F.size("ss")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    return (
+        by_gram.select(F.explode(pairs).alias("p"))
         .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
         )
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )

@@ -70,6 +70,11 @@ def _count(plan: str, op: str) -> int:
         # Corpus report: the single group-by shuffle carries scalars
         # (counts/sums/percentile digests), never text.
         ("corpus_profile", 1),
+        # In-group pair generation (no gram self-join): collect_set
+        # shuffle + final pair aggregation.
+        ("source_overlap_matrix", 2),
+        ("quality_percentile_rank", 1),
+        ("shard_assignment_stats", 1),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
@@ -131,11 +136,13 @@ def test_domain_cap_window_group_limit(spark):
 
 def test_tfidf_group_limit_and_shape(spark):
     """tfidf_top_terms: the per-doc top-3 cut must engage
-    WindowGroupLimit; the tf-df join on tok is an honest big-big join
-    (the term dictionary of a web corpus is NOT broadcastable), so SMJ
-    is allowed there — but never a cartesian, and the exchange count
-    stays bounded (tf agg, df agg, join re-align, final window)."""
+    WindowGroupLimit, doc-frequency comes from a window over the SAME
+    tf frame (a tf-df self-join would recompute the tokenize lineage
+    twice — exactly 2 parquet scans allowed: the tf lineage + the
+    1-row corpus count), and the exchange count stays bounded (tf agg,
+    tok window, corpus count, final window)."""
     plan = _plan(spark, "tfidf_top_terms")
     assert "WindowGroupLimit" in plan
     assert _count(plan, "CartesianProduct") == 0
-    assert _count(plan, "Exchange") <= 5, plan
+    assert len(re.findall(r"Scan parquet", plan.split("\n\n")[0])) <= 2, plan
+    assert _count(plan, "Exchange") <= 4, plan

@@ -38,6 +38,13 @@ AUDIT = [
     "token_budget_pack_docs",
     "pivot_event_counts",
     "scd2_purchase_history",
+    "chunk_docs_stride",
+    "corpus_profile",
+    "tfidf_top_terms",
+    "source_overlap_matrix",
+    "quality_percentile_rank",
+    "shard_assignment_stats",
+    "dedup_survivors_docs",
 ]
 
 
