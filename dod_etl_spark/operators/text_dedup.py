@@ -121,6 +121,7 @@ def minhash_candidates(
     shingle_len: int = 5,
     hash_fn: str = "md5",
     max_bucket_size: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (id_1 < id_2) sharing >= 1 LSH band, with
     the number of matching bands. `hash_fn="xxhash64"` is the production
@@ -134,7 +135,22 @@ def minhash_candidates(
     generation (standard MinHashLSH practice; members that duplicated
     exactly are caught by exact dedup, and near-dups that large share
     many other buckets). None (default) disables the cap — the
-    oracle-checked exhaustive mode."""
+    oracle-checked exhaustive mode.
+
+    The banded frame is MATERIALIZED once (eager localCheckpoint)
+    before the bucket self-join. Spark plans each join input
+    independently and — measured, not assumed — neither static
+    ReuseExchange nor AQE runtime stage reuse deduplicates the two
+    alias subtrees here, so without the checkpoint the entire
+    explode+md5+signature lineage executes TWICE; at 100 TB that
+    doubles the dominant CPU cost (the md5 over the shingle stream).
+    The checkpoint is |docs| x n_bands tiny rows and measures
+    wall-neutral at sf0.1 (~3.7s either way — local cores hide the
+    duplicate work; a saturated cluster does not). In-row pair
+    generation (collect_list + transforms) was tried and REJECTED:
+    degenerate buckets materialize |bucket|^2 structs inside one row
+    (4.0s/7.7s at sf0.1, OOM-shaped at scale), while the join streams
+    the fan-out and AQE splits hot buckets."""
     bands = minhash_bands(
         minhash_signatures(docs, id_col, text_col, num_hashes, shingle_len, hash_fn),
         id_col,
@@ -150,6 +166,10 @@ def minhash_candidates(
         bands = bands.withColumn("_bn", n_in_bucket).filter(
             F.col("_bn") <= max_bucket_size
         ).drop("_bn")
+    if materialize:
+        # materialize=False keeps the full logical plan visible for
+        # plan-inspection tests and explain tooling.
+        bands = bands.localCheckpoint(eager=True)
     a = bands.select(F.col(id_col).alias("id_1"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("id_2"), "band", "band_hash")
     pairs = a.join(b, ["band", "band_hash"]).filter(F.col("id_1") < F.col("id_2"))
@@ -219,9 +239,16 @@ def simhash_near_pairs(
     share at least one exact band — so candidates come from an equi
     self-join on (band, band_bits), never N². The exact hamming filter
     then runs on candidates only. For max_hamming >= n_bands the
-    guarantee weakens (documented recall trade, standard practice)."""
+    guarantee weakens (documented recall trade, standard practice).
+
+    The fingerprint frame is materialized once (eager localCheckpoint)
+    before the self-join — same rationale as minhash_candidates: no
+    exchange/stage reuse fires across the two alias subtrees, so the
+    explode + md5 + n_bits-aggregation lineage would execute once per
+    side."""
     width = n_bits // n_bands
     mask = (1 << width) - 1
+    fingerprints = fingerprints.localCheckpoint(eager=True)
     banded = fingerprints.select(
         F.col(id_col),
         F.col(fp_col),

@@ -264,13 +264,22 @@ def test_hashfn_knob_flows_to_minhash(spark, tmp_path):
         "doc_id long, text string",
     )
     spec = PipelineSpec(global_spec=g, tables=(TableSpec("D", isOperational=True),))
-    plan = build_dedup_candidates(docs, spec)._jdf.queryExecution().analyzed().toString()
+    # materialize=False: the production path localCheckpoints the banded
+    # frame (truncating the logical plan to a LogicalRDD), which would
+    # hide the hash expressions this test inspects.
+    plan = (
+        build_dedup_candidates(docs, spec, materialize=False)
+        ._jdf.queryExecution().analyzed().toString()
+    )
     assert "xxhash64" in plan and "md5" not in plan
 
     spec_md5 = PipelineSpec(
         global_spec=GlobalSpec(), tables=(TableSpec("D", isOperational=True),)
     )
-    plan_md5 = build_dedup_candidates(docs, spec_md5)._jdf.queryExecution().analyzed().toString()
+    plan_md5 = (
+        build_dedup_candidates(docs, spec_md5, materialize=False)
+        ._jdf.queryExecution().analyzed().toString()
+    )
     assert "md5" in plan_md5 and "xxhash64" not in plan_md5
     # Both modes produce the same candidate pair on this near-dup pair.
     assert build_dedup_candidates(docs, spec).count() == build_dedup_candidates(docs, spec_md5).count() == 1
