@@ -1613,3 +1613,98 @@ def shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(shard.alias("shard")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+# --- Semantic dedup survivors (SemDeDup-style, embedding space) ----------------
+
+_SEM_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_1, id_2 FROM ({_EMB_NEAR_DUP_ORACLE})
+), sedges AS (
+  SELECT id_1 AS s, id_2 AS d FROM pairs
+  UNION ALL
+  SELECT id_2 AS s, id_1 AS d FROM pairs
+), reach(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN sedges e ON e.s = r.node
+), assign AS (
+  SELECT node AS vec_id, min(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT cluster_id AS vec_id,
+       count(*) AS n_members,
+       count(*) - 1 AS n_removed
+FROM assign GROUP BY cluster_id
+"""
+
+
+@query("semantic_dedup_survivors", _SEM_SURVIVORS_ORACLE)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup in embedding space (the SemDeDup recipe, public:
+    Abbas et al. 2023): cosine near-dup pairs from sign-bucket blocking
+    -> transitive closure -> keep one representative per semantic
+    cluster. The text twin (dedup_survivors_docs) catches lexical
+    copies; this catches paraphrases and re-renderings that share no
+    shingles. Same scale shape: blocked pair generation (never N^2),
+    executor-resident component loop, one final scalar aggregation."""
+    from dod_etl_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.35, sign_dims=4)
+    assign = dedup_cluster_assignments(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    )
+    return assign.groupBy(F.col("cluster_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_removed"),
+    )
+
+
+# --- Global-percentile quality cut ---------------------------------------------
+
+_QCUT_Q_EXPR = """least(CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS DOUBLE) / 100.0, 1.0)
+  * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+           / greatest(length(text), 1))"""
+
+_QCUT_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, {sround_sql(_QCUT_Q_EXPR, 6)} AS q FROM documents
+), thr AS (
+  SELECT {sround_sql("quantile_cont(q, 0.75)", 6)} AS t FROM scored
+)
+SELECT s.doc_id, s.q FROM scored s, thr WHERE s.q >= thr.t
+"""
+
+
+@query("quality_cut_docs", _QCUT_ORACLE)
+def quality_cut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top quality quartile by GLOBAL exact percentile — the
+    two-pass curation cut: one aggregation computes the corpus-wide
+    p75 threshold (exact percentile, digest-merged on a single
+    1-row-out shuffle), then the threshold broadcasts back over the
+    scored scan as a 1-row BroadcastNestedLoopJoin (the scalar
+    pattern q11/q15 pin). Rank-based cuts (percent_rank) need a full
+    sort per partition key; a global scalar threshold needs none.
+    Both engines compare the SAME rounded values, so the boundary is
+    deterministic."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    q = stable_round(
+        F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
+        * (
+            F.lit(1.0)
+            - punct_count(F.col("text")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)).cast("double")
+        ),
+        6,
+    )
+    scored = docs.select("doc_id", q.alias("q"))
+    thr = scored.agg(
+        stable_round(F.expr("percentile(q, 0.75D)"), 6).alias("t")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("q") >= F.col("t"))
+        .select("doc_id", "q")
+    )
