@@ -1286,25 +1286,10 @@ def chunk_docs_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted as an md5 fingerprint (cross-engine replayable) rather than
     the chunk text, which is what a downstream cross-chunk dedup keys
     on anyway."""
+    from dod_etl_spark.operators.chunking import chunk_tokens
+
     docs = t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    n1 = F.greatest(F.size(toks), F.lit(1))
-    max_i = F.floor((n1 - F.lit(1)) / F.lit(float(_CHUNK_S))).cast("long")
-    chunked = docs.select(
-        "doc_id",
-        toks.alias("toks"),
-        F.explode(F.sequence(F.lit(0).cast("long"), max_i)).alias("chunk_id"),
-    )
-    chunk = F.slice(
-        F.col("toks"), F.col("chunk_id").cast("int") * _CHUNK_S + 1, _CHUNK_W
-    )
-    return chunked.select(
-        "doc_id",
-        "chunk_id",
-        (F.col("chunk_id") * _CHUNK_S).alias("start_tok"),
-        F.size(chunk).cast("long").alias("n_chunk_toks"),
-        F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_fp"),
-    )
+    return chunk_tokens(docs, window=_CHUNK_W, stride=_CHUNK_S)
 
 
 # --- Near-dup removal endpoint: surviving corpus -------------------------------
