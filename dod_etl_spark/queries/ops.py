@@ -637,3 +637,47 @@ def sql_surface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself, demonstrated by running the same string both engines run."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SHARED_SQL)
+
+
+# --- Window surface: time-range (RANGE) frames --------------------------------
+
+_TRAILING_ORACLE = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(27,6))) OVER (
+              PARTITION BY user_id ORDER BY epoch_ms(ts)
+              RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_1h_sum,
+       count(*) OVER (
+              PARTITION BY user_id ORDER BY epoch_ms(ts)
+              RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+         AS trailing_1h_n
+FROM events
+"""
+
+
+@query("value_trailing_1h", _TRAILING_ORACLE)
+def value_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour per-user aggregate via a time-RANGE window
+    frame — the sliding-window surface ROWS frames cannot express
+    (the frame is defined by event-time distance, not row count).
+    One window Exchange on user_id; the frame is evaluated over epoch
+    millis on BOTH engines so boundaries and peer groups agree
+    exactly, and the sum aggregates as DECIMAL so frame-internal
+    addition order cannot perturb the double result. The streaming twin
+    of this shape is the watermarked sliding window()/session_window()
+    aggregation (tumbling_window_agg, sessionize_events)."""
+    events = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis(F.col("ts")))
+        .rangeBetween(-3_600_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+    )
