@@ -75,6 +75,8 @@ def _count(plan: str, op: str) -> int:
         ("source_overlap_matrix", 2),
         ("quality_percentile_rank", 1),
         ("shard_assignment_stats", 1),
+        # Time-RANGE frame: one window Exchange on user_id.
+        ("value_trailing_1h", 1),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
@@ -146,3 +148,14 @@ def test_tfidf_group_limit_and_shape(spark):
     assert _count(plan, "CartesianProduct") == 0
     assert len(re.findall(r"Scan parquet", plan.split("\n\n")[0])) <= 2, plan
     assert _count(plan, "Exchange") <= 4, plan
+
+
+def test_quality_cut_scalar_broadcast(spark):
+    """quality_cut_docs: the global p75 threshold must come back as a
+    1-row broadcast (BroadcastNestedLoopJoin — the q11/q15 scalar
+    pattern), never a cartesian; one aggregation exchange for the
+    percentile, nothing else."""
+    plan = _plan(spark, "quality_cut_docs")
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BroadcastNestedLoopJoin") == 1
+    assert _count(plan, "Exchange") <= 1, plan
