@@ -367,6 +367,54 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_FWD_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+       epoch_ms(o.o_orderdate) AS asof_ts_ms,
+       o.o_orderkey AS asof_orderkey
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+"""
+
+
+@query("asof_next_order", _ASOF_FWD_ORACLE)
+def asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each event picks up the EARLIEST order at or
+    after its event time — the label-attachment shape (what happened
+    next) to asof_latest_order's feature-lookup shape (what was true
+    then). Same single-shuffle union+window merge-asof, direction
+    reversed; checked against DuckDB's native forward ASOF (e.ts <=
+    o.o_orderdate)."""
+    from dod_etl_spark.operators.asof import as_of_join
+
+    events = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = as_of_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.unix_millis(F.col("asof_ts")).alias("asof_ts_ms"),
+        F.col("o_orderkey").alias("asof_orderkey"),
+    )
+
+
 # --- Mergeable-sketch profile (approximate by design: rows-only check) ---------
 
 from dod_etl_spark.functions.sketches import approx_quantiles, hll_distinct  # noqa: E402
