@@ -128,9 +128,17 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH near-dup candidates ---------------------------------------
 
 
-def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+def _minhash_oracle(
+    num_hashes: int = 8,
+    band_size: int = 2,
+    table: str = "documents",
+    text: str = "text",
+) -> str:
     """Mirror of operators.text_dedup: one md5 per shingle, affine
-    permutation mixes (same literal constants), '_'-joined band keys."""
+    permutation mixes (same literal constants), '_'-joined band keys.
+    `table`/`text` let composed oracles run the same minhash over a
+    CTE (e.g. the post-gate post-dedup corpus) instead of raw
+    documents."""
     from dod_etl_spark.operators.text_dedup import MINHASH_PRIME, minhash_perm_params
 
     mins = ",\n         ".join(
@@ -151,9 +159,9 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
 WITH sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
-           unnest([substr(text, i, 5)
-                   for i in range(1, greatest(length(text) - 3, 2))]) AS shingle
-    FROM documents
+           unnest([substr({text}, i, 5)
+                   for i in range(1, greatest(length({text}) - 3, 2))]) AS shingle
+    FROM {table}
   )
 ),
 hashed AS (
@@ -1692,4 +1700,123 @@ def quality_cut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.crossJoin(F.broadcast(thr))
         .where(F.col("q") >= F.col("t"))
         .select("doc_id", "q")
+    )
+
+
+# --- Flagship composed curation pipeline ---------------------------------------
+
+_CUR_NORM_SQL = """trim(regexp_replace(
+         regexp_replace(lower(text), '[\\x00-\\x1F\\x7F]', '', 'g'),
+         ' +', ' ', 'g'))"""
+
+_CURATION_ORACLE = f"""
+WITH RECURSIVE normed AS (
+  SELECT doc_id,
+         {_CUR_NORM_SQL} AS norm_text,
+         {sround_sql(_QCUT_Q_EXPR, 6)} AS q
+  FROM documents
+), train AS (
+  SELECT doc_id, norm_text FROM normed
+  WHERE {hash_bucket_sql('doc_id', 7)} >= 1000 AND q >= 0.25
+), kept AS (
+  SELECT md5(norm_text) AS norm_fp,
+         min(doc_id) AS doc_id,
+         min(norm_text) AS norm_text
+  FROM train GROUP BY md5(norm_text)
+), holdout AS (
+  SELECT DISTINCT md5(norm_text) AS norm_fp FROM normed
+  WHERE {hash_bucket_sql('doc_id', 7)} < 1000
+), decon AS (
+  SELECT * FROM kept
+  WHERE norm_fp NOT IN (SELECT norm_fp FROM holdout)
+), pairs AS (
+  SELECT id_1, id_2
+  FROM ({_minhash_oracle(band_size=4, table="decon", text="norm_text")})
+), cedges AS (
+  SELECT id_1 AS s, id_2 AS d FROM pairs
+  UNION ALL
+  SELECT id_2 AS s, id_1 AS d FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM decon
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN cedges e ON e.s = r.node
+), assign AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       len(list_filter(string_split(d.norm_text, ' '), x -> x <> '')) AS n_toks,
+       d.norm_fp
+FROM decon d JOIN assign a ON a.doc_id = d.doc_id
+WHERE a.doc_id = a.cluster_id
+"""
+
+
+@query("curation_pipeline_docs", _CURATION_ORACLE)
+def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end batch curation pipeline, composed from the
+    engine's own operators in the order a real 100 TB run executes
+    them:
+
+      normalize (casefold/control-strip/space-collapse, map-only)
+      -> train split + quality gate (content-hash split, scored scan)
+      -> exact dedup on the NORMALIZED fingerprint (one shuffle)
+      -> benchmark decontamination (holdout norm-fps broadcast
+         anti-join)
+      -> MinHash near-dup clustering on normalized text (bucket-star
+         edges -> connected components) -> keep one per cluster.
+
+    Output is the surviving training corpus (doc_id, token count,
+    normalized fingerprint). Every stage is the already-oracle-paired
+    operator; the oracle composes the same stages as one recursive-CTE
+    SQL statement, so the WHOLE pipeline is hash-checked end to end —
+    not just its pieces. Scale shape: two scans of the corpus
+    (normalize+score, holdout fps), then every shuffle carries
+    fingerprints/ids, never text; the iterative closure runs on the
+    post-dedup post-gate corpus only."""
+    from dod_etl_spark.operators.text_dedup import minhash_cluster_edges as _edges
+
+    docs = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[\\x00-\\x1F\\x7F]", ""),
+            " +",
+            " ",
+        )
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    q = stable_round(
+        F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
+        * (
+            F.lit(1.0)
+            - punct_count(F.col("text")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)).cast("double")
+        ),
+        6,
+    )
+    normed = docs.select(
+        "doc_id", norm.alias("norm_text"), q.alias("q"),
+        hash_bucket(F.col("doc_id"), 7).alias("_b"),
+    )
+    train = normed.where((F.col("_b") >= 1000) & (F.col("q") >= 0.25))
+    kept = (
+        train.groupBy(F.md5(F.col("norm_text").cast("binary")).alias("norm_fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("norm_text").alias("norm_text"),
+        )
+    )
+    holdout = (
+        normed.where(F.col("_b") < 1000)
+        .select(F.md5(F.col("norm_text").cast("binary")).alias("norm_fp"))
+        .distinct()
+    )
+    decon = kept.join(F.broadcast(holdout), "norm_fp", "left_anti")
+    edges = _edges(decon, text_col="norm_text", num_hashes=8, band_size=4, shingle_len=5)
+    assign = dedup_cluster_assignments(decon.select("doc_id"), edges)
+    survivors = assign.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    ntoks = F.size(
+        F.filter(F.split(F.col("norm_text"), " "), lambda x: x != "")
+    ).cast("long")
+    return decon.join(survivors, "doc_id").select(
+        "doc_id", ntoks.alias("n_toks"), "norm_fp"
     )
