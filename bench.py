@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     # the three-shuffle tf-idf top-k.
     "chunk_docs_stride",
     "tfidf_top_terms",
+    # The composed end-to-end curation pipeline (normalize -> gate ->
+    # exact dedup -> decontaminate -> near-dup cluster -> keep-one).
+    "curation_pipeline_docs",
 ]
 
 
