@@ -1820,3 +1820,43 @@ def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decon.join(survivors, "doc_id").select(
         "doc_id", ntoks.alias("n_toks"), "norm_fp"
     )
+
+
+# --- Chunk-level boilerplate detection -----------------------------------------
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH chunks AS (
+  SELECT doc_id, chunk_fp FROM ({_CHUNK_ORACLE})
+)
+SELECT chunk_fp,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS first_doc_id
+FROM chunks
+GROUP BY chunk_fp
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+@query("chunk_dedup_stats", _CHUNK_DEDUP_ORACLE)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level boilerplate detection (the CCNet-style span
+    dedup): token windows repeated across >= 2 DISTINCT documents,
+    found by grouping the map-only chunker's fingerprints. Headers,
+    footers, and license blocks that document-level dedup can never
+    see show up here. One aggregation shuffle carrying (fp, ids) —
+    the chunk text never leaves the scan stage. Downstream removal is
+    an anti-join of chunks against this frame."""
+    from dod_etl_spark.operators.chunking import chunk_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = chunk_tokens(docs, window=_CHUNK_W, stride=_CHUNK_S)
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
