@@ -111,3 +111,39 @@ def dedup_exact(
     packed = F.min_by(F.struct(*[F.col(c) for c in df.columns]), order).alias("_row")
     out = df.groupBy(*[F.col(c) for c in fingerprint_cols]).agg(packed)
     return out.select(*[F.col(f"_row.{c}").alias(c) for c in df.columns])
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Corpus/snapshot version diff by content fingerprint: one
+    full-outer join on the id keyed over (id, fingerprint) frames —
+    rows classify as added (no old row), removed (no new row), changed
+    (fingerprints differ), or unchanged.
+
+    The scale contract is that only (id, 16-byte fp) ever moves: the
+    document text stays in the scans that computed the fingerprints.
+    For repeated diffing, store each snapshot's fingerprint frame
+    bucketed on the id (catalog.write_bucketed) and the join plans
+    with zero Exchange. This is the incremental-ingestion primitive —
+    what to re-embed, re-tokenize, or re-index between two corpus
+    versions — without a lakehouse's change feed.
+    """
+    o = old.select(F.col(id_col).alias("_oid"), F.col(fp_col).alias("old_fp"))
+    n = new.select(F.col(id_col).alias("_nid"), F.col(fp_col).alias("new_fp"))
+    j = o.join(n, o["_oid"] == n["_nid"], "full_outer")
+    status = (
+        F.when(F.col("_oid").isNull(), F.lit("added"))
+        .when(F.col("_nid").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce(F.col("_oid"), F.col("_nid")).alias(id_col),
+        status.alias("status"),
+        "old_fp",
+        "new_fp",
+    )

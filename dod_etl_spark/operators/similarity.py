@@ -243,6 +243,65 @@ def embedding_near_dup_pairs(
     )
 
 
+def knn_graph(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_dims: int | None = 4,
+    round_digits: int = 3,
+) -> DataFrame:
+    """All-pairs approximate k-nearest-neighbor GRAPH: every vector's
+    top-k cosine neighbors among its sign-bucket cohabitants (vs
+    brute_force_topk, whose query side must be broadcastable — here
+    EVERY row is a query, so blocking is the only shape that survives
+    scale: per-bucket |b|² pair work with E[|b|] bounded by
+    auto_block_bits, never N²).
+
+    The kNN graph is the backbone input for graph-based curation —
+    SemDeDup-style cluster pruning, diversity sampling, label
+    propagation — where pairs alone aren't enough and per-node
+    neighborhoods are the unit of work. Ranking is on the ROUNDED
+    cosine with neighbor-id tiebreak (cross-engine stable); ties at
+    the k boundary resolve to the smaller id. The top-k window rides
+    WindowGroupLimit: per-partition rank pruning before the single
+    exchange on the bucket key."""
+    dim = _probe_dim(emb, vec_col) or 1
+    if sign_dims is None:
+        sign_dims = min(auto_block_bits(emb.count()), dim)
+    e = spread(emb).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        F.expr(_norm_sql(vec_col, dim)).alias("_n"),
+        sign_bucket(F.col(vec_col), sign_dims).alias("_bucket"),
+    )
+    a = e.select(
+        F.col(id_col).alias("vec_id_q"), F.col("_v").alias("_v1"),
+        F.col("_n").alias("_n1"), "_bucket",
+    )
+    b = e.select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_v2"),
+        F.col("_n").alias("_n2"), "_bucket",
+    )
+    denom = F.col("_n1") * F.col("_n2")
+    sim = F.when(
+        denom > 0, F.expr(_dot_sql("_v1", "_v2", dim)) / denom
+    ).otherwise(F.lit(0.0))
+    scored = (
+        a.join(b, "_bucket")
+        .filter(F.col("vec_id_q") != F.col("neighbor_id"))
+        .withColumn("cosine", stable_round(sim, round_digits))
+    )
+    w = Window.partitionBy("vec_id_q").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col("vec_id_q").alias("vec_id"), "neighbor_id", "cosine", "rk")
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,

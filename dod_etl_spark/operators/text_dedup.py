@@ -176,6 +176,67 @@ def minhash_candidates(
     return pairs.groupBy("id_1", "id_2").agg(F.count(F.lit(1)).alias("n_bands"))
 
 
+def minhash_jaccard_est(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_len: int = 5,
+    hash_fn: str = "md5",
+    min_est: float = 0.0,
+) -> DataFrame:
+    """LSH candidate pairs WITH the MinHash Jaccard estimate: fraction
+    of the K signature slots on which the two documents agree —
+    E[agreement] = J(A,B), the property MinHash exists for.
+
+    This is the decision stage of a signature-only dedup pipeline:
+    candidates come from the band join, the keep/drop call comes from
+    the signature agreement — the corpus TEXT is never read again. At
+    100 TB that matters: the n-gram Jaccard verifier re-shuffles
+    shingle sets per candidate pair, while this joins K BIGINTs per
+    side onto pairs that already exist. Resolution is 1/K (K=8 ->
+    0.125 steps); raise num_hashes for a finer estimate, it only
+    widens the signature row.
+
+    The signature frame is materialized once (same measured
+    rationale as minhash_candidates: no exchange reuse across
+    self-join aliases) and feeds BOTH the band join and the two
+    pair-side signature lookups, so the shingle/md5 stream runs once.
+    """
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_len, hash_fn
+    ).localCheckpoint(eager=True)
+    bands = minhash_bands(sigs, id_col, band_size, num_hashes)
+    a = bands.select(F.col(id_col).alias("id_1"), "band", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_2"), "band", "band_hash")
+    pairs = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    s1 = sigs.select(
+        F.col(id_col).alias("id_1"), *[F.col(f"h{k}").alias(f"_a{k}") for k in range(num_hashes)]
+    )
+    s2 = sigs.select(
+        F.col(id_col).alias("id_2"), *[F.col(f"h{k}").alias(f"_b{k}") for k in range(num_hashes)]
+    )
+    agree = sum(
+        F.when(F.col(f"_a{k}") == F.col(f"_b{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    )
+    est = (agree.cast("double") / F.lit(float(num_hashes))).alias("jaccard_est")
+    out = (
+        pairs.join(s1, "id_1")
+        .join(s2, "id_2")
+        .select("id_1", "id_2", est)
+    )
+    if min_est > 0.0:
+        out = out.filter(F.col("jaccard_est") >= min_est)
+    return out
+
+
 def simhash_fp(
     docs: DataFrame,
     id_col: str = "doc_id",

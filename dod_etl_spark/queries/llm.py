@@ -1860,3 +1860,171 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# --- kNN graph (all-pairs approximate nearest neighbors) ---------------------
+
+_KNN_GRAPH_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+          + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         {sround_sql('''CASE WHEN a.n * b.n > 0
+                    THEN list_dot_product(a.v, b.v) / (a.n * b.n)
+                    ELSE 0.0 END''', 3)} AS cosine
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+)
+SELECT vec_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cosine DESC, neighbor_id) AS rk
+FROM scored
+QUALIFY rk <= 3
+"""
+
+
+@query("knn_graph_docs", _KNN_GRAPH_ORACLE)
+def knn_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-pairs kNN GRAPH: every vector's top-3 cosine
+    neighbors among its sign-bucket cohabitants
+    (operators/similarity.py knn_graph). Unlike cosine_topk (small
+    broadcastable query set), every row is a query, so bucket blocking
+    is the only N²-free shape — the backbone input for SemDeDup-style
+    cluster pruning, diversity sampling, and label propagation."""
+    from dod_etl_spark.operators.similarity import knn_graph
+
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=3, sign_dims=4)
+
+
+# --- MinHash Jaccard estimate (signature-only dedup decision) ----------------
+
+
+def _minhash_est_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    """Candidate pairs + signature-agreement Jaccard estimate: the
+    _minhash_oracle CTE chain, then the K-slot agreement fraction
+    joined back onto the distinct band-join pairs."""
+    from dod_etl_spark.operators.text_dedup import MINHASH_PRIME, minhash_perm_params
+
+    mins = ",\n         ".join(
+        f"min(({a} * h32 + {b}) % {MINHASH_PRIME}) AS h{k}"
+        for k, (a, b) in enumerate(minhash_perm_params(num_hashes))
+    )
+    n_bands = num_hashes // band_size
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {hs}) AS band_hash FROM mh".format(
+            b=b,
+            hs=", ".join(
+                f"CAST(h{b * band_size + i} AS VARCHAR)" for i in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{k} = b.h{k} THEN 1 ELSE 0 END)" for k in range(num_hashes)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([substr(text, i, 5)
+                   for i in range(1, greatest(length(text) - 3, 2))]) AS shingle
+    FROM documents
+  )
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h32 FROM sh
+),
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  {band_rows}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT p.id_1, p.id_2,
+       CAST(({agree}) AS DOUBLE) / {float(num_hashes)} AS jaccard_est
+FROM pairs p
+JOIN mh a ON a.doc_id = p.id_1
+JOIN mh b ON b.doc_id = p.id_2
+"""
+
+
+@query("minhash_jaccard_est", _minhash_est_oracle())
+def minhash_jaccard_est_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECISION stage of signature-only dedup: LSH candidate pairs
+    with the MinHash Jaccard estimate (fraction of the 8 signature
+    slots in agreement — E[agreement] = J). The corpus text is never
+    read again after the signature pass: keep/drop calls join K
+    BIGINTs per side, vs the n-gram verifier's per-pair shingle-set
+    re-shuffle (operators/text_dedup.py minhash_jaccard_est)."""
+    from dod_etl_spark.operators.text_dedup import minhash_jaccard_est
+
+    docs = t(spark, sf_dir, "documents")
+    return minhash_jaccard_est(docs, num_hashes=8, band_size=2, shingle_len=5)
+
+
+# --- Corpus snapshot diff ----------------------------------------------------
+
+_CORPUS_DIFF_ORACLE = """
+WITH o_v AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 8 = 5
+                  THEN substr(text, 1, greatest(length(text) - 1, 0))
+                  ELSE text END) AS fp
+  FROM documents WHERE doc_id % 10 != 3
+),
+n_v AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 != 7
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       o.fp AS old_fp, n.fp AS new_fp
+FROM o_v o FULL OUTER JOIN n_v n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp != n.fp
+"""
+
+
+@query("corpus_diff", _CORPUS_DIFF_ORACLE)
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions by content
+    fingerprint (operators/dedup.py snapshot_diff): added / removed /
+    changed doc ids with both fingerprints — the incremental-ingestion
+    primitive deciding what to re-embed / re-tokenize / re-index.
+
+    The two versions are carved deterministically from `documents`
+    (old: doc_id%10!=3, with doc_id%8==5 texts truncated by one char —
+    "since edited"; new: doc_id%10!=7), so the oracle sees identical
+    inputs. Only (id, 16-byte md5) rows move through the full-outer
+    join; unchanged rows are filtered out so output stays
+    delta-sized."""
+    from dod_etl_spark.operators.dedup import snapshot_diff
+
+    docs = t(spark, sf_dir, "documents")
+    old_text = F.when(
+        F.col("doc_id") % 8 == 5,
+        F.expr("substr(text, 1, greatest(length(text) - 1, 0))"),
+    ).otherwise(F.col("text"))
+    old = docs.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id", F.md5(old_text.cast("binary")).alias("fp")
+    )
+    new = docs.where(F.col("doc_id") % 10 != 7).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    return snapshot_diff(old, new, id_col="doc_id", fp_col="fp").where(
+        F.col("status") != "unchanged"
+    )

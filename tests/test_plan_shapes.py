@@ -159,3 +159,36 @@ def test_quality_cut_scalar_broadcast(spark):
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, "BroadcastNestedLoopJoin") == 1
     assert _count(plan, "Exchange") <= 1, plan
+
+
+def test_knn_graph_shape(spark):
+    """knn_graph_docs: the per-vector top-k must engage WindowGroupLimit
+    (map-side rank pruning before the rank exchange), no cartesian —
+    the bucket self-join is the only pair generator."""
+    plan = _plan(spark, "knn_graph_docs")
+    assert _count(plan, "CartesianProduct") == 0
+    assert "WindowGroupLimit" in plan
+    assert _count(plan, "Exchange") <= 3, plan
+
+
+def test_minhash_est_single_signature_pass(spark):
+    """minhash_jaccard_est: the checkpointed signature frame feeds the
+    band join AND both pair-side signature lookups — the shingle/md5
+    lineage must not appear in the plan at all (it ran once at
+    checkpoint time), and the joins stay equi (no cartesian)."""
+    plan = _plan(spark, "minhash_jaccard_est")
+    assert _count(plan, "CartesianProduct") == 0
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert "md5" not in plan, "signature lineage re-runs in the join plan"
+    assert _count(plan, "Exchange") <= 4, plan
+
+
+def test_corpus_diff_shape(spark):
+    """corpus_diff: full-outer fingerprint join — big-big on doc_id, so
+    SMJ is the CORRECT shape (broadcast would be wrong at scale); two
+    exchanges (one per side), and only (id, fp) columns move: the text
+    column must not appear in the join output schema."""
+    plan = _plan(spark, "corpus_diff")
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "SortMergeJoin") == 1, plan
+    assert _count(plan, "Exchange") <= 2, plan
