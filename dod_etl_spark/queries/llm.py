@@ -2028,3 +2028,187 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, id_col="doc_id", fp_col="fp").where(
         F.col("status") != "unchanged"
     )
+
+
+# --- Token-rarity scoring (importance-sampling primitive) --------------------
+
+_RARITY_ORACLE = f"""
+WITH inst AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM inst GROUP BY doc_id, tok
+), cnt AS (
+  SELECT doc_id, tok, tf, sum(tf) OVER (PARTITION BY tok) AS cnt,
+         (SELECT count(*) FROM inst) AS total
+  FROM tf
+), scored AS (
+  SELECT doc_id,
+         sum(tf) AS n_toks,
+         {sround_sql(
+             "CAST(sum(CAST(CAST(tf AS DOUBLE) * (CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)) AS DECIMAL(27,6))) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)",
+             6,
+         )} AS rarity
+  FROM cnt GROUP BY doc_id
+), thr AS (
+  SELECT [{", ".join(sround_sql(f"quantile_cont(rarity, {p/10.0})", 6) for p in range(1, 10))}] AS ts
+  FROM scored
+)
+SELECT s.doc_id, s.n_toks, s.rarity,
+       1 + len(list_filter(thr.ts, t -> s.rarity >= t)) AS decile
+FROM scored s, thr
+"""
+
+
+@query("rarity_score_docs", _RARITY_ORACLE)
+def rarity_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity scoring + global decile bucketing — the
+    importance-sampling primitive (DSIR-style data selection, rarity
+    curricula): a document's score is the mean inverse corpus
+    frequency of its token instances, rational (total/cnt) not
+    ln-based so both engines compute bit-identical IEEE ops.
+
+    Shape: explode -> (doc,tok) tf [shuffle 1], MATERIALIZED once —
+    the (total, window, thresholds) consumers would otherwise each
+    replay the tokenize lineage (measured: 4 parquet scans / 11
+    exchanges without the checkpoints, 1 scan / 4 with; Spark plans
+    every broadcast input independently). The tf frame is the
+    token-frequency table a tf-idf pipeline persists anyway, and it
+    carries (doc_id, tok, count), never text. Then: corpus frequency
+    as sum() OVER (PARTITION BY tok) on the SAME frame [shuffle 2] ->
+    per-doc decimal-exact mean [shuffle 3], materialized (1 row/doc)
+    -> the nine decile thresholds come back as ONE broadcast row
+    (percentile array; the quality_cut scalar pattern) — a global
+    ntile() would sort the corpus on a single partition."""
+    docs = t(spark, sf_dir, "documents")
+    tok = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    ).alias("tok")
+    tf = (
+        docs.select("doc_id", tok)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    total = tf.agg(F.sum("tf").alias("_total"))
+    cnt = tf.withColumn("cnt", F.sum("tf").over(Window.partitionBy("tok"))).crossJoin(
+        F.broadcast(total)
+    )
+    w_inst = (
+        F.col("tf").cast("double")
+        * (F.col("_total").cast("double") / F.col("cnt").cast("double"))
+    ).cast("decimal(27,6)")
+    scored = cnt.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_toks"),
+        stable_round(
+            F.sum(w_inst).cast("double") / F.sum("tf").cast("double"), 6
+        ).alias("rarity"),
+    ).localCheckpoint(eager=True)
+    ps = ", ".join(f"{p / 10.0}D" for p in range(1, 10))
+    thr = scored.agg(
+        F.expr(
+            f"transform(percentile(rarity, array({ps})), "
+            "t -> floor(t * 1000000 + 0.5) / 1000000)"
+        ).alias("ts")
+    )
+    decile = F.lit(1) + F.size(
+        F.filter(F.col("ts"), lambda tv: F.col("rarity") >= tv)
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select("doc_id", "n_toks", "rarity", decile.alias("decile"))
+    )
+
+
+# --- Incremental cross-corpus dedup ------------------------------------------
+
+
+def _incremental_dedup_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    from dod_etl_spark.operators.text_dedup import MINHASH_PRIME, minhash_perm_params
+
+    mins = ",\n         ".join(
+        f"min(({a} * h32 + {b}) % {MINHASH_PRIME}) AS h{k}"
+        for k, (a, b) in enumerate(minhash_perm_params(num_hashes))
+    )
+    n_bands = num_hashes // band_size
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {hs}) AS band_hash FROM mh".format(
+            b=b,
+            hs=", ".join(
+                f"CAST(h{b * band_size + i} AS VARCHAR)" for i in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([substr(text, i, 5)
+                   for i in range(1, greatest(length(text) - 3, 2))]) AS shingle
+    FROM documents
+  )
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h32 FROM sh
+),
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  {band_rows}
+),
+fps AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+),
+band_dups AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands b JOIN bands c ON b.band = c.band AND b.band_hash = c.band_hash
+  WHERE b.doc_id % 5 != 0 AND c.doc_id % 5 = 0
+)
+SELECT i.doc_id, i.fp
+FROM fps i
+WHERE i.doc_id % 5 != 0
+  AND i.fp NOT IN (SELECT fp FROM fps WHERE doc_id % 5 = 0)
+  AND i.doc_id NOT IN (SELECT doc_id FROM band_dups)
+"""
+
+
+@query("incremental_dedup_docs", _incremental_dedup_oracle(band_size=4))
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: an incoming batch checked against
+    the ALREADY-INGESTED corpus — exact (md5 anti-join) then near-dup
+    (any shared MinHash LSH band with a corpus doc) — emitting only
+    the incoming docs that survive both. This is the batch twin of
+    streaming/dedup_store.py's forever-dedup: at 100 TB the corpus
+    side is a stored signature/fingerprint table (bucketed on the
+    band hash / fp), so only the new batch is ever re-hashed.
+
+    Versions are carved deterministically from `documents` (corpus:
+    doc_id%5==0, incoming: the rest); the banded frame is computed in
+    ONE pass over all docs (checkpointed, same rationale as
+    minhash_candidates) and split — not two signature passes.
+    Incoming-vs-incoming duplicates are out of scope by contract
+    (dedup_exact_docs / minhash pipelines own within-batch dedup)."""
+    from dod_etl_spark.operators.text_dedup import minhash_bands, minhash_signatures
+
+    docs = t(spark, sf_dir, "documents")
+    is_corpus = F.col("doc_id") % 5 == 0
+    fps = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+    corpus_fp = fps.where(is_corpus).select("fp").distinct()
+    inc = fps.where(~is_corpus)
+    exact_surv = inc.join(corpus_fp, "fp", "left_anti")
+    bands = minhash_bands(
+        minhash_signatures(docs, num_hashes=8, shingle_len=5), band_size=4, num_hashes=8
+    ).localCheckpoint(eager=True)
+    corpus_bands = bands.where(is_corpus).select("band", "band_hash")
+    band_dups = (
+        bands.where(~is_corpus)
+        .join(corpus_bands, ["band", "band_hash"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return exact_surv.join(band_dups, "doc_id", "left_anti").select("doc_id", "fp")

@@ -192,3 +192,27 @@ def test_corpus_diff_shape(spark):
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, "SortMergeJoin") == 1, plan
     assert _count(plan, "Exchange") <= 2, plan
+
+
+def test_rarity_single_tokenize_pass(spark):
+    """rarity_score_docs: the tf and scored checkpoints must absorb the
+    tokenize lineage — the final plan reads NO parquet (measured
+    without them: 4 scans / 11 exchanges, the broadcast aggregates
+    each replaying the explode) and keeps one exchange (threshold
+    agg); the decile thresholds come back broadcast, never a global
+    sort."""
+    plan = _plan(spark, "rarity_score_docs")
+    assert _count(plan, "CartesianProduct") == 0
+    assert "Scan parquet" not in plan.split("\n\n")[0], plan
+    assert _count(plan, "Exchange") <= 1, plan
+
+
+def test_incremental_dedup_shape(spark):
+    """incremental_dedup_docs: the banded frame is checkpointed (one
+    signature pass over all docs); the two remaining parquet scans are
+    the disjoint corpus/incoming fingerprint projections. Anti-joins
+    stay equi — no cartesian."""
+    plan = _plan(spark, "incremental_dedup_docs")
+    assert _count(plan, "CartesianProduct") == 0
+    assert len(re.findall(r"Scan parquet", plan.split("\n\n")[0])) <= 2, plan
+    assert _count(plan, "Exchange") <= 3, plan
