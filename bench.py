@@ -67,6 +67,12 @@ BENCH_QUERIES = [
     # The composed end-to-end curation pipeline (normalize -> gate ->
     # exact dedup -> decontaminate -> near-dup cluster -> keep-one).
     "curation_pipeline_docs",
+    # Round-5 second-session heavies: the all-pairs kNN graph (bucketed
+    # pair fan-out + WindowGroupLimit), the signature-only Jaccard
+    # decision pass, and the cross-corpus incremental dedup.
+    "knn_graph_docs",
+    "minhash_jaccard_est",
+    "incremental_dedup_docs",
 ]
 
 

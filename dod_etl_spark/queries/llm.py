@@ -2212,3 +2212,188 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return exact_surv.join(band_dups, "doc_id", "left_anti").select("doc_id", "fp")
+
+
+# --- Embedding class centroids + prototypicality outliers --------------------
+
+_CENTROID_EX_CTE = """ex AS (
+  SELECT vec_id, label,
+         unnest([{'i': i, 'v': embedding[i]::DOUBLE}
+                 for i in range(1, len(embedding)+1)], recursive := true)
+  FROM embeddings
+)"""
+
+_CENTROID_ORACLE = f"""
+WITH {_CENTROID_EX_CTE}
+SELECT label, i,
+       {sround_sql("CAST(sum(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS centroid
+FROM ex GROUP BY label, i
+"""
+
+
+@query("label_centroids", _CENTROID_ORACLE)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids: posexplode to (label, dim, value)
+    and ONE aggregation with map-side combine — the shuffle carries
+    |labels|x|dims| partial sums per map task, never vectors. The
+    decimal-cast sum makes the mean order-independent (double sums are
+    not), so both engines agree bit-for-bit. Centroids are the
+    metadata-sized model for prototypicality scoring, mislabel
+    screening, and class-balanced pruning."""
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).alias("i"), F.col("v").cast("double").alias("v"))
+    return ex.groupBy("label", "i").agg(
+        stable_round(
+            F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("centroid")
+    )
+
+
+_OUTLIER_ORACLE = f"""
+WITH {_CENTROID_EX_CTE},
+cent AS (
+  SELECT label, i,
+         {sround_sql("CAST(sum(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS centroid
+  FROM ex GROUP BY label, i
+),
+d AS (
+  SELECT vec_id, ex.label,
+         {sround_sql("sqrt(CAST(sum(CAST((v - centroid) * (v - centroid) AS DECIMAL(27,6))) AS DOUBLE))", 6)} AS dist
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+  GROUP BY vec_id, ex.label
+)
+SELECT label, vec_id, dist,
+       row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rk
+FROM d
+QUALIFY rk <= 5
+"""
+
+
+@query("embedding_outliers", _OUTLIER_ORACLE)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality outlier screen: each class's top-5 vectors by
+    euclidean distance to their OWN class centroid — the standard
+    mislabel/anomaly shortlist before training. The centroid frame
+    (|labels|x|dims| rows) broadcasts back onto the exploded scan;
+    per-vector distances are one decimal-exact aggregation; the
+    shortlist cut rides WindowGroupLimit. Vectors shuffle once
+    (dim-exploded, grouped back by vec_id) — no pairwise work
+    anywhere."""
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select(
+        "vec_id", "label", (F.col("pos") + 1).alias("i"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent = ex.groupBy("label", "i").agg(
+        stable_round(
+            F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("centroid")
+    )
+    diff = F.col("v") - F.col("centroid")
+    d = (
+        ex.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            stable_round(
+                F.sqrt(F.sum((diff * diff).cast("decimal(27,6)")).cast("double")), 6
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist").desc(), F.col("vec_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("label", "vec_id", "dist", "rk")
+    )
+
+
+# --- Contamination audit report ----------------------------------------------
+
+_CONTAM_REPORT_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(tk) - {_NGRAM_DECON_N - 1}, 1) + 1),
+           i -> array_to_string(tk[i:i+{_NGRAM_DECON_N - 1}], ' '))) AS gram
+  FROM tk
+)
+SELECT h.doc_id,
+       count(DISTINCT tr.doc_id) AS n_train_docs,
+       count(DISTINCT h.gram) AS n_shared_grams
+FROM grams h JOIN grams tr ON h.gram = tr.gram
+WHERE {hash_bucket_sql("h.doc_id", 7)} < 1000
+  AND {hash_bucket_sql("tr.doc_id", 7)} >= 1000
+GROUP BY h.doc_id
+"""
+
+
+@query("contamination_report", _CONTAM_REPORT_ORACLE)
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIT twin of ngram_decontaminate_docs: per HOLDOUT document,
+    how many train docs share at least one token 5-gram and how many
+    of the holdout doc's distinct grams are compromised — the evidence
+    a decontamination run should ship with. Same split (hash bucket
+    seed 7), same gram construction. The holdout gram set (tiny side)
+    broadcasts with its doc ids; the train side explodes map-side and
+    joins against it — the corpus never shuffles, the one exchange
+    aggregates (holdout_doc, train_doc, gram) hits."""
+    from dod_etl_spark.operators.sampling import split_train_holdout
+
+    docs = t(spark, sf_dir, "documents")
+    train, holdout = split_train_holdout(docs, "doc_id", 0.1, seed=7)
+    n = _NGRAM_DECON_N
+
+    def grams(df: DataFrame) -> DataFrame:
+        tk = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1)))
+        g = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+        return df.select("doc_id", F.explode(F.array_distinct(g)).alias("gram"))
+
+    h = grams(holdout).withColumnRenamed("doc_id", "_hid")
+    tr = grams(train).withColumnRenamed("doc_id", "_tid")
+    return (
+        tr.join(F.broadcast(h), "gram")
+        .groupBy(F.col("_hid").alias("doc_id"))
+        .agg(
+            F.countDistinct("_tid").alias("n_train_docs"),
+            F.countDistinct("gram").alias("n_shared_grams"),
+        )
+    )
+
+
+# --- Cluster size histogram --------------------------------------------------
+
+_CLUSTER_HIST_ORACLE = f"""
+WITH assign AS ({_CLUSTERS_ORACLE})
+SELECT cluster_size, count(*) AS n_clusters
+FROM (
+  SELECT cluster_id, count(*) AS cluster_size FROM assign GROUP BY cluster_id
+)
+GROUP BY cluster_size
+"""
+
+
+@query("cluster_size_histogram", _CLUSTER_HIST_ORACLE)
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution — the one-page answer to "how
+    duplicated is this corpus?" (and the skew early-warning: a mega
+    cluster here predicts degenerate LSH buckets downstream). Two
+    scalar aggregations over the dedup_clusters assignment frame; the
+    histogram is |distinct sizes| rows."""
+    docs = t(spark, sf_dir, "documents")
+    edges = minhash_cluster_edges(docs, num_hashes=8, band_size=2, shingle_len=5)
+    assign = dedup_cluster_assignments(docs, edges)
+    sizes = assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))

@@ -216,3 +216,27 @@ def test_incremental_dedup_shape(spark):
     assert _count(plan, "CartesianProduct") == 0
     assert len(re.findall(r"Scan parquet", plan.split("\n\n")[0])) <= 2, plan
     assert _count(plan, "Exchange") <= 3, plan
+
+
+def test_centroid_family_shapes(spark):
+    """label_centroids: ONE aggregation exchange over the posexplode —
+    partial sums combine map-side, vectors never shuffle whole.
+    embedding_outliers: centroid frame broadcasts back (BHJ), the
+    shortlist engages WindowGroupLimit."""
+    plan = _plan(spark, "label_centroids")
+    assert _count(plan, "Exchange") <= 1, plan
+    assert _count(plan, "CartesianProduct") == 0
+    plan = _plan(spark, "embedding_outliers")
+    assert _count(plan, "BroadcastHashJoin") == 1, plan
+    assert "WindowGroupLimit" in plan
+    assert _count(plan, "Exchange") <= 3, plan
+
+
+def test_contamination_report_broadcast(spark):
+    """contamination_report: the holdout gram set is the broadcast side
+    (corpus never shuffles); one aggregation exchange over the hits
+    plus the broadcast build."""
+    plan = _plan(spark, "contamination_report")
+    assert _count(plan, "BroadcastHashJoin") == 1, plan
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "Exchange") <= 2, plan

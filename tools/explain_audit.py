@@ -45,6 +45,11 @@ AUDIT = [
     "quality_percentile_rank",
     "shard_assignment_stats",
     "dedup_survivors_docs",
+    "knn_graph_docs",
+    "minhash_jaccard_est",
+    "corpus_diff",
+    "rarity_score_docs",
+    "incremental_dedup_docs",
 ]
 
 
