@@ -2397,3 +2397,50 @@ def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = dedup_cluster_assignments(docs, edges)
     sizes = assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+# --- Per-dimension embedding statistics --------------------------------------
+
+_DIM_STATS_ORACLE = f"""
+WITH {_CENTROID_EX_CTE},
+agg AS (
+  SELECT i,
+         CAST(sum(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS s,
+         CAST(sum(CAST(v * v AS DECIMAL(27,6))) AS DOUBLE) AS sq,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM ex GROUP BY i
+)
+SELECT i, {sround_sql("s / n", 6)} AS mean_v,
+       {sround_sql("sq / n - (s / n) * (s / n)", 6)} AS var_v,
+       row_number() OVER (ORDER BY {sround_sql("sq / n - (s / n) * (s / n)", 6)} DESC, i) AS var_rank
+FROM agg
+"""
+
+
+@query("embedding_dim_stats", _DIM_STATS_ORACLE)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding corpus, ranked by
+    variance — the principled input for LSH blocking-key selection:
+    sign_bucket should read HIGH-variance components (a near-zero-
+    variance dim puts everything in one bucket half). One map-side-
+    combined aggregation over the posexplode (decimal-exact sums, so
+    the variance is order-independent); the rank window runs over
+    |dims| rows — driver-scale, not data-scale."""
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode(F.col("embedding")).alias("pos", "v")).select(
+        (F.col("pos") + 1).alias("i"), F.col("v").cast("double").alias("v")
+    )
+    agg = ex.groupBy("i").agg(
+        F.sum(F.col("v").cast("decimal(27,6)")).cast("double").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(27,6)")).cast("double").alias("sq"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    mean_v = stable_round(F.col("s") / F.col("n"), 6)
+    var_v = stable_round(
+        F.col("sq") / F.col("n") - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")), 6
+    )
+    w = Window.orderBy(var_v.desc(), F.col("i"))
+    return agg.select(
+        "i", mean_v.alias("mean_v"), var_v.alias("var_v"),
+        F.row_number().over(w).alias("var_rank"),
+    )

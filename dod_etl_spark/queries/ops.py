@@ -729,3 +729,50 @@ def value_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trailing_1h_sum"),
         F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
     )
+
+
+# --- Sliding (hopping) event-time windows ------------------------------------
+
+_SLIDING_ORACLE = f"""
+WITH w AS (
+  SELECT unnest([s0, s0 - 300000]) AS window_start_ms,
+         event_type, value
+  FROM (
+    SELECT epoch_ms(ts) - epoch_ms(ts) % 300000 AS s0, event_type, value
+    FROM events
+  )
+)
+SELECT window_start_ms, event_type,
+       count(*) AS n_events,
+       {ssum_sql("value", 2)} AS sum_value
+FROM w
+GROUP BY window_start_ms, event_type
+"""
+
+
+@query("sliding_window_agg", _SLIDING_ORACLE)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute windows hopping every 5 (T7's overlapping
+    twin — trend panels, rate alerting): `window(ts, '10m', '5m')`
+    fans each event into exactly window/hop = 2 rows map-side, then
+    ONE aggregation shuffle, same as tumbling. The oracle derives the
+    two covering window starts arithmetically (floor-to-hop and its
+    predecessor). Shuffle volume scales with the fan-out factor — keep
+    window/hop small at 100 TB, or pre-aggregate per hop and merge
+    hops (the standard two-level sliding-window trick)."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_sum(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
