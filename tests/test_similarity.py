@@ -213,3 +213,27 @@ def test_sql_expr_forms_match_column_forms(spark, emb):
     )
     bad = cmp.filter(~F.col("d_eq") | ~F.col("n_eq") | ~F.col("b_eq")).count()
     assert bad == 0
+
+
+def test_sq_int8_ranking_quality(spark, emb):
+    """Scalar-quantized search must track the float baseline: for each
+    query, the int8 top-5 and the exact float top-5 overlap on most
+    neighbors (absmax int8 on unit-ish vectors perturbs cosines by
+    ~1/127 — far below typical neighbor gaps), and the quantized
+    scores of the agreeing pairs sit within 0.05 of the float scores."""
+    from dod_etl_spark.operators.similarity import sq_int8_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, k=5).collect()
+    quant = sq_int8_topk(queries, emb, k=5).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cosine"]
+    overlaps = []
+    for qid in ex:
+        qn = {r["neighbor_id"]: r["cosine_q"] for r in quant if r["query_id"] == qid}
+        inter = set(ex[qid]) & set(qn)
+        overlaps.append(len(inter) / 5.0)
+        for n in inter:
+            assert abs(ex[qid][n] - qn[n]) < 0.05, (qid, n, ex[qid][n], qn[n])
+    assert sum(overlaps) / len(overlaps) >= 0.6, overlaps
