@@ -2492,3 +2492,91 @@ def sq_int8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return sq_int8_topk(queries, emb, k=5)
+
+
+# --- Per-source duplication report -------------------------------------------
+
+_DUP_RATE_ORACLE = f"""
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups,
+       {sround_sql("CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*)", 6)} AS dup_rate
+FROM documents
+GROUP BY source
+"""
+
+
+@query("dedup_rate_by_source", _DUP_RATE_ORACLE)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources are polluting the corpus: per-source exact-dup
+    rate (docs minus distinct fingerprints). The actionable curation
+    report — a high-dup source gets capped (domain_cap_docs) or
+    re-crawled. One aggregation; the distinct-count shuffles (source,
+    16-byte fp), never text. At warehouse scale the exact distinct
+    swaps for the HLL sketch path (functions/sketches.py) at
+    |sources| x lgK cost."""
+    docs = t(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    n = F.count(F.lit(1))
+    nu = F.countDistinct(fp)
+    return docs.groupBy("source").agg(
+        n.alias("n_docs"),
+        nu.alias("n_unique"),
+        (n - nu).cast("long").alias("n_dups"),
+        stable_round((n - nu).cast("double") / n.cast("double"), 6).alias("dup_rate"),
+    )
+
+
+# --- Keep-BEST-per-cluster survivor selection --------------------------------
+
+_KEEP_BEST_ORACLE = f"""
+WITH assign AS ({_CLUSTERS_ORACLE}),
+scored AS (
+  SELECT a.cluster_id, a.doc_id, {sround_sql(_QUALITY_SQL, 6)} AS q
+  FROM assign a JOIN documents d ON a.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT cluster_id, doc_id, q,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM scored
+)
+SELECT cluster_id, doc_id AS best_doc_id, n_members, q AS best_quality
+FROM ranked WHERE rnk = 1
+"""
+
+
+@query("keep_best_per_cluster", _KEEP_BEST_ORACLE)
+def keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection that keeps the HIGHEST-QUALITY member of each
+    near-dup cluster — the curation-correct policy (keep-min-id keeps
+    whichever was crawled first; this keeps the best copy of the
+    boilerplate-mangled variants). Cluster assignments come from the
+    same LSH-edge connected components as dedup_clusters; the argmax
+    is one max_by aggregation over (assignment ⋈ quality) — quality is
+    computed in the scan, text never joins."""
+    docs = t(spark, sf_dir, "documents")
+    edges = minhash_cluster_edges(docs, num_hashes=8, band_size=2, shingle_len=5)
+    assign = dedup_cluster_assignments(docs, edges)
+    scored = assign.join(
+        docs.select(
+            "doc_id", stable_round(quality_score(F.col("text")), 6).alias("q")
+        ),
+        "doc_id",
+    )
+    pick = F.max_by(
+        F.struct(F.col("doc_id"), F.col("q")),
+        # argmax on (q, -doc_id): highest quality, smallest id on ties
+        F.struct(F.col("q"), (-F.col("doc_id")).alias("_nid")),
+    ).alias("_best")
+    return (
+        scored.groupBy("cluster_id")
+        .agg(pick, F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "cluster_id",
+            F.col("_best.doc_id").alias("best_doc_id"),
+            "n_members",
+            F.col("_best.q").alias("best_quality"),
+        )
+    )
