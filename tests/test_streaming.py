@@ -178,3 +178,47 @@ def test_oee_text_lines(spark):
     lines = oee_text_lines(oee).collect()
     assert all("," in r["value"] for r in lines)
     assert len(lines) == oee.count()
+
+
+def test_sliding_window_stream(spark, tmp_path):
+    """Streaming twin of the sliding_window_agg batch query (T7
+    overlapping windows): window(ts, 10m, 5m) over a file stream fans
+    each event into exactly window/hop = 2 windows, so the count mass
+    doubles and each event's two window starts are the floor-to-hop
+    and its predecessor."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "ev")
+    rows = [
+        (1, "2024-01-01 10:03:00", 1.0),
+        (2, "2024-01-01 10:07:00", 2.0),
+        (3, "2024-01-01 10:12:00", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, value double")
+    df.withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("event_id long, ts timestamp, value double").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis(F.col("w.start")).alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["ws"]: r["n"] for r in spark.sql("SELECT * FROM slide_t").collect()}
+    assert sum(got.values()) == 2 * len(rows)  # every event in exactly 2 windows
+    base = 1704103200000  # 2024-01-01 10:00:00 UTC
+    m5 = 300_000
+    assert got == {
+        base - m5: 1,       # 09:55-10:05: 10:03
+        base: 2,            # 10:00-10:10: 10:03, 10:07
+        base + m5: 2,       # 10:05-10:15: 10:07, 10:12
+        base + 2 * m5: 1,   # 10:10-10:20: 10:12
+    }
