@@ -2580,3 +2580,91 @@ def keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_best.q").alias("best_quality"),
         )
     )
+
+
+# --- Boilerplate span removal (chunk-level strip + reassembly) ----------------
+
+_BP_W = 32  # disjoint windows: stride == window, so reassembly is exact
+
+_BP_REMOVE_ORACLE = f"""
+WITH toksed AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, greatest(len(toks), 1) AS n FROM toksed
+), exploded AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(floor((n - 1) / {_BP_W}.0) AS BIGINT))) AS i
+  FROM sized
+), fp AS (
+  SELECT doc_id, i AS chunk_id,
+         array_to_string(list_slice(toks, i * {_BP_W} + 1, i * {_BP_W} + {_BP_W}), ' ') AS chunk_text,
+         md5(array_to_string(list_slice(toks, i * {_BP_W} + 1, i * {_BP_W} + {_BP_W}), ' ')) AS chunk_fp
+  FROM exploded
+), bp AS (
+  SELECT chunk_fp FROM fp GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT doc_id, chunk_id, chunk_text FROM fp
+  WHERE chunk_fp NOT IN (SELECT chunk_fp FROM bp)
+), rebuilt AS (
+  SELECT doc_id,
+         array_to_string(list(chunk_text ORDER BY chunk_id), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_chunks FROM fp GROUP BY doc_id
+)
+SELECT t.doc_id,
+       md5(coalesce(r.clean_text, '')) AS clean_fp,
+       coalesce(r.n_kept, 0) AS n_kept_chunks,
+       t.n_chunks - coalesce(r.n_kept, 0) AS n_removed_chunks
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
+@query("remove_boilerplate_docs", _BP_REMOVE_ORACLE)
+def remove_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style SPAN removal, end to end: disjoint 32-token chunks
+    (stride == window, so stripping chunks and re-joining the
+    survivors reconstructs the document exactly), chunks repeated
+    across >= 2 distinct documents are dropped, and each document is
+    REBUILT from its kept chunks in order — emitted as the rebuilt
+    text's fingerprint plus kept/removed counts (scalars; the driver
+    hash stays cheap). A doc that is pure boilerplate rebuilds to ''.
+
+    The chunk frame is materialized once and feeds the boilerplate
+    vote, the reassembly, and the per-doc totals (three consumers, one
+    tokenize). The boilerplate fingerprint set broadcasts (16-byte
+    fps); reassembly is one shuffle carrying kept chunk texts — the
+    irreducible payload of a TRANSFORM op (the report twin
+    chunk_dedup_stats moves fingerprints only)."""
+    from dod_etl_spark.operators.chunking import chunk_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = chunk_tokens(
+        docs, window=_BP_W, stride=_BP_W, keep_text=True
+    ).localCheckpoint(eager=True)
+    bp = (
+        chunks.groupBy("chunk_fp")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("chunk_fp")
+    )
+    kept = chunks.join(F.broadcast(bp), "chunk_fp", "left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+        lambda s: s["chunk_text"],
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(ordered, " ").alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("clean_text"), F.lit("")).cast("binary")).alias("clean_fp"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept_chunks"),
+        (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias(
+            "n_removed_chunks"
+        ),
+    )
