@@ -2668,3 +2668,163 @@ def remove_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_removed_chunks"
         ),
     )
+
+
+# --- Hashed-feature linear classifier scoring --------------------------------
+
+# fastText-style quality-classifier INFERENCE: the model is a broadcast
+# artifact (a weight vector over hashed bag-of-words features); scoring
+# is a pure projection. The weight table here is a deterministic stand-in
+# for a trained model's parameters — integer milli-weights so the
+# per-document sum is exact integer arithmetic in any engine (a float
+# dot product would hash-diverge on summation order).
+_CLF_D = 64  # hashed feature buckets (real models use 1-10M; D is a knob)
+
+
+def _clf_weights() -> list[int]:
+    # Deterministic LCG over the bucket index: integer weights in
+    # [-1000, 1000] (milli-units). Stands in for trained parameters.
+    return [((i * 2654435761 + 1013904223) % 2001) - 1000 for i in range(_CLF_D)]
+
+
+def _clf_idx_sql_duck(tk: str) -> str:
+    return f"((('0x' || substr(md5({tk}), 1, 8))::BIGINT % {_CLF_D}) + 1)"
+
+
+_CLF_W_LIST = ", ".join(str(w) for w in _clf_weights())
+
+_CLF_ORACLE = f"""
+SELECT doc_id,
+       len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_toks,
+       CAST(coalesce(list_sum(list_transform(
+           list_filter(string_split(lower(text), ' '), x -> x <> ''),
+           tk -> [{_CLF_W_LIST}][{_clf_idx_sql_duck('tk')}])), 0) AS BIGINT) AS score_milli,
+       {sround_sql(
+           f'''CAST(coalesce(list_sum(list_transform(
+               list_filter(string_split(lower(text), ' '), x -> x <> ''),
+               tk -> [{_CLF_W_LIST}][{_clf_idx_sql_duck('tk')}])), 0) AS DOUBLE)
+               / (1000.0 * greatest(len(list_filter(string_split(lower(text), ' '), x -> x <> '')), 1))''',
+           6,
+       )} AS score,
+       coalesce(list_sum(list_transform(
+           list_filter(string_split(lower(text), ' '), x -> x <> ''),
+           tk -> [{_CLF_W_LIST}][{_clf_idx_sql_duck('tk')}])), 0) > 0 AS label_positive
+FROM documents
+"""
+
+
+@query("classifier_score_docs", _CLF_ORACLE)
+def classifier_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier scoring (fastText-style quality
+    filter inference): token -> md5 hash bucket -> milli-weight lookup,
+    summed per document; positive-sum documents carry the keep label.
+
+    Scale shape: ZERO shuffles — the whole score is one higher-order
+    array expression inside the projection (filter/transform/aggregate
+    over split()), so it rides the parquet scan with column pruning and
+    runs JVM-side at 100 TB with no Python and no explode fan-out.
+    A real trained model swaps `_clf_weights` for its parameter vector
+    (broadcast once; D in the millions is still one literal/broadcast
+    array — FAISS-style model-as-metadata, like ivf centroids).
+
+    No reference counterpart (sanctioned LLM-pipeline extension:
+    quality scoring, BASELINE.json north-star)."""
+    docs = t(spark, sf_dir, "documents")
+    toks_sql = "filter(split(lower(text), ' '), x -> x != '')"
+    idx_sql = (
+        f"CAST((CAST(conv(substring(md5(CAST(tk AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+        f" % {_CLF_D}) + 1 AS INT)"
+    )
+    milli_sql = (
+        f"aggregate({toks_sql}, 0L,"
+        f" (acc, tk) -> acc + CAST(element_at(array({_CLF_W_LIST}), {idx_sql}) AS BIGINT))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({toks_sql})").alias("n_toks"),
+        F.expr(milli_sql).alias("score_milli"),
+        stable_round(
+            F.expr(milli_sql).cast("double")
+            / (F.lit(1000.0) * F.greatest(F.expr(f"size({toks_sql})"), F.lit(1))),
+            6,
+        ).alias("score"),
+        (F.expr(milli_sql) > 0).alias("label_positive"),
+    )
+
+
+# --- Domain-mixture rebalancing plan -----------------------------------------
+
+_MIXTURE_ORACLE = """
+WITH per AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+           AS actual_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(actual_tokens) AS BIGINT) AS total_tokens,
+         count(*) AS n_sources
+  FROM per
+)
+SELECT p.source, p.n_docs, p.actual_tokens,
+       CAST(t.total_tokens // t.n_sources AS BIGINT) AS target_tokens,
+       {rate} AS sample_rate,
+       {epochs} AS epochs
+FROM per p CROSS JOIN tot t
+""".format(
+    rate=sround_sql(
+        "least(1.0, CAST(t.total_tokens // t.n_sources AS DOUBLE) / p.actual_tokens)", 6
+    ),
+    epochs=sround_sql(
+        "CAST(t.total_tokens // t.n_sources AS DOUBLE) / p.actual_tokens", 6
+    ),
+)
+
+
+@query("domain_mixture_plan", _MIXTURE_ORACLE)
+def domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing plan: per-source token inventory plus
+    the sampling rate / epoch multiplier that moves the corpus to a
+    UNIFORM token share per source (the target-weights vector is a
+    parameter; uniform is the oracle-pinned default). epochs > 1 means
+    the source must be upsampled (repeated) to hit its share — the
+    DoReMi/Pile-style mixture knob computed from the data itself.
+
+    Scale shape: one map-side-combined groupBy(source) over the scan
+    (token counts are integer-exact), then a single-row global total
+    broadcast back over the per-source frame — the same two-pass
+    aggregate-then-broadcast shape as quality_cut; no window over the
+    corpus, nothing driver-side. Source cardinality is domains
+    (thousands), so the per-source frame is metadata-sized at 100 TB."""
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("size(filter(split(text, ' '), x -> x != ''))"))
+        .cast("long")
+        .alias("actual_tokens"),
+    )
+    tot = per.agg(
+        F.sum("actual_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    target = F.expr("total_tokens div n_sources").cast("long")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("target_tokens", target)
+        .select(
+            "source",
+            "n_docs",
+            "actual_tokens",
+            "target_tokens",
+            stable_round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("target_tokens").cast("double") / F.col("actual_tokens"),
+                ),
+                6,
+            ).alias("sample_rate"),
+            stable_round(
+                F.col("target_tokens").cast("double") / F.col("actual_tokens"), 6
+            ).alias("epochs"),
+        )
+    )
