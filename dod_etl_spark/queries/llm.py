@@ -2797,11 +2797,18 @@ def domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, nothing driver-side. Source cardinality is domains
     (thousands), so the per-source frame is metadata-sized at 100 TB."""
     docs = t(spark, sf_dir, "documents")
-    per = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.expr("size(filter(split(text, ' '), x -> x != ''))"))
-        .cast("long")
-        .alias("actual_tokens"),
+    # Materialize the per-source frame ONCE (it is domain-cardinality,
+    # i.e. metadata-sized): without this, `tot` re-derives it from the
+    # raw scan and the corpus is read + tokenized twice.
+    per = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr("size(filter(split(text, ' '), x -> x != ''))"))
+            .cast("long")
+            .alias("actual_tokens"),
+        )
+        .localCheckpoint(eager=True)
     )
     tot = per.agg(
         F.sum("actual_tokens").cast("long").alias("total_tokens"),

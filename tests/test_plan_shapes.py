@@ -77,6 +77,11 @@ def _count(plan: str, op: str) -> int:
         ("shard_assignment_stats", 1),
         # Time-RANGE frame: one window Exchange on user_id.
         ("value_trailing_1h", 1),
+        # Linear-model inference is one higher-order array projection:
+        # any exchange is a regression.
+        ("classifier_score_docs", 0),
+        # Per-source agg + single-row broadcast total.
+        ("domain_mixture_plan", 1),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
