@@ -82,6 +82,15 @@ def _count(plan: str, op: str) -> int:
         ("classifier_score_docs", 0),
         # Per-source agg + single-row broadcast total.
         ("domain_mixture_plan", 1),
+        # Single-shuffle funnel: groupBy(user) + sorted-array fold; the
+        # 3-way self-join formulation would cost 3 fact shuffles.
+        ("funnel_signup_purchase", 1),
+        # Join-free cohort triangle: one (user_id) agg computing
+        # min-day + day-set together, one post-explode agg.
+        ("retention_cohorts", 2),
+        # lag window on user_id + |types|^2 aggregate + tiny
+        # normalizing window.
+        ("event_transition_matrix", 3),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
