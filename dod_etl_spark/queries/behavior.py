@@ -7,9 +7,11 @@ shuffle-disciplined Spark shapes a 100 TB events table needs:
 
 - funnel: ONE shuffle (groupBy user, sorted-array fold) instead of the
   textbook 3-way self-join (3 shuffles of the full fact table);
-- retention: first-seen + activity frames co-partitioned on user_id so
-  the join after their aggregations needs no extra exchange;
-- transitions: one window shuffle + a tiny (|types|^2) aggregate.
+- retention: join-free — min-day and the distinct active-day set come
+  out of one (user_id) aggregation;
+- transitions: one window shuffle + a tiny (|types|^2) aggregate;
+- RFM / z-score: global cut points return as ONE broadcast row
+  (never a global ntile/sort), facts never shuffle for the scoring.
 
 All oracle-paired against DuckDB on identical semantics (strict '>'
 stage ordering, microsecond event-time, epoch-ms output).
@@ -20,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dod_etl_spark.functions.scalar import stable_round
+from dod_etl_spark.functions.scalar import stable_round, stable_sum
 from dod_etl_spark.queries.base import query, sround_sql, t
 
 # --- Ordered funnel: signup -> click -> purchase ------------------------------
@@ -202,4 +204,213 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(
             F.col("n_transitions") / F.sum("n_transitions").over(wp), 6
         ).alias("p_next"),
+    )
+
+
+# --- RFM segmentation ---------------------------------------------------------
+#
+# Classic customer-value segmentation (recency / frequency / monetary)
+# over purchase events.  The quartile bucketing deliberately avoids a
+# global ntile() — that sorts every user on ONE partition; instead the
+# three quartile thresholds come back as a single broadcast row (the
+# quality_cut / rarity-decile pattern), so at 100 TB the shape stays
+# one fact shuffle + one metadata-sized scalar aggregate.
+
+_RFM_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         count(*) AS frequency,
+         {sround_sql("CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE)", 2)}
+           AS monetary,
+         max(ts) AS last_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), anchored AS (
+  SELECT user_id, frequency, monetary,
+         CAST((epoch_ms((SELECT max(last_ts) FROM per_user))
+               - epoch_ms(last_ts)) // 3600000 AS BIGINT) AS recency_h
+  FROM per_user
+), thr AS (
+  SELECT
+    [{", ".join(sround_sql(f"quantile_cont(recency_h, {q})", 6) for q in (0.25, 0.5, 0.75))}] AS r_ts,
+    [{", ".join(sround_sql(f"quantile_cont(frequency, {q})", 6) for q in (0.25, 0.5, 0.75))}] AS f_ts,
+    [{", ".join(sround_sql(f"quantile_cont(monetary, {q})", 6) for q in (0.25, 0.5, 0.75))}] AS m_ts
+  FROM anchored
+)
+SELECT a.user_id, a.recency_h, a.frequency, a.monetary,
+       1 + len(list_filter(thr.r_ts, t -> a.recency_h >= t)) AS r_q,
+       1 + len(list_filter(thr.f_ts, t -> a.frequency >= t)) AS f_q,
+       1 + len(list_filter(thr.m_ts, t -> a.monetary >= t)) AS m_q
+FROM anchored a, thr
+"""
+
+
+@query("rfm_segments", _RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartiles: one map-side-combined groupBy(user_id) over the
+    pushed-down purchase filter builds the per-user frame (materialized
+    once — the threshold aggregate and the global-anchor max would each
+    replay the fact scan otherwise); quartile thresholds and the
+    recency anchor return as ONE broadcast row."""
+    events = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("frequency"),
+            stable_sum(F.col("value"), 2).alias("monetary"),
+            F.max("ts").alias("last_ts"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    qs = "array(0.25D, 0.5D, 0.75D)"
+    thr = per_user.select(
+        F.unix_millis("last_ts").alias("last_ms"),
+        F.col("frequency").cast("double").alias("fq"),
+        F.col("monetary").alias("mq"),
+    ).agg(
+        F.max("last_ms").alias("anchor_ms"),
+        F.expr(f"transform(percentile(fq, {qs}), t -> floor(t * 1e6 + 0.5) / 1e6)").alias("f_ts"),
+        F.expr(f"transform(percentile(mq, {qs}), t -> floor(t * 1e6 + 0.5) / 1e6)").alias("m_ts"),
+    )
+    anchored = per_user.crossJoin(F.broadcast(thr)).select(
+        "user_id",
+        "frequency",
+        "monetary",
+        "f_ts",
+        "m_ts",
+        "anchor_ms",
+        (
+            (F.col("anchor_ms") - F.unix_millis("last_ts"))
+            / F.lit(3600000)
+        ).cast("long").alias("recency_h"),
+    ).localCheckpoint(eager=True)
+    r_thr = anchored.agg(
+        F.expr(f"transform(percentile(recency_h, {qs}), t -> floor(t * 1e6 + 0.5) / 1e6)").alias("r_ts")
+    )
+
+    def _quart(val, ts):
+        return F.lit(1) + F.size(
+            F.filter(F.col(ts), lambda x: val.cast("double") >= x)
+        )
+
+    return anchored.crossJoin(F.broadcast(r_thr)).select(
+        "user_id",
+        "recency_h",
+        "frequency",
+        "monetary",
+        _quart(F.col("recency_h"), "r_ts").alias("r_q"),
+        _quart(F.col("frequency"), "f_ts").alias("f_q"),
+        _quart(F.col("monetary"), "m_ts").alias("m_q"),
+    )
+
+
+# --- Top session paths --------------------------------------------------------
+
+_PATHS_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+), paths AS (
+  SELECT user_id, session_id,
+         array_to_string((list(event_type ORDER BY ts, event_id))[1:8], '>') AS path
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+@query("top_session_paths", _PATHS_ORACLE)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common session journeys (first 8 event types per 30-min-gap
+    session).  Reuses sessionize_events' lag-gap semantics; the
+    (user_id, session_id) aggregation consumes the window's user_id
+    partitioning (no second fact exchange), the path-count frame is
+    |distinct paths| rows, and the global top-20 runs as
+    TakeOrdered (per-partition heads, never a full sort)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(F.when(gap > 30 * 60000, 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    path = F.array_join(
+        F.slice(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            1,
+            8,
+        ),
+        ">",
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+# --- Per-type z-score outliers ------------------------------------------------
+#
+# Moment sums are decimal-exact (order-independent), so mean/variance —
+# and therefore every z-score — are bit-identical across engines; the
+# flag threshold compares the same doubles on both sides.
+
+_ZSCORE_ORACLE = f"""
+WITH moments AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(27,6)) * CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, {sround_sql("e.value", 4)} AS value,
+       {sround_sql("(e.value - m.s1 / m.n) / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))", 4)} AS zscore
+FROM events e JOIN moments m USING (event_type)
+WHERE abs((e.value - m.s1 / m.n) / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))) >= 2.5
+"""
+
+
+@query("value_zscore_outliers", _ZSCORE_ORACLE)
+def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type anomaly screen: |z| >= 2.5 against decimal-exact
+    per-type moments.  The moments frame is |types| rows broadcast back
+    over the scan — the fact table never shuffles; at 100 TB this is
+    one map-side-combined scalar aggregate + a map-only flag pass."""
+    events = t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(27,6)")
+    moments = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    z = (F.col("value") - mean) / std
+    return (
+        events.join(F.broadcast(moments), "event_type")
+        .where(F.abs(z) >= 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            stable_round("value", 4).alias("value"),
+            stable_round(z, 4).alias("zscore"),
+        )
     )

@@ -91,6 +91,15 @@ def _count(plan: str, op: str) -> int:
         # lag window on user_id + |types|^2 aggregate + tiny
         # normalizing window.
         ("event_transition_matrix", 3),
+        # Quartile thresholds via broadcast percentile rows over the
+        # materialized per-user frame; no global ntile sort.
+        ("rfm_segments", 2),
+        # session window + path agg reusing its partitioning; global
+        # top-20 is TakeOrdered, not a sort exchange.
+        ("top_session_paths", 2),
+        # |types|-row moments broadcast back over the scan: the fact
+        # table never shuffles for the z-score flag.
+        ("value_zscore_outliers", 1),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
