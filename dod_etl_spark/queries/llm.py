@@ -2835,3 +2835,151 @@ def domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("epochs"),
         )
     )
+
+
+# --- kNN label propagation ------------------------------------------------------
+
+_LABELPROP_ORACLE = f"""
+WITH graph AS ({_KNN_GRAPH_ORACLE}),
+votes AS (
+  SELECT g.vec_id, l.label, count(*) AS n_votes
+  FROM graph g JOIN embeddings l ON g.neighbor_id = l.vec_id
+  GROUP BY g.vec_id, l.label
+),
+best AS (
+  SELECT vec_id, label AS predicted_label, n_votes,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY n_votes DESC, label) AS rn
+  FROM votes
+)
+SELECT b.vec_id, t.label AS true_label, b.predicted_label, b.n_votes,
+       CAST(b.predicted_label = t.label AS INT) AS agree
+FROM best b JOIN embeddings t USING (vec_id)
+WHERE rn = 1
+"""
+
+
+@query("knn_label_propagation", _LABELPROP_ORACLE)
+def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label vote over the kNN graph: each vector's
+    predicted label is the majority among its top-3 approximate
+    neighbors (tie -> smallest label), with an agreement flag against
+    the stored label — the mislabel screen / pseudo-labeling primitive
+    (the graph twin of embedding_outliers' centroid-distance screen).
+
+    Shape on top of knn_graph's bucket-blocked plan: the neighbor-label
+    attach joins the (vec_id, label) projection — k rows per node,
+    labels only, never vectors; the majority vote is ONE max_by
+    aggregation per node (no second window exchange: the rank
+    formulation would re-partition by (vec_id, label) then again by
+    vec_id)."""
+    from dod_etl_spark.operators.similarity import knn_graph
+
+    emb = t(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    graph = knn_graph(emb, k=3, sign_dims=4)
+    votes = (
+        graph.join(
+            labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    best = votes.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("label", "n_votes"),
+            F.struct(F.col("n_votes"), (-F.col("label")).alias("neg")),
+        ).alias("b")
+    )
+    return best.join(labels, "vec_id").select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.col("b.label").alias("predicted_label"),
+        F.col("b.n_votes").alias("n_votes"),
+        (F.col("b.label") == F.col("label")).cast("int").alias("agree"),
+    )
+
+
+# --- Fixed-iteration PageRank over the kNN graph --------------------------------
+#
+# 3 unrolled power-iteration steps, damping 0.85, uniform start.  Every
+# per-node sum of incoming rank/degree contributions goes through
+# DECIMAL(27,12) (order-independent), so each iteration's rank vector is
+# bit-identical in any engine and the final rounded ranks hash-match.
+
+_PR_DAMP = "0.85"
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    prev = "r0"
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT n.vec_id,
+         0.15 + {_PR_DAMP} * coalesce(CAST(sum(
+             CAST(p.rank / d.deg AS DECIMAL(27,12))) AS DOUBLE), 0.0) AS rank
+  FROM nodes n
+  LEFT JOIN graph g ON g.neighbor_id = n.vec_id
+  LEFT JOIN {prev} p ON p.vec_id = g.vec_id
+  LEFT JOIN deg d ON d.vec_id = g.vec_id
+  GROUP BY n.vec_id
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH graph AS ({_KNN_GRAPH_ORACLE}),
+nodes AS (SELECT vec_id FROM embeddings),
+deg AS (SELECT vec_id, count(*) AS deg FROM graph GROUP BY vec_id),
+r0 AS (SELECT vec_id, 1.0 AS rank FROM nodes),
+{chain}
+SELECT vec_id, {sround_sql("rank", 6)} AS rank
+FROM {prev}
+"""
+
+
+@query("knn_pagerank", _pagerank_oracle())
+def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the approximate kNN graph — the
+    diversity/importance weight for graph-based curation (high-rank =
+    central/redundant region, low-rank = periphery), and the iterative-
+    dataflow pattern beyond connected components: a FIXED number of
+    power-iteration rounds, each one join + one decimal-exact
+    aggregation over the MATERIALIZED edge frame (graph + degrees are
+    localCheckpoint'ed once — 3N edges carrying (src, dst, deg, rank)
+    scalars, never vectors; without it every round would replay the
+    bucket self-join lineage)."""
+    from dod_etl_spark.operators.similarity import knn_graph
+
+    emb = t(spark, sf_dir, "embeddings")
+    nodes = emb.select("vec_id")
+    edges = (
+        knn_graph(emb, k=3, sign_dims=4)
+        .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    rank = nodes.select("vec_id", F.lit(1.0).alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ed.join(rank.withColumnRenamed("vec_id", "src"), "src")
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("deg")).cast("decimal(27,12)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("in_sum"))
+        )
+        rank = nodes.join(
+            contrib.withColumnRenamed("dst", "vec_id"), "vec_id", "left"
+        ).select(
+            "vec_id",
+            (
+                F.lit(0.15)
+                + F.lit(float(_PR_DAMP)) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return rank.select("vec_id", stable_round("rank", 6).alias("rank"))

@@ -263,3 +263,26 @@ def test_contamination_report_broadcast(spark):
     assert _count(plan, "BroadcastHashJoin") == 1, plan
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, "Exchange") <= 2, plan
+
+
+def test_label_propagation_shape(spark):
+    """knn_label_propagation: no cartesian; the majority vote is a
+    max_by aggregation (no second vote window — a rank formulation
+    would add a (vec_id, label) -> vec_id re-exchange); bounded
+    exchanges on top of the knn-graph plan."""
+    plan = _plan(spark, "knn_label_propagation")
+    assert _count(plan, "CartesianProduct") == 0
+    assert "max_by" in plan
+    assert _count(plan, "Exchange") <= 8, plan
+
+
+def test_pagerank_iterations_materialized(spark):
+    """knn_pagerank: the edge frame must be checkpointed ONCE — the
+    final plan re-reads it per iteration instead of replaying the
+    bucket self-join lineage (no md5/bucket-join operators may appear),
+    and each of the 3 rounds costs one join + one aggregation
+    exchange."""
+    plan = _plan(spark, "knn_pagerank")
+    assert _count(plan, "CartesianProduct") == 0
+    assert "Scan ExistingRDD" in plan  # checkpointed edges
+    assert _count(plan, "Exchange") <= 10, plan
