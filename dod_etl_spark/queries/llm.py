@@ -712,6 +712,7 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Deterministic curation: sampling / stratified top-k / budget packing ------
 
 from dod_etl_spark.operators.sampling import (  # noqa: E402
+    SAMPLE_BUCKETS,
     hash_bucket,
     hash_bucket_sql,
     hash_sample,
@@ -2983,3 +2984,83 @@ def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     return rank.select("vec_id", stable_round("rank", 6).alias("rank"))
+
+
+# --- Mixture-plan-driven deterministic sampling ---------------------------------
+#
+# Makes domain_mixture_plan ACTIONABLE: the per-source sampling rate it
+# computes is applied as a content-hash Bernoulli cut, so the
+# rebalanced corpus is reproducible on any cluster/partitioning/engine
+# (rand() is not). Upsampling sources (rate clamps at 1.0) keep every
+# row — their epochs>1 repetition happens at training time.
+
+_MIX_SAMPLE_SEED = 7
+
+_MIX_SAMPLE_ORACLE = f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+           AS actual_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(actual_tokens) AS BIGINT) AS total_tokens,
+         count(*) AS n_sources
+  FROM per
+), rates AS (
+  SELECT p.source,
+         least(1.0, CAST(t.total_tokens // t.n_sources AS DOUBLE) / p.actual_tokens)
+           AS rate
+  FROM per p CROSS JOIN tot t
+)
+SELECT d.doc_id, d.source,
+       {hash_bucket_sql("doc_id", _MIX_SAMPLE_SEED)} AS bucket,
+       {sround_sql("r.rate", 6)} AS sample_rate
+FROM documents d JOIN rates r USING (source)
+WHERE {hash_bucket_sql("doc_id", _MIX_SAMPLE_SEED)}
+      < CAST(floor(r.rate * {SAMPLE_BUCKETS}) AS BIGINT)
+"""
+
+
+@query("mixture_sample_docs", _MIX_SAMPLE_ORACLE)
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """domain_mixture_plan composed with hash_sample: keep each doc iff
+    its content bucket falls under its source's uniform-share rate.
+
+    Scale shape: the rates frame is domain-cardinality (metadata-sized)
+    and broadcast back, so the corpus scan is filtered in place — ONE
+    map-side-combined per-source aggregate, no fact shuffle, no
+    rand()."""
+    docs = t(spark, sf_dir, "documents")
+    per = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.expr("size(filter(split(text, ' '), x -> x != ''))"))
+            .cast("long")
+            .alias("actual_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.sum("actual_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.expr("total_tokens div n_sources").cast("double")
+            / F.col("actual_tokens"),
+        ).alias("rate"),
+    )
+    bucket = hash_bucket(F.col("doc_id"), _MIX_SAMPLE_SEED)
+    cut = F.floor(F.col("rate") * SAMPLE_BUCKETS).cast("long")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(bucket < cut)
+        .select(
+            "doc_id",
+            "source",
+            bucket.alias("bucket"),
+            stable_round("rate", 6).alias("sample_rate"),
+        )
+    )

@@ -100,6 +100,9 @@ def _count(plan: str, op: str) -> int:
         # |types|-row moments broadcast back over the scan: the fact
         # table never shuffles for the z-score flag.
         ("value_zscore_outliers", 1),
+        # Domain-cardinality rates broadcast back over the scan; the
+        # only exchange is the single-row total aggregate.
+        ("mixture_sample_docs", 1),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
@@ -286,3 +289,4 @@ def test_pagerank_iterations_materialized(spark):
     assert _count(plan, "CartesianProduct") == 0
     assert "Scan ExistingRDD" in plan  # checkpointed edges
     assert _count(plan, "Exchange") <= 10, plan
+
