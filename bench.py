@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "knn_graph_docs",
     "minhash_jaccard_est",
     "incremental_dedup_docs",
+    # Behavioral analytics (single-shuffle fold funnel) and the
+    # 3-round iterative PageRank over the kNN graph — the two new
+    # plan families (array-fold aggregation, fixed-point iteration).
+    "funnel_signup_purchase",
+    "knn_pagerank",
 ]
 
 
