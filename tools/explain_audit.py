@@ -50,6 +50,15 @@ AUDIT = [
     "corpus_diff",
     "rarity_score_docs",
     "incremental_dedup_docs",
+    "funnel_signup_purchase",
+    "retention_cohorts",
+    "event_transition_matrix",
+    "rfm_segments",
+    "top_session_paths",
+    "value_zscore_outliers",
+    "knn_label_propagation",
+    "knn_pagerank",
+    "mixture_sample_docs",
 ]
 
 
