@@ -3064,3 +3064,84 @@ def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round("rate", 6).alias("sample_rate"),
         )
     )
+
+
+# --- Gopher-style quality rule flags ---------------------------------------------
+#
+# The rule battery (Rae et al.'s Gopher heuristics, adapted to
+# newline-free synthetic docs): word-count bounds, mean word length
+# bounds, max single-token share, and stopword presence.  Every rule is
+# integer/rational arithmetic over the token array — map-only, rules
+# evaluate in the scan stage, and the conjunction is a pushable
+# predicate for downstream curation.
+
+_GOPHER_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(tk) AS n_words,
+         list_sum(list_transform(tk, x -> len(x))) AS n_chars,
+         list_max(list_transform(list_distinct(tk),
+                  d -> len(list_filter(tk, x -> x = d)))) AS top_tok_n,
+         len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'to', 'and'))) > 0
+           AS has_stopword
+  FROM toks
+)
+SELECT doc_id, n_words,
+       CAST(n_chars AS DOUBLE) / n_words AS mean_word_len,
+       CAST(top_tok_n AS DOUBLE) / n_words AS top_token_share,
+       CAST(has_stopword AS INT) AS has_stopword,
+       CAST(n_words >= 10 AND n_words <= 100000
+            AND (CAST(n_chars AS DOUBLE) / n_words) >= 2.0
+            AND (CAST(n_chars AS DOUBLE) / n_words) <= 12.0
+            AND (CAST(top_tok_n AS DOUBLE) / n_words) <= 0.25
+            AND has_stopword AS INT) AS passes_gopher
+FROM m
+WHERE n_words > 0
+"""
+
+
+@query("gopher_rules_docs", _GOPHER_ORACLE)
+def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule battery. All ratios are single divisions of
+    exact integers (no rounding needed — both engines compute the same
+    IEEE quotient); the top-token share runs over the distinct-token
+    array (vocabulary-sized per doc), never a groupBy."""
+    docs = t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    d = docs.select("doc_id", tk.alias("tk")).where(F.size("tk") > 0)
+    n_words = F.size("tk").cast("long")
+    n_chars = F.aggregate(
+        F.transform("tk", lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    top_tok_n = F.array_max(
+        F.transform(
+            F.array_distinct("tk"),
+            lambda dd: F.size(F.filter("tk", lambda x: x == dd)).cast("long"),
+        )
+    )
+    stop = F.lit(["the", "a", "of", "to", "and"])
+    has_stop = F.size(F.filter("tk", lambda x: F.array_contains(stop, x))) > 0
+    mean_len = n_chars.cast("double") / n_words
+    top_share = top_tok_n.cast("double") / n_words
+    passes = (
+        (n_words >= 10)
+        & (n_words <= 100000)
+        & (mean_len >= 2.0)
+        & (mean_len <= 12.0)
+        & (top_share <= 0.25)
+        & has_stop
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        top_share.alias("top_token_share"),
+        has_stop.cast("int").alias("has_stopword"),
+        passes.cast("int").alias("passes_gopher"),
+    )

@@ -103,6 +103,9 @@ def _count(plan: str, op: str) -> int:
         # Domain-cardinality rates broadcast back over the scan; the
         # only exchange is the single-row total aggregate.
         ("mixture_sample_docs", 1),
+        # Rule battery is pure array arithmetic in the scan stage: any
+        # exchange is a regression.
+        ("gopher_rules_docs", 0),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
