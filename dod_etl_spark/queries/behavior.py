@@ -414,3 +414,119 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(z, 4).alias("zscore"),
         )
     )
+
+
+# --- EWMA smoothing (alpha = 1/2, bit-exact) ------------------------------------
+#
+# Exponentially weighted moving average per user over the ordered value
+# stream.  alpha = 1/2 makes every fold step s = (s + x) / 2 an exact
+# IEEE operation (division by a power of two), and both engines fold
+# the SAME sorted sequence — so the smoothed value is bit-identical
+# cross-engine with no decimal detour.
+
+_EWMA_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id)::DOUBLE[] AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       len(vals) AS n_events,
+       {sround_sql("vals[len(vals)]", 4)} AS last_value,
+       {sround_sql("list_reduce(vals, (s, x) -> (s + x) / 2)", 6)} AS ewma
+FROM seq
+"""
+
+
+@query("ewma_user_value", _EWMA_ORACLE)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of the event value stream: ONE groupBy(user_id)
+    shuffle carrying (ts, id, value) scalars; the smoothing is a single
+    higher-order fold over the sorted array (seed = first element,
+    matching DuckDB's list_reduce) — the same single-shuffle
+    fold-aggregation family as the funnel."""
+    events = t(spark, sf_dir, "events")
+    seq = events.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda x: x["value"],
+        ).alias("vals")
+    )
+    n = F.size("vals")
+    ewma = F.aggregate(
+        F.slice("vals", 2, n - 1),
+        F.element_at("vals", 1),
+        lambda s, x: (s + x) / F.lit(2.0),
+    )
+    return seq.select(
+        "user_id",
+        n.cast("long").alias("n_events"),
+        stable_round(F.element_at("vals", n), 4).alias("last_value"),
+        stable_round(ewma, 6).alias("ewma"),
+    )
+
+
+# --- Last-touch purchase attribution --------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH touched AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN epoch_ms(ts) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ms
+  FROM events
+)
+SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS purchase_ms,
+       touch_type, touch_ms,
+       (epoch_ms(ts) - touch_ms) // 1000 AS gap_s
+FROM touched WHERE event_type = 'purchase'
+"""
+
+
+@query("purchase_attribution", _ATTRIBUTION_ORACLE)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    preceding non-purchase event.  ONE window shuffle on user_id; the
+    two ignore-nulls last() calls share the same when-condition, so
+    they always pick the same touch row.  (The purchase filter cannot
+    push below the window — it needs the non-purchase rows as
+    candidates — which is exactly why this is a window, not a join.)"""
+    events = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    touch_type = F.last(
+        F.when(non_purchase, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    touch_ms = F.last(
+        F.when(non_purchase, F.unix_millis("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            touch_type.alias("touch_type"),
+            touch_ms.alias("touch_ms"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.unix_millis("ts").alias("purchase_ms"),
+            "touch_type",
+            "touch_ms",
+            ((F.unix_millis("ts") - F.col("touch_ms")) / F.lit(1000))
+            .cast("long")
+            .alias("gap_s"),
+        )
+    )

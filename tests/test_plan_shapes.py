@@ -106,6 +106,9 @@ def _count(plan: str, op: str) -> int:
         # Rule battery is pure array arithmetic in the scan stage: any
         # exchange is a regression.
         ("gopher_rules_docs", 0),
+        # Single-shuffle fold aggregations / one window shuffle.
+        ("ewma_user_value", 1),
+        ("purchase_attribution", 1),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
