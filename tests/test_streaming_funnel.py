@@ -92,3 +92,63 @@ def test_streaming_funnel_stage_advances(spark, tmp_path):
     )
     assert rows[(2, 1)]["signup_ms"] == 2000
     assert rows[(2, 1)]["click_ms"] is None
+
+
+@pytest.mark.timeout(300)
+def test_streaming_funnel_checkpoint_recovery(spark, tmp_path):
+    """Funnel GroupState must survive a query restart: a stage-1 user
+    whose click+purchase arrive AFTER the restart still completes the
+    funnel with the pre-restart signup timestamp (state restored from
+    the checkpoint, input not re-processed)."""
+    from datetime import datetime, timezone
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def ts(ms: int):
+        return datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            funnel_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    spark.createDataFrame([(1, ts(1000), 9, "signup")], schema).coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+    run_once()
+
+    spark.createDataFrame(
+        [(2, ts(2000), 9, "click"), (3, ts(3000), 9, "purchase")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    run_once()
+
+    rows = {
+        (r["user_id"], r["stage_reached"]): r
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(rows) == {(9, 1), (9, 3)}
+    final = rows[(9, 3)]
+    # signup_ms comes from the PRE-restart batch via restored state.
+    assert (final["signup_ms"], final["click_ms"], final["purchase_ms"]) == (
+        1000,
+        2000,
+        3000,
+    )
