@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dod_etl_spark.functions.scalar import stable_round, stable_sum
-from dod_etl_spark.queries.base import query, sround_sql, t
+from dod_etl_spark.queries.base import query, sround_sql, ssum_sql, t
 
 # --- Ordered funnel: signup -> click -> purchase ------------------------------
 #
@@ -529,4 +529,55 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("gap_s"),
         )
+    )
+
+
+# --- Semi-structured props extraction --------------------------------------------
+#
+# The events table carries a JSON payload column (`props`) the way real
+# event pipelines do.  Typed extraction happens ONCE in the scan stage
+# via from_json with an explicit schema (no schema inference pass, no
+# string re-parsing per field); malformed payloads degrade to NULL and
+# are counted, not thrown — the quarantine posture (P1/F10) applied to
+# a column instead of the record.
+
+_PROPS_ORACLE = f"""
+WITH parsed AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         value
+  FROM events
+)
+SELECT event_type,
+       k // 10 AS k_decade,
+       count(*) AS n_events,
+       CAST(count(*) FILTER (WHERE k IS NULL) AS BIGINT) AS n_bad_payload,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       {ssum_sql("value", 2)} AS sum_value
+FROM parsed
+GROUP BY event_type, k // 10
+"""
+
+
+@query("props_extract_agg", _PROPS_ORACLE)
+def props_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload analytics: schema-directed from_json in the scan
+    stage, then ONE map-side-combined aggregate over (type, k-decade).
+    At 100 TB the JSON parse is the dominant CPU — doing it once per
+    row with an explicit schema (vs get_json_object per field) halves
+    the parse count the moment a second field is read."""
+    events = t(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
+        "value",
+    )
+    return parsed.groupBy(
+        "event_type",
+        F.expr("k div 10").alias("k_decade"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias("n_bad_payload"),
+        F.sum("k").cast("long").alias("sum_k"),
+        stable_sum(F.col("value"), 2).alias("sum_value"),
     )

@@ -109,6 +109,8 @@ def _count(plan: str, op: str) -> int:
         # Single-shuffle fold aggregations / one window shuffle.
         ("ewma_user_value", 1),
         ("purchase_attribution", 1),
+        # Schema-directed from_json in the scan stage; one aggregate.
+        ("props_extract_agg", 1),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
