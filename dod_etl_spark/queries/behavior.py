@@ -581,3 +581,84 @@ def props_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("long").alias("sum_k"),
         stable_sum(F.col("value"), 2).alias("sum_value"),
     )
+
+
+# --- Point-in-time SCD2 state lookup ---------------------------------------------
+#
+# "Which dimension version was valid when this event happened" — the
+# temporal-correctness query every feature pipeline needs (training-
+# serving skew comes from getting this wrong).  Because SCD2 validity
+# intervals tile contiguously per key, the interval-containment join
+# REDUCES to a backward as-of join — so the plan is operators/asof.py's
+# linear union+window merge (ONE shuffle), never the |events| x
+# |versions-per-key| non-equi fan-out the oracle below uses.
+
+_PIT_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, ts AS vts, epoch_ms(ts) AS valid_from_ms, value AS amount,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS version
+  FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), matched AS (
+  SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS event_ms,
+         v.version, v.valid_from_ms, v.amount,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY v.vts DESC, v.version DESC) AS rn
+  FROM e LEFT JOIN v ON v.user_id = e.user_id AND v.vts <= e.ts
+)
+SELECT event_id, user_id, event_ms,
+       CAST(version AS BIGINT) AS version, valid_from_ms,
+       {sround_sql("amount", 4)} AS amount,
+       CAST(version IS NOT NULL AS INT) AS has_state
+FROM matched WHERE rn = 1
+"""
+
+
+@query("events_scd2_pit", _PIT_ORACLE)
+def events_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct state attach: each view event gets the
+    purchase-history version valid AT its timestamp (events before the
+    first purchase keep NULL state — left-outer).  Right-side ties on
+    (user, ts) are pre-resolved to the highest version, matching the
+    as-of operator's contract."""
+    from dod_etl_spark.operators.asof import as_of_join
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            F.row_number().over(w).cast("long").alias("version"),
+            F.col("value").alias("amount"),
+        )
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("version").alias("version"),
+            F.max_by("amount", "version").alias("amount"),
+        )
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = as_of_join(
+        views,
+        versions,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["version", "amount"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("event_ms"),
+        "version",
+        F.unix_millis("asof_ts").alias("valid_from_ms"),
+        stable_round("amount", 4).alias("amount"),
+        F.col("version").isNotNull().cast("int").alias("has_state"),
+    )
