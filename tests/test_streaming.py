@@ -222,3 +222,62 @@ def test_sliding_window_stream(spark, tmp_path):
         base + m5: 2,       # 10:05-10:15: 10:07, 10:12
         base + 2 * m5: 1,   # 10:10-10:20: 10:12
     }
+
+
+def test_session_window_stream(spark, tmp_path):
+    """Native session_window() streaming aggregation (the engine's
+    sessionize_events batch twin): events within a 30-minute gap merge
+    into one growing session; a larger gap opens a new one. Pins the
+    merged session extents and per-session counts against the lag-gap
+    definition on the same data (boundary semantics coincide away from
+    the exact-gap edge, which microsecond event time never hits)."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "ev")
+    rows = [
+        # user 1: one session of 3 (gaps 10m, 20m), then a 40m gap ->
+        # second session of 1.
+        (1, "2024-01-01 10:00:00", 1),
+        (2, "2024-01-01 10:10:00", 1),
+        (3, "2024-01-01 10:30:00", 1),
+        (4, "2024-01-01 11:10:00", 1),
+        # user 2: single-event session.
+        (5, "2024-01-01 10:05:00", 2),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long")
+    df.withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long"
+    ).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("ss"),
+            F.unix_millis(F.col("w.end")).alias("se"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["ss"]): (r["se"], r["n"])
+        for r in spark.sql("SELECT * FROM sess_t").collect()
+    }
+    t0 = 1704103200000  # 2024-01-01 10:00:00 UTC
+    m = 60_000
+    # session end = last event + gap (session_window extent semantics).
+    assert got == {
+        (1, t0): (t0 + 30 * m + 30 * m, 3),          # 10:00..(10:30+gap)
+        (1, t0 + 70 * m): (t0 + 70 * m + 30 * m, 1),  # 11:10..(+gap)
+        (2, t0 + 5 * m): (t0 + 5 * m + 30 * m, 1),
+    }
