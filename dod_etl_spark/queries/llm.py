@@ -3145,3 +3145,91 @@ def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         has_stop.cast("int").alias("has_stopword"),
         passes.cast("int").alias("passes_gopher"),
     )
+
+
+# --- Mixture-plan epoch realization (upsampling) ---------------------------------
+#
+# mixture_sample_docs realizes the DOWNSAMPLING half of the mixture
+# plan (rate clamps at 1.0); this realizes the UPSAMPLING half: a
+# source with epochs = 2.3 emits every doc twice plus a deterministic
+# 30% third copy — the materialized repetition a trainer without an
+# epoch-weighting dataloader needs.  Copy counts are content-hash
+# decisions, so the expanded corpus is reproducible anywhere.
+
+_MIX_UP_SEED = 11
+
+_MIX_UPSAMPLE_ORACLE = f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+           AS actual_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(actual_tokens) AS BIGINT) AS total_tokens,
+         count(*) AS n_sources
+  FROM per
+), rates AS (
+  SELECT p.source,
+         CAST(t.total_tokens // t.n_sources AS DOUBLE) / p.actual_tokens AS epochs
+  FROM per p CROSS JOIN tot t
+)
+SELECT d.doc_id, d.source,
+       unnest(generate_series(1,
+         CAST(floor(r.epochs) AS BIGINT)
+         + CASE WHEN {hash_bucket_sql("d.doc_id", _MIX_UP_SEED)}
+                     < CAST(floor((r.epochs - floor(r.epochs)) * {SAMPLE_BUCKETS})
+                            AS BIGINT)
+                THEN 1 ELSE 0 END)) AS copy
+FROM documents d JOIN rates r USING (source)
+"""
+
+
+@query("mixture_upsample_docs", _MIX_UPSAMPLE_ORACLE)
+def mixture_upsample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, copy) rows realizing each source's epoch
+    multiplier: floor(epochs) full copies + one fractional copy decided
+    by content hash.  Scale shape: identical to mixture_sample — the
+    rates frame broadcasts, the explode is map-side in the scan stage,
+    and output volume equals the mixture plan's token budget by
+    construction."""
+    docs = t(spark, sf_dir, "documents")
+    per = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.expr("size(filter(split(text, ' '), x -> x != ''))"))
+            .cast("long")
+            .alias("actual_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.sum("actual_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (
+            F.expr("total_tokens div n_sources").cast("double")
+            / F.col("actual_tokens")
+        ).alias("epochs"),
+    )
+    bucket = hash_bucket(F.col("doc_id"), _MIX_UP_SEED)
+    frac_cut = F.floor(
+        (F.col("epochs") - F.floor("epochs")) * SAMPLE_BUCKETS
+    ).cast("long")
+    k = (
+        F.floor("epochs").cast("long")
+        + F.when(bucket < frac_cut, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.when(k >= 1, F.sequence(F.lit(1).cast("long"), k)).otherwise(
+                    F.array().cast("array<long>")
+                )
+            ).alias("copy"),
+        )
+    )

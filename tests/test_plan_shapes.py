@@ -103,6 +103,7 @@ def _count(plan: str, op: str) -> int:
         # Domain-cardinality rates broadcast back over the scan; the
         # only exchange is the single-row total aggregate.
         ("mixture_sample_docs", 1),
+        ("mixture_upsample_docs", 1),
         # Rule battery is pure array arithmetic in the scan stage: any
         # exchange is a regression.
         ("gopher_rules_docs", 0),
