@@ -60,59 +60,20 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 
 @query("funnel_signup_purchase", _FUNNEL_ORACLE)
 def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user ordered funnel in ONE shuffle: sort_array(collect_list)
-    + a single higher-order fold carrying (t1, t2, t3).  The sorted
-    order makes each stage's first-eligible event the first match; the
-    strict ts comparison inside the fold pins tie semantics to the
-    oracle's '>' independent of sort-order details."""
-    events = t(spark, sf_dir, "events").filter(
-        F.col("event_type").isin(*_FUNNEL_STAGES)
-    )
-    seq = F.sort_array(
-        F.collect_list(F.struct("ts", "event_type", "event_id"))
-    )
-    acc0 = F.struct(
-        F.lit(None).cast("timestamp").alias("t1"),
-        F.lit(None).cast("timestamp").alias("t2"),
-        F.lit(None).cast("timestamp").alias("t3"),
-    )
+    """Per-user ordered funnel in ONE shuffle (operators/funnel.py
+    funnel_fold — the generic N-stage fold; strict ts comparisons
+    inside the fold pin tie semantics to the oracle's '>' independent
+    of sort-order details)."""
+    from dod_etl_spark.operators.funnel import funnel_fold
 
-    def _step(acc, x):
-        et = x["event_type"]
-        take1 = acc["t1"].isNull() & (et == _FUNNEL_STAGES[0])
-        take2 = (
-            acc["t1"].isNotNull()
-            & acc["t2"].isNull()
-            & (et == _FUNNEL_STAGES[1])
-            & (x["ts"] > acc["t1"])
-        )
-        take3 = (
-            acc["t2"].isNotNull()
-            & acc["t3"].isNull()
-            & (et == _FUNNEL_STAGES[2])
-            & (x["ts"] > acc["t2"])
-        )
-        return F.struct(
-            F.when(take1, x["ts"]).otherwise(acc["t1"]).alias("t1"),
-            F.when(take2, x["ts"]).otherwise(acc["t2"]).alias("t2"),
-            F.when(take3, x["ts"]).otherwise(acc["t3"]).alias("t3"),
-        )
-
-    folded = (
-        events.groupBy("user_id")
-        .agg(F.aggregate(seq, acc0, _step).alias("f"))
-        .filter(F.col("f.t1").isNotNull())
-    )
-    return folded.select(
+    events = t(spark, sf_dir, "events")
+    f = funnel_fold(events, _FUNNEL_STAGES)
+    return f.select(
         "user_id",
-        F.unix_millis("f.t1").alias("signup_ms"),
-        F.unix_millis("f.t2").alias("click_ms"),
-        F.unix_millis("f.t3").alias("purchase_ms"),
-        (
-            F.lit(1)
-            + F.col("f.t2").isNotNull().cast("int")
-            + F.col("f.t3").isNotNull().cast("int")
-        ).alias("stage_reached"),
+        F.unix_millis("t1").alias("signup_ms"),
+        F.unix_millis("t2").alias("click_ms"),
+        F.unix_millis("t3").alias("purchase_ms"),
+        F.col("stage_reached").cast("int").alias("stage_reached"),
     )
 
 
