@@ -3233,3 +3233,81 @@ def mixture_upsample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("copy"),
         )
     )
+
+
+# --- Hybrid lexical + semantic dedup pairs ----------------------------------------
+#
+# Production near-dup pipelines run BOTH detectors: MinHash-LSH catches
+# verbatim/boilerplate overlap that embeddings smooth over; embedding
+# cosine catches paraphrases lexical shingles miss.  This emits the
+# union of the two oracle-paired pair generators with provenance, the
+# input a combined CC clustering (or an audit of detector overlap)
+# consumes.
+
+_HYBRID_ORACLE = f"""
+WITH lex AS (
+  SELECT id_1, id_2 FROM ({_minhash_oracle()})
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+          + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+), sem AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {sround_sql('''CASE WHEN a.n * b.n > 0
+                  THEN list_dot_product(a.v, b.v) / (a.n * b.n)
+                  ELSE 0.0 END''', 3)} >= 0.35
+)
+SELECT id_1, id_2,
+       CASE WHEN is_lex AND is_sem THEN 'both'
+            WHEN is_lex THEN 'lexical' ELSE 'semantic' END AS via
+FROM (
+  SELECT id_1, id_2,
+         bool_or(src = 'lex') AS is_lex, bool_or(src = 'sem') AS is_sem
+  FROM (
+    SELECT id_1, id_2, 'lex' AS src FROM lex
+    UNION ALL
+    SELECT id_1, id_2, 'sem' AS src FROM sem
+  ) GROUP BY id_1, id_2
+)
+"""
+
+
+@query("hybrid_dedup_pairs", _HYBRID_ORACLE)
+def hybrid_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of the MinHash-LSH and embedding-cosine pair generators
+    with per-pair provenance ('lexical' | 'semantic' | 'both').  Both
+    inputs are the engine's existing blocked generators (no new pair
+    shapes); the merge is one aggregation over (id_1, id_2) scalars —
+    at 100 TB the union frame carries two longs + a tag per candidate
+    pair, nothing corpus-sized."""
+    from dod_etl_spark.operators.similarity import embedding_near_dup_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    lex = minhash_candidates(
+        docs, num_hashes=8, band_size=2, shingle_len=5
+    ).select("id_1", "id_2", F.lit("lex").alias("src"))
+    sem = embedding_near_dup_pairs(emb, threshold=0.35, sign_dims=4).select(
+        "id_1", "id_2", F.lit("sem").alias("src")
+    )
+    merged = (
+        lex.unionByName(sem)
+        .groupBy("id_1", "id_2")
+        .agg(
+            F.max(F.col("src") == "lex").alias("is_lex"),
+            F.max(F.col("src") == "sem").alias("is_sem"),
+        )
+    )
+    return merged.select(
+        "id_1",
+        "id_2",
+        F.when(F.col("is_lex") & F.col("is_sem"), "both")
+        .when(F.col("is_lex"), "lexical")
+        .otherwise("semantic")
+        .alias("via"),
+    )

@@ -302,3 +302,11 @@ def test_pagerank_iterations_materialized(spark):
     assert "Scan ExistingRDD" in plan  # checkpointed edges
     assert _count(plan, "Exchange") <= 10, plan
 
+
+
+def test_hybrid_dedup_shape(spark):
+    """hybrid_dedup_pairs: both generators stay blocked (no cartesian),
+    and the provenance merge is one aggregation over pair scalars."""
+    plan = _plan(spark, "hybrid_dedup_pairs")
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "Exchange") <= 6, plan
