@@ -60,3 +60,49 @@ class MemorySink:
     @property
     def rows(self) -> list:
         return [r for b in self.batches for r in b]
+
+
+def jdbc_idempotent_writer(
+    spark, url: str, table: str, properties: dict[str, str]
+):
+    """S7 with effective exactly-once: foreachBatch redelivers a
+    micro-batch when a failure lands between the write and the
+    checkpoint commit, so a bare append double-writes.  This variant
+    stamps every row with its batch_id and makes the write a
+    DELETE-batch-then-INSERT: a replayed batch first removes whatever
+    the failed attempt managed to append, then writes the full batch —
+    idempotent under any number of redeliveries, no distributed
+    transaction needed.
+
+    The DELETE is one driver-side JDBC statement (metadata-sized: it
+    touches only the replayed batch's rows); the INSERT is the normal
+    distributed per-partition append.  First-ever batch: the DELETE
+    no-ops (or the table doesn't exist yet and the append creates it).
+    """
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        jvm = spark._jvm
+        try:
+            if properties.get("driver"):
+                jvm.java.lang.Class.forName(properties["driver"])
+            conn = jvm.java.sql.DriverManager.getConnection(url)
+            try:
+                st = conn.createStatement()
+                st.executeUpdate(
+                    f"DELETE FROM {table} WHERE BATCH_ID = {int(batch_id)}"
+                )
+                st.close()
+            finally:
+                conn.close()
+        except Exception:
+            # table absent (first batch) — the append below creates it
+            pass
+        out = batch
+        for f_ in batch.schema.fields:
+            if f_.dataType.simpleString() == "double":
+                out = out.withColumn(f_.name, nan_to_zero(F.col(f_.name)))
+        out = out.withColumn("BATCH_ID", F.lit(int(batch_id)).cast("long"))
+        out = out.withColumn("INGESTED_AT", F.current_timestamp())
+        out.write.mode("append").jdbc(url, table, properties=properties)
+
+    return write

@@ -110,3 +110,28 @@ def test_s7_streaming_foreachbatch_into_jdbc(spark, derby_url, tmp_path):
     ).load()
     vals = {r["id"]: r["oee"] for r in back.collect()}
     assert vals == {10: 0.25, 11: 0.0}
+
+
+def test_s7_idempotent_sink_survives_batch_replay(spark, derby_url):
+    """jdbc_idempotent_writer: redelivering a micro-batch (same
+    batch_id) must leave the table EXACTLY as if it ran once — the
+    retry first deletes the partial/previous attempt. Distinct
+    batch_ids still append."""
+    from dod_etl_spark.streaming.sinks import jdbc_idempotent_writer
+
+    write = jdbc_idempotent_writer(spark, derby_url, "OEE_IDEM", _props())
+    b0 = spark.createDataFrame([(1, 0.5), (2, 1.5)], "id int, oee double")
+    write(b0, 0)
+    # simulate a post-write pre-commit failure: the SAME batch replays,
+    # possibly with recomputed (identical) content
+    write(b0, 0)
+    write(b0, 0)
+    b1 = spark.createDataFrame([(3, 2.5)], "id int, oee double")
+    write(b1, 1)
+
+    back = spark.read.format("jdbc").options(
+        url=derby_url, dbtable="OEE_IDEM", **_props()
+    ).load()
+    assert back.count() == 3  # 2 from batch 0 (once), 1 from batch 1
+    assert {r["id"] for r in back.collect()} == {1, 2, 3}
+    assert {r["BATCH_ID"] for r in back.collect()} == {0, 1}
