@@ -189,6 +189,30 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(dest)
 
 
+def backfill_partitions(
+    df: DataFrame,
+    dest: str,
+    partition_cols: list[str],
+) -> None:
+    """Idempotent BACKFILL into a partitioned layout: overwrite exactly
+    the partitions present in `df`, leave every other partition
+    untouched (spark.sql.sources.partitionOverwriteMode=dynamic,
+    scoped to this write via the DataFrameWriter option).
+
+    This is the batch re-run contract a production pipeline needs: a
+    corrected day can be recomputed and rewritten any number of times
+    without duplicating rows (append would) or destroying the rest of
+    the table (static overwrite would). Pinned by
+    tests/test_compaction.py::test_backfill_overwrites_only_its_partitions.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(dest)
+    )
+
+
 def zorder_value(cols: list, bits: int = 16):
     """Z-order (Morton) interleave of 2+ integer rank columns into one
     clustering key, as a pure Column expression (shiftleft/or — codegen,

@@ -134,3 +134,31 @@ def test_zorder_file_skipping(spark, tmp_path):
         assert z_span < 0.5 * plain_span, (col, z_span, plain_span)
     # round-trip integrity
     assert spark.read.parquet(zdir).count() == ev.count()
+
+
+def test_backfill_overwrites_only_its_partitions(spark, tmp_path):
+    """catalog.backfill_partitions: re-running one day replaces exactly
+    that day's rows — other partitions untouched, no duplicates, any
+    number of re-runs."""
+    from dod_etl_spark.catalog import backfill_partitions
+
+    dest = str(tmp_path / "daily")
+    full = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+         ("2024-01-02", 3, 30.0)],
+        "day string, id int, v double",
+    )
+    backfill_partitions(full, dest, ["day"])
+
+    # corrected day-1 recompute: one row dropped, one value changed
+    fixed = spark.createDataFrame(
+        [("2024-01-01", 1, 11.0)], "day string, id int, v double"
+    )
+    backfill_partitions(fixed, dest, ["day"])
+    backfill_partitions(fixed, dest, ["day"])  # idempotent re-run
+
+    got = sorted(
+        (str(r["day"]), r["id"], r["v"])  # partition values read back typed
+        for r in spark.read.parquet(dest).collect()
+    )
+    assert got == [("2024-01-01", 1, 11.0), ("2024-01-02", 3, 30.0)]
