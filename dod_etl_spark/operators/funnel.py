@@ -37,6 +37,8 @@ def funnel_fold(
     """
     if len(stages) < 2:
         raise ValueError("funnel needs at least 2 stages")
+    if len(set(stages)) != len(stages):
+        raise ValueError("funnel stages must be distinct event types")
     n = len(stages)
     ev = events.filter(F.col(type_col).isin(*stages))
     seq = F.sort_array(

@@ -68,3 +68,8 @@ def test_first_eligible_wins(spark):
 def test_rejects_single_stage(spark):
     with pytest.raises(ValueError):
         funnel_fold(_events(spark, [(1, 100, "a")]), ["a"])
+
+
+def test_rejects_duplicate_stages(spark):
+    with pytest.raises(ValueError):
+        funnel_fold(_events(spark, [(1, 100, "a")]), ["a", "b", "a"])
