@@ -623,3 +623,51 @@ def events_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round("amount", 4).alias("amount"),
         F.col("version").isNotNull().cast("int").alias("has_state"),
     )
+
+
+# --- DAU / MAU stickiness ---------------------------------------------------------
+
+_STICKINESS_ORACLE = f"""
+WITH dau AS (
+  SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau
+  FROM events GROUP BY CAST(ts AS DATE)
+), mau AS (
+  SELECT date_trunc('month', ts)::DATE AS month, count(DISTINCT user_id) AS mau
+  FROM events GROUP BY date_trunc('month', ts)::DATE
+)
+SELECT epoch_ms(CAST(d.day AS TIMESTAMP)) AS day_ms,
+       d.dau, m.mau,
+       {sround_sql("CAST(d.dau AS DOUBLE) / m.mau", 6)} AS stickiness
+FROM dau d JOIN mau m ON date_trunc('month', d.day)::DATE = m.month
+"""
+
+
+@query("dau_mau_stickiness", _STICKINESS_ORACLE)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users over monthly active users — the standard
+    engagement ratio.  Both frames are distinct-count aggregates whose
+    shuffles carry (period, user) pairs; the MAU frame is
+    months-cardinality and broadcasts back onto the daily frame."""
+    events = t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    month = F.date_trunc("month", "ts").cast("date")
+    dau = events.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = events.groupBy(month.alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(
+            F.broadcast(mau),
+            F.date_trunc("month", F.col("day")).cast("date") == F.col("month"),
+        )
+        .select(
+            F.unix_millis(F.col("day").cast("timestamp")).alias("day_ms"),
+            "dau",
+            "mau",
+            stable_round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -112,6 +112,9 @@ def _count(plan: str, op: str) -> int:
         ("purchase_attribution", 1),
         # Schema-directed from_json in the scan stage; one aggregate.
         ("props_extract_agg", 1),
+        # Two distinct-count aggregates; months-cardinality MAU
+        # broadcast back onto the daily frame.
+        ("dau_mau_stickiness", 4),
         # SCD2 version window + tie-resolve agg + the single as-of
         # union window; never an events x versions non-equi fan-out.
         ("events_scd2_pit", 3),
