@@ -671,3 +671,58 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Funnel conversion summary ------------------------------------------------------
+
+_CONVERSION_ORACLE = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+), f AS (
+  SELECT s1.user_id, t1, t2, t3
+  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+)
+SELECT count(*) AS n_stage1,
+       count(t2) AS n_stage2,
+       count(t3) AS n_stage3,
+       {sround_sql("CAST(count(t2) AS DOUBLE) / count(*)", 6)} AS conv_1_2,
+       {sround_sql("CAST(count(t3) AS DOUBLE) / greatest(count(t2), 1)", 6)} AS conv_2_3,
+       {sround_sql("quantile_cont(epoch_ms(t2) - epoch_ms(t1), 0.5)", 4)} AS median_ms_1_2,
+       {sround_sql("quantile_cont(epoch_ms(t3) - epoch_ms(t2), 0.5)", 4)} AS median_ms_2_3
+FROM f
+"""
+
+
+@query("funnel_conversion_summary", _CONVERSION_ORACLE)
+def funnel_conversion_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel's one-row executive summary: stage counts, step
+    conversion rates, and exact median time-to-convert per step —
+    one scalar aggregate over the single-shuffle funnel_fold frame
+    (null stage timestamps drop out of count()/percentile() the same
+    way in both engines)."""
+    from dod_etl_spark.operators.funnel import funnel_fold
+
+    events = t(spark, sf_dir, "events")
+    f = funnel_fold(events, _FUNNEL_STAGES)
+    return f.agg(
+        F.count(F.lit(1)).alias("n_stage1"),
+        F.count("t2").alias("n_stage2"),
+        F.count("t3").alias("n_stage3"),
+        stable_round(F.count("t2") / F.count(F.lit(1)), 6).alias("conv_1_2"),
+        stable_round(
+            F.count("t3") / F.greatest(F.count("t2"), F.lit(1)), 6
+        ).alias("conv_2_3"),
+        stable_round(
+            F.expr("percentile(unix_millis(t2) - unix_millis(t1), 0.5D)"), 4
+        ).alias("median_ms_1_2"),
+        stable_round(
+            F.expr("percentile(unix_millis(t3) - unix_millis(t2), 0.5D)"), 4
+        ).alias("median_ms_2_3"),
+    )

@@ -115,6 +115,8 @@ def _count(plan: str, op: str) -> int:
         # Two distinct-count aggregates; months-cardinality MAU
         # broadcast back onto the daily frame.
         ("dau_mau_stickiness", 4),
+        # funnel fold shuffle + single-row summary aggregate.
+        ("funnel_conversion_summary", 2),
         # SCD2 version window + tie-resolve agg + the single as-of
         # union window; never an events x versions non-equi fan-out.
         ("events_scd2_pit", 3),
