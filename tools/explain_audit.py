@@ -59,6 +59,15 @@ AUDIT = [
     "knn_label_propagation",
     "knn_pagerank",
     "mixture_sample_docs",
+    "mixture_upsample_docs",
+    "gopher_rules_docs",
+    "ewma_user_value",
+    "purchase_attribution",
+    "props_extract_agg",
+    "events_scd2_pit",
+    "hybrid_dedup_pairs",
+    "dau_mau_stickiness",
+    "funnel_conversion_summary",
 ]
 
 
