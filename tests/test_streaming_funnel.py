@@ -152,3 +152,76 @@ def test_streaming_funnel_checkpoint_recovery(spark, tmp_path):
         2000,
         3000,
     )
+
+
+@pytest.mark.timeout(300)
+def test_streaming_funnel_v2_transform_with_state(spark, tmp_path):
+    """The transformWithStateInPandas variant must produce the same
+    stage-advance log as the applyInPandasWithState one on the same
+    two-batch input (cross-batch state, out-of-order rejection)."""
+    from datetime import datetime, timezone
+
+    from dod_etl_spark.streaming.funnel import funnel_stream_v2
+
+    if funnel_stream_v2 is None:
+        pytest.skip("transformWithStateInPandas requires Spark >= 4")
+    try:
+        # the TWS state server speaks protobuf to the Python worker;
+        # a broken/absent protobuf crashes the driver worker pre-init
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "state server cannot start in this environment")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def ts(ms: int):
+        return datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    spark.createDataFrame(
+        [(1, ts(500), 1, "click"), (2, ts(1000), 1, "signup")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(3, ts(1500), 1, "click"), (4, ts(1400), 1, "purchase"),
+         (5, ts(1600), 1, "purchase")],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        funnel_stream_v2(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    rows = {
+        (r["user_id"], r["stage_reached"]): r
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(rows) == {(1, 1), (1, 3)}
+    final = rows[(1, 3)]
+    assert (final["signup_ms"], final["click_ms"], final["purchase_ms"]) == (
+        1000,
+        1500,
+        1600,
+    )
