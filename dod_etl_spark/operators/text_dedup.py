@@ -406,3 +406,91 @@ def minhash_cluster_edges(
         .filter(F.col("id_1") != F.col("id_2"))
         .distinct()
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS local fingerprinting scheme): hash every k-gram, slide a
+    window of `window` consecutive hashes, select each window's
+    MINIMUM, emit the distinct selected hashes per document.
+
+    Guarantee: any shared substring of length >= k + window - 1
+    between two documents yields at least one shared selected
+    fingerprint — the property that makes this the standard primitive
+    for plagiarism / contamination / copied-span detection, where
+    MinHash (whole-document Jaccard) dilutes a short verbatim copy
+    inside a long document.
+
+    Windows are suffix-capped: the frame [pos, pos + window - 1] is
+    clipped at the k-gram sequence end (identical ROWS BETWEEN
+    semantics in Spark and DuckDB), so a document shorter than one
+    window still emits its global minimum. Selection density is the
+    textbook 2/(window+1).
+
+    Scale: one posexplode to (doc, pos, k-gram) — positional, NOT
+    distinct, because winnowing is order-sensitive — one md5 per
+    k-gram, one window pass partitioned by doc (single shuffle on
+    id_col), then a distinct that reuses the same partitioning. Output
+    is ~2·|kgrams|/(window+1) rows of (id, BIGINT) — signature-sized,
+    never corpus-sized."""
+    from pyspark.sql import Window as W
+
+    grams = spread(docs).select(
+        F.col(id_col),
+        F.posexplode(char_ngrams(F.col(text_col), k)).alias("pos", "gram"),
+    ).withColumn("_h", md5_prefix_long(F.col("gram")))
+    frame = (
+        W.partitionBy(id_col).orderBy("pos").rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        grams.select(F.col(id_col), F.min("_h").over(frame).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_shared_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 3,
+    max_bucket_size: int = 50,
+) -> DataFrame:
+    """Copied-span candidate pairs: documents sharing >= `min_shared`
+    winnowed fingerprints, with the shared count as match evidence.
+
+    The fingerprint self-join is bucketed by fp value — same shape as
+    the LSH band join, candidates only ever come from hash-equal
+    buckets. `max_bucket_size` drops fingerprints selected by more
+    documents than the cap (corpus-wide boilerplate k-grams — the
+    analog of stopword removal; a fingerprint shared by thousands of
+    documents carries no pair evidence but |bucket|^2 join cost).
+    The fingerprint frame is materialized once before the self-join
+    (no exchange reuse across alias subtrees — same measured rationale
+    as minhash_candidates)."""
+    from pyspark.sql import Window as W
+
+    fps = winnow_fingerprints(docs, id_col, text_col, k, window)
+    n_in_bucket = F.count(F.lit(1)).over(W.partitionBy("fp"))
+    fps = (
+        fps.withColumn("_bn", n_in_bucket)
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+        .localCheckpoint(eager=True)
+    )
+    a = fps.select(F.col(id_col).alias("id_1"), "fp")
+    b = fps.select(F.col(id_col).alias("id_2"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1,0 +1,323 @@
+"""Data-quality / provenance-analytics queries: declarative constraint
+suites (Deequ-style), winnowing fingerprints (MOSS), bigram-LM
+fluency scoring, and per-source distribution drift — each with an
+exact DuckDB oracle.
+
+These extend the batch-gate posture of the reference's per-row
+quarantine split (`stp/EventEnricher`) to TABLE-level admission
+control, and extend the dedup family with the local-fingerprint
+(copied-span) detector whole-document MinHash cannot provide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dod_etl_spark.operators import dq
+from dod_etl_spark.operators.text_dedup import (
+    winnow_fingerprints,
+    winnow_shared_pairs,
+)
+from dod_etl_spark.queries.base import query, sround_sql, t
+
+# --- Declarative data-quality constraint suite -------------------------------
+
+_EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
+
+_DQ_ORACLE = f"""
+WITH m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS row_count,
+         CASE WHEN count(*) = 0 THEN 1.0
+              ELSE CAST(count(user_id) AS DOUBLE) / count(*) END AS comp_user,
+         CASE WHEN count(*) = 0 THEN 1.0
+              ELSE CAST(count(value) AS DOUBLE) / count(*) END AS comp_value,
+         CASE WHEN count(*) = 0 THEN 1.0
+              ELSE CAST(count(DISTINCT event_id) AS DOUBLE) / count(*) END AS uniq_event,
+         CASE WHEN count(*) = 0 THEN 1.0
+              ELSE CAST(count(DISTINCT user_id) AS DOUBLE) / count(*) END AS uniq_user,
+         CAST(min(value) AS DOUBLE) AS min_value,
+         CAST(max(value) AS DOUBLE) AS max_value,
+         CASE WHEN count(*) = 0 THEN 1.0
+              ELSE CAST(count(*) FILTER (event_type IN
+                   ('click','view','signup','purchase','error')) AS DOUBLE)
+                   / count(*) END AS in_set_type,
+         CASE WHEN count(*) = 0 THEN 1.0
+              ELSE CAST(count(*) FILTER (props LIKE '{{%') AS DOUBLE)
+                   / count(*) END AS props_shape
+  FROM events
+)
+SELECT * FROM (
+  SELECT 'row_count' AS check_name, {sround_sql('row_count', 6)} AS metric,
+         CASE WHEN row_count >= 1 THEN 1 ELSE 0 END AS passed FROM m
+  UNION ALL
+  SELECT 'completeness(user_id)', {sround_sql('comp_user', 6)},
+         CASE WHEN comp_user >= 1.0 THEN 1 ELSE 0 END FROM m
+  UNION ALL
+  SELECT 'completeness(value)', {sround_sql('comp_value', 6)},
+         CASE WHEN comp_value >= 1.0 THEN 1 ELSE 0 END FROM m
+  UNION ALL
+  SELECT 'uniqueness(event_id)', {sround_sql('uniq_event', 6)},
+         CASE WHEN uniq_event >= 1.0 THEN 1 ELSE 0 END FROM m
+  UNION ALL
+  SELECT 'uniqueness(user_id)', {sround_sql('uniq_user', 6)},
+         CASE WHEN uniq_user >= 0.9 THEN 1 ELSE 0 END FROM m
+  UNION ALL
+  SELECT 'min(value)', {sround_sql('min_value', 6)},
+         CASE WHEN min_value >= 0.0 THEN 1 ELSE 0 END FROM m
+  UNION ALL
+  SELECT 'max(value)', {sround_sql('max_value', 6)},
+         CASE WHEN max_value <= 500.0 THEN 1 ELSE 0 END FROM m
+  UNION ALL
+  SELECT 'in_set(event_type)', {sround_sql('in_set_type', 6)},
+         CASE WHEN in_set_type >= 1.0 THEN 1 ELSE 0 END FROM m
+  UNION ALL
+  SELECT 'props_json_shape', {sround_sql('props_shape', 6)},
+         CASE WHEN props_shape >= 1.0 THEN 1 ELSE 0 END FROM m
+)
+"""
+
+
+@query("dq_checks_events", _DQ_ORACLE)
+def dq_checks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch admission-control suite over the events table: nine
+    constraints, ONE aggregation pass, |suite| output rows. The
+    uniqueness(user_id) >= 0.9 row fails by design on this data —
+    pinning that the report carries failures instead of throwing."""
+    events = t(spark, sf_dir, "events")
+    suite = [
+        dq.row_count(lo=1),
+        dq.completeness("user_id"),
+        dq.completeness("value"),
+        dq.uniqueness("event_id"),
+        dq.uniqueness("user_id", min_ratio=0.9),
+        dq.min_value("value", lo=0.0),
+        dq.max_value("value", hi=500.0),
+        dq.in_set("event_type", _EVENT_TYPES),
+        dq.satisfies("props_json_shape", F.col("props").startswith("{"), 1.0),
+    ]
+    return dq.run_checks(events, suite).withColumnRenamed("constraint", "check_name")
+
+
+# --- Winnowing fingerprints (MOSS local fingerprinting) ----------------------
+
+# Positional k-grams in DuckDB: generate_series can't take lateral
+# column args, so positions ride a struct-list comprehension (range end
+# +1: DuckDB range() is exclusive, Spark sequence() inclusive).
+_WINNOW_GRAMS_CTE = """grams AS (
+  SELECT doc_id, u['pos'] AS pos, u['gram'] AS gram FROM (
+    SELECT doc_id,
+           unnest([{'pos': i, 'gram': substr(text, i, 8)}
+                   for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS u
+    FROM documents
+  )
+)"""
+
+_WINNOW_FPS_SQL = f"""
+WITH {_WINNOW_GRAMS_CTE},
+hashed AS (
+  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h
+  FROM grams
+),
+sel AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM hashed
+)
+SELECT DISTINCT doc_id, fp FROM sel
+"""
+
+
+@query("winnow_fingerprints_docs", _WINNOW_FPS_SQL)
+def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed (k=8, w=4) fingerprint set per document — selection
+    density 2/(w+1), any shared substring >= 11 chars guaranteed to
+    collide. See operators.text_dedup.winnow_fingerprints."""
+    docs = t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=8, window=4)
+
+
+_WINNOW_PAIRS_SQL = f"""
+WITH {_WINNOW_GRAMS_CTE},
+hashed AS (
+  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h
+  FROM grams
+),
+sel AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM hashed
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+capped AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS bn FROM fps
+  ) WHERE bn <= 50
+)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS n_shared
+FROM capped a JOIN capped b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+@query("winnow_dup_pairs", _WINNOW_PAIRS_SQL)
+def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied-span candidate pairs: >= 3 shared winnowed fingerprints,
+    boilerplate fingerprints (bucket > 50 docs) dropped before the
+    self-join — see operators.text_dedup.winnow_shared_pairs."""
+    docs = t(spark, sf_dir, "documents")
+    return winnow_shared_pairs(docs, k=8, window=4, min_shared=3, max_bucket_size=50)
+
+
+# --- Bigram-LM fluency scoring ----------------------------------------------
+
+_LM_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS bigram
+  FROM toks WHERE len(tk) >= 2
+),
+c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+scored AS (
+  SELECT b.doc_id, (c2.c2 * 1000000) // c1.c1 AS milli
+  FROM bg b
+  JOIN c2 USING (bigram)
+  JOIN c1 ON split_part(b.bigram, ' ', 1) = c1.w1
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(milli) // count(*) AS BIGINT) AS avg_milliprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("lm_score_docs", _LM_SCORE_SQL)
+def lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style fluency scoring with a corpus-trained bigram MLE
+    model: score(doc) = mean over adjacent token pairs of
+    P(w2|w1) = c(w1 w2)/c(w1 ·), carried as floor-millionths BIGINTs
+    so every step is exact integer arithmetic (cross-engine
+    bit-identical; float log-prob sums would diverge on order).
+
+    Train and apply are the same two shuffles a 100 TB run needs: one
+    groupBy(bigram) with map-side combine builds the model, the
+    per-occurrence stream joins back on the bigram key (AQE broadcasts
+    the model side while it fits; at web-corpus vocabulary it degrades
+    to a hash-partitioned join on the same key — no new shape). The
+    bigram stream is materialized once and feeds model-build and
+    scoring, so the tokenize/explode lineage runs once."""
+    docs = t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    toks = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 2)
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1)
+        ),
+    )
+    bg = toks.select(
+        "doc_id", F.explode(bigram).alias("bigram")
+    ).localCheckpoint(eager=True)
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        c2.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    scored = (
+        bg.join(c2, "bigram")
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(c1, "w1")
+        .select("doc_id", F.expr("(c2 * 1000000) div c1").alias("milli"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(milli) div count(1)").cast("long").alias("avg_milliprob"),
+    )
+
+
+# --- Per-source distribution drift (total variation distance) ----------------
+
+_DRIFT_SQL = f"""
+WITH b AS (
+  SELECT source, n_chars // 50 AS bucket, count(*) AS n_sb
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT bucket, sum(n_sb) AS n_b FROM b GROUP BY 1),
+s AS (SELECT source, sum(n_sb) AS n_s FROM b GROUP BY 1),
+g AS (SELECT sum(n_sb) AS n FROM b),
+grid AS (
+  SELECT s.source, t.bucket, s.n_s, t.n_b, g.n
+  FROM s CROSS JOIN tot t CROSS JOIN g
+),
+j AS (
+  SELECT grid.*, coalesce(b.n_sb, 0) AS n_sb
+  FROM grid LEFT JOIN b USING (source, bucket)
+),
+acc AS (
+  SELECT source, max(n_s) AS n_docs,
+         sum(abs(n_sb * (n - n_s) - (n_b - n_sb) * n_s)) AS num,
+         max(n_s * (n - n_s)) AS den
+  FROM j GROUP BY source
+)
+SELECT source, n_docs,
+       {sround_sql('CAST(num AS DOUBLE) / (2.0 * den)', 6)} AS tvd
+FROM acc
+"""
+
+
+@query("source_drift_tvd", _DRIFT_SQL)
+def source_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift screen: per source, the total variation
+    distance between ITS document-length histogram (fixed 50-char
+    buckets) and the histogram of the REST of the corpus — the
+    source-level "does this crawl look different" alarm a mixture
+    pipeline checks before admitting a new snapshot.
+
+    Exactness at scale: the inner sum is kept in cross-multiplied
+    BIGINTs, |n_sb·(n−n_s) − (n_b−n_sb)·n_s|, so the only floating
+    division happens ONCE per source after aggregation — deterministic
+    on any partitioning and engine. (Beyond ~10^9 docs per term the
+    cross products approach 2^63; swap the sum to DECIMAL(38,0) then
+    — same plan, wider accumulator.) One scan -> one tiny
+    (source × bucket) aggregate; the grid/join/TVD all run on
+    metadata-sized frames."""
+    docs = t(spark, sf_dir, "documents")
+    b = (
+        docs.select("source", F.expr("n_chars div 50").alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_sb"))
+        .localCheckpoint(eager=True)
+    )
+    tot = b.groupBy("bucket").agg(F.sum("n_sb").alias("n_b"))
+    s = b.groupBy("source").agg(F.sum("n_sb").alias("n_s"))
+    g = b.agg(F.sum("n_sb").alias("n"))
+    grid = s.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(g))
+    j = grid.join(b, ["source", "bucket"], "left").withColumn(
+        "n_sb", F.coalesce(F.col("n_sb"), F.lit(0))
+    )
+    term = F.abs(
+        F.col("n_sb") * (F.col("n") - F.col("n_s"))
+        - (F.col("n_b") - F.col("n_sb")) * F.col("n_s")
+    )
+    acc = j.groupBy("source").agg(
+        F.max("n_s").alias("n_docs"),
+        F.sum(term).alias("num"),
+        F.max(F.col("n_s") * (F.col("n") - F.col("n_s"))).alias("den"),
+    )
+    from dod_etl_spark.functions.scalar import stable_round
+
+    return acc.select(
+        "source",
+        "n_docs",
+        stable_round(F.col("num").cast("double") / (2.0 * F.col("den")), 6).alias(
+            "tvd"
+        ),
+    )

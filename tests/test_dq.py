@@ -1,0 +1,187 @@
+"""Data-quality constraint engine semantics (operators/dq.py) and
+winnowing fingerprint guarantees (operators/text_dedup.py).
+
+Oracle parity for the registered queries (dq_checks_events,
+winnow_fingerprints_docs, winnow_dup_pairs, lm_score_docs,
+source_drift_tvd) is auto-covered by tests/test_oracle_parity.py; this
+file pins the operator-level contracts parity can't see.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dod_etl_spark.operators import dq
+from dod_etl_spark.operators.text_dedup import (
+    winnow_fingerprints,
+    winnow_shared_pairs,
+)
+
+
+def _report(df, suite):
+    return {
+        r["constraint"]: (r["metric"], r["passed"])
+        for r in dq.run_checks(df, suite).collect()
+    }
+
+
+def test_dq_basic_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "a", 30.0), (3, None, 40.0)],
+        "id INT, cat STRING, v DOUBLE",
+    )
+    rep = _report(
+        df,
+        [
+            dq.row_count(lo=1),
+            dq.completeness("cat", min_ratio=1.0),
+            dq.uniqueness("id", min_ratio=1.0),
+            dq.min_value("v", lo=0.0),
+            dq.max_value("v", hi=35.0),
+            dq.in_set("cat", ["a", "b"], min_ratio=0.7),
+        ],
+    )
+    assert rep["row_count"] == (4.0, 1)
+    assert rep["completeness(cat)"] == (0.75, 0)
+    assert rep["uniqueness(id)"] == (0.75, 0)
+    assert rep["min(v)"] == (10.0, 1)
+    assert rep["max(v)"] == (40.0, 0)
+    # 3 of 4 rows in-set (NULL cat is not in-set)
+    assert rep["in_set(cat)"] == (0.75, 1)
+
+
+def test_dq_empty_frame_vacuous_ratios(spark):
+    df = spark.createDataFrame([], "id INT, cat STRING")
+    rep = _report(
+        df,
+        [
+            dq.row_count(lo=1),
+            dq.completeness("cat"),
+            dq.uniqueness("id"),
+            dq.min_value("id", lo=0.0),
+        ],
+    )
+    # 0/0 ratios are vacuously 1.0 (pass); min() over empty is NULL -> fail.
+    assert rep["row_count"] == (0.0, 0)
+    assert rep["completeness(cat)"] == (1.0, 1)
+    assert rep["uniqueness(id)"] == (1.0, 1)
+    assert rep["min(id)"] == (None, 0)
+
+
+def test_dq_single_aggregation_pass(spark):
+    """The whole suite compiles to ONE Aggregate over one scan — no
+    per-constraint jobs, no joins."""
+    df = spark.range(100).withColumn("v", F.col("id").cast("double"))
+    report = dq.run_checks(
+        df, [dq.row_count(), dq.completeness("v"), dq.min_value("v", lo=0.0)]
+    )
+    plan = report._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_dq_approx_uniqueness_mode(spark):
+    df = spark.range(1000).withColumn("k", F.col("id") % 100)
+    rep = _report(df, [dq.uniqueness("k", min_ratio=0.05, approx=True)])
+    metric, passed = rep["uniqueness(k)"]
+    assert passed == 1
+    assert 0.08 <= metric <= 0.12  # ~100/1000 within HLL error
+
+
+def test_dq_gate_raises_and_passes(spark):
+    df = spark.createDataFrame([(1,), (1,)], "id INT")
+    with pytest.raises(ValueError, match="uniqueness"):
+        dq.assert_checks(df, [dq.uniqueness("id")])
+    out = dq.assert_checks(df, [dq.row_count(lo=2)])
+    assert out.count() == 2
+
+
+def test_dq_rejects_bad_suites(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="empty"):
+        dq.run_checks(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        dq.run_checks(df, [dq.row_count(), dq.row_count()])
+
+
+# --- Winnowing ---------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any shared substring of length >= k + w - 1 (= 11) must produce
+    at least one shared selected fingerprint — the winnowing paper's
+    core guarantee, independent of surrounding text."""
+    shared = "xqzvbnmwklp"  # 11 chars = k + w - 1
+    docs = _docs(
+        spark,
+        [
+            (1, f"aaaa bbbb cccc {shared} dddd eeee"),
+            (2, f"totally different prefix {shared} and suffix here"),
+        ],
+    )
+    fps = winnow_fingerprints(docs, k=8, window=4)
+    by_doc = {
+        r["doc_id"]: set(r["s"])
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("s")).collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared 11-char substring produced no shared fp"
+
+
+def test_winnow_short_doc_still_fingerprints(spark):
+    docs = _docs(spark, [(1, "ab")])  # shorter than one k-gram
+    fps = winnow_fingerprints(docs, k=8, window=4).collect()
+    assert len(fps) == 1
+
+
+def test_winnow_density(spark):
+    """Selected-set size tracks the textbook 2/(w+1) density on random
+    text (loose band: positional dedup pushes it below 1.5x)."""
+    import random
+
+    rng = random.Random(7)
+    text = " ".join(
+        "".join(rng.choice("abcdefghijklmnop") for _ in range(6)) for _ in range(200)
+    )
+    docs = _docs(spark, [(1, text)])
+    n_grams = len(text) - 7
+    n_sel = winnow_fingerprints(docs, k=8, window=4).count()
+    expected = 2.0 * n_grams / 5.0
+    assert 0.4 * expected <= n_sel <= 1.5 * expected, (n_sel, expected)
+
+
+def test_winnow_pairs_detect_copy_not_disjoint(spark):
+    copied = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(
+        spark,
+        [
+            (1, f"intro paragraph one {copied} closing words"),
+            (2, f"unrelated opening {copied} different ending"),
+            (3, "completely disjoint content with nothing in common zz"),
+        ],
+    )
+    pairs = {
+        (r["id_1"], r["id_2"])
+        for r in winnow_shared_pairs(docs, k=8, window=4, min_shared=3).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_bucket_cap_drops_boilerplate(spark):
+    """A fingerprint shared by more docs than the cap contributes no
+    pairs (the |bucket|^2 skew guard)."""
+    boiler = "common boilerplate sentence shared by every document here"
+    docs = _docs(spark, [(i, f"doc {i} says {boiler}") for i in range(1, 7)])
+    capped = winnow_shared_pairs(
+        docs, k=8, window=4, min_shared=1, max_bucket_size=3
+    ).count()
+    uncapped = winnow_shared_pairs(
+        docs, k=8, window=4, min_shared=1, max_bucket_size=1000
+    ).count()
+    assert uncapped == 15  # all C(6,2) pairs share the boilerplate
+    assert capped < uncapped
