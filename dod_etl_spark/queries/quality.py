@@ -321,3 +321,118 @@ def source_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tvd"
         ),
     )
+
+
+# --- PCA projection (rows-only: eigenvectors are numpy-derived) --------------
+
+
+@query("pca_project_embeddings", None)
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-dim PCA projection of the embeddings table — fit is one
+    moment-accumulation shuffle + a driver-side 64x64 eigh; apply is a
+    zero-shuffle literal-arithmetic projection (operators/projection).
+    Rows-only by design: the eigenbasis has no static SQL oracle (same
+    standing as ivf_kmeans_topk's trained centroids); numpy-agreement,
+    orthonormality, and partition-invariance are pytest-pinned in
+    tests/test_projection.py."""
+    from dod_etl_spark.functions.scalar import stable_round
+    from dod_etl_spark.operators.projection import pca_fit, pca_project
+
+    emb = t(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=8)
+    out = pca_project(emb, model, "embedding", "proj")
+    return out.select(
+        "vec_id",
+        F.transform(F.col("proj"), lambda x: stable_round(x, 4)).alias("proj"),
+    )
+
+
+# --- Winnowing span decontamination ------------------------------------------
+
+_WINNOW_DECON_SQL = f"""
+WITH {_WINNOW_GRAMS_CTE},
+hashed AS (
+  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h
+  FROM grams
+),
+sel AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM hashed
+),
+fps0 AS (SELECT DISTINCT doc_id, fp FROM sel),
+rare AS (
+  SELECT fp FROM (SELECT fp, count(*) AS n FROM fps0 GROUP BY fp) WHERE n <= 2
+),
+fps AS (SELECT fps0.* FROM fps0 JOIN rare USING (fp)),
+split AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_7'), 1, 8))::BIGINT
+          % 10000) < 1000 AS is_holdout
+  FROM documents
+),
+hold_fps AS (
+  SELECT DISTINCT fp FROM fps JOIN split USING (doc_id) WHERE is_holdout
+),
+train_hits AS (
+  SELECT f.doc_id, count(*) AS n_shared
+  FROM fps f
+  JOIN split s USING (doc_id)
+  JOIN hold_fps h USING (fp)
+  WHERE NOT s.is_holdout
+  GROUP BY f.doc_id
+)
+SELECT s.doc_id
+FROM split s
+LEFT JOIN train_hits t USING (doc_id)
+WHERE NOT s.is_holdout AND coalesce(t.n_shared, 0) < 2
+"""
+
+
+@query("winnow_decontaminate_docs", _WINNOW_DECON_SQL)
+def winnow_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level decontamination: drop train documents sharing >= 2
+    RARE winnowed fingerprints with the (hash-split) holdout — catches
+    a copied >=11-char span embedded in otherwise-novel text, which
+    whole-document md5 (decontaminate_train_docs) and fixed 5-gram
+    membership (ngram_decontaminate_docs) both dilute. Same split as
+    the md5 variant (sampling.split_train_holdout, seed 7, 10%).
+
+    Evidence is idf-gated: only fingerprints appearing in <= 2
+    documents corpus-wide count — a span shared by half the corpus is
+    boilerplate, not contamination (on template-heavy corpora like
+    this testdata, ungated span evidence flags EVERY train doc,
+    which is the degenerate all-contaminated answer).
+
+    Shape at 100 TB: the rare-fp filter is one groupBy(fp) over
+    signature-sized pairs; holdout fingerprints are a DISTINCT
+    projection of the (tiny) holdout split, broadcast into a semi-join
+    against the train fingerprint stream; the corpus text is read once
+    (winnowing), documents themselves never shuffle — only
+    (doc_id, fp) pairs."""
+    from dod_etl_spark.operators.sampling import split_train_holdout
+
+    docs = t(spark, sf_dir, "documents")
+    train, holdout = split_train_holdout(docs, "doc_id", 0.1, seed=7)
+    fps0 = winnow_fingerprints(docs, k=8, window=4)
+    rare = (
+        fps0.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= 2)
+        .select("fp")
+    )
+    fps = fps0.join(rare, "fp")
+    hold_ids = holdout.select("doc_id")
+    train_ids = train.select("doc_id")
+    hold_fps = (
+        fps.join(F.broadcast(hold_ids), "doc_id").select("fp").distinct()
+    )
+    train_fps = fps.join(F.broadcast(train_ids), "doc_id")
+    hits = (
+        train_fps.join(F.broadcast(hold_fps), "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return train_ids.join(hits, "doc_id", "left_anti")
