@@ -428,29 +428,28 @@ def winnow_fingerprints(
     inside a long document.
 
     Windows are suffix-capped: the frame [pos, pos + window - 1] is
-    clipped at the k-gram sequence end (identical ROWS BETWEEN
-    semantics in Spark and DuckDB), so a document shorter than one
-    window still emits its global minimum. Selection density is the
-    textbook 2/(window+1).
+    clipped at the k-gram sequence end (slice() caps identically to a
+    ROWS BETWEEN window, which is what the DuckDB oracle uses), so a
+    document shorter than one window still emits its global minimum.
+    Selection density is the textbook 2/(window+1).
 
-    Scale: one posexplode to (doc, pos, k-gram) — positional, NOT
-    distinct, because winnowing is order-sensitive — one md5 per
-    k-gram, one window pass partitioned by doc (single shuffle on
-    id_col), then a distinct that reuses the same partitioning. Output
-    is ~2·|kgrams|/(window+1) rows of (id, BIGINT) — signature-sized,
+    Scale: winnowing is PER-DOCUMENT LOCAL, so the whole selection is
+    array arithmetic in the scan stage — hash the k-gram array once,
+    slide the window with slice()+array_min(), dedup with
+    array_distinct(), explode the selected set. ZERO exchanges (an
+    explode + window-function formulation would shuffle the entire
+    k-gram stream on doc_id for no semantic gain); output is
+    ~2·|kgrams|/(window+1) rows of (id, BIGINT) — signature-sized,
     never corpus-sized."""
-    from pyspark.sql import Window as W
-
-    grams = spread(docs).select(
-        F.col(id_col),
-        F.posexplode(char_ngrams(F.col(text_col), k)).alias("pos", "gram"),
-    ).withColumn("_h", md5_prefix_long(F.col("gram")))
-    frame = (
-        W.partitionBy(id_col).orderBy("pos").rowsBetween(W.currentRow, window - 1)
+    hashes = F.transform(
+        char_ngrams(F.col(text_col), k), lambda g: md5_prefix_long(g)
     )
-    return (
-        grams.select(F.col(id_col), F.min("_h").over(frame).alias("fp"))
-        .distinct()
+    sel = F.transform(
+        F.sequence(F.lit(1), F.size(hashes)),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return spread(docs).select(
+        F.col(id_col), F.explode(F.array_distinct(sel)).alias("fp")
     )
 
 

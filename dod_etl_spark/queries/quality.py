@@ -415,7 +415,10 @@ def winnow_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     train, holdout = split_train_holdout(docs, "doc_id", 0.1, seed=7)
-    fps0 = winnow_fingerprints(docs, k=8, window=4)
+    # Materialized once: the fingerprint frame feeds the rarity count,
+    # the holdout projection, and the train stream — without the
+    # checkpoint the scan+md5+winnow lineage executes three times.
+    fps0 = winnow_fingerprints(docs, k=8, window=4).localCheckpoint(eager=True)
     rare = (
         fps0.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -120,6 +120,23 @@ def _count(plan: str, op: str) -> int:
         # SCD2 version window + tie-resolve agg + the single as-of
         # union window; never an events x versions non-equi fan-out.
         ("events_scd2_pit", 3),
+        # Whole DQ suite compiles to ONE Aggregate; the two exchanges
+        # are the multi-distinct Expand's partial/final pair.
+        ("dq_checks_events", 2),
+        # Winnowing is array arithmetic in the scan stage; the single
+        # exchange is spread()'s local-parallelism repartition (no-op
+        # at cluster scale).
+        ("winnow_fingerprints_docs", 1),
+        # Post-checkpoint: fp-bucket self-join + pair aggregation.
+        ("winnow_dup_pairs", 2),
+        # Model build (bigram agg + first-token rollup) + per-doc agg;
+        # model joins broadcast at this SF, hash-partitioned at scale.
+        ("lm_score_docs", 4),
+        # One (source, bucket) count; grid/TVD run on metadata-sized
+        # frames (broadcast totals).
+        ("source_drift_tvd", 3),
+        # PCA apply is literal arithmetic: any exchange is a regression.
+        ("pca_project_embeddings", 0),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
@@ -315,3 +332,14 @@ def test_hybrid_dedup_shape(spark):
     plan = _plan(spark, "hybrid_dedup_pairs")
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, "Exchange") <= 6, plan
+
+
+def test_winnow_decon_shape(spark):
+    """winnow_decontaminate_docs: fingerprint lineage materialized once
+    (checkpoint), rare-fp gate + holdout semi-joins stay bounded; the
+    one SMJ (rare-fp alignment) is an acceptable signature-sized join,
+    but a cartesian or an unbounded exchange count is a regression."""
+    plan = _plan(spark, "winnow_decontaminate_docs")
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "Exchange") <= 6, plan
+    assert _count(plan, "SortMergeJoin") <= 1, plan
