@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     # plan families (array-fold aggregation, fixed-point iteration).
     "funnel_signup_purchase",
     "knn_pagerank",
+    # Round-5 quality wave heavies: scan-stage winnowing feeding the
+    # fp-bucket pair join, and the bigram-LM train+score join family.
+    "winnow_dup_pairs",
+    "lm_score_docs",
 ]
 
 
