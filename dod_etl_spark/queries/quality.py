@@ -439,3 +439,49 @@ def winnow_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 2)
     )
     return train_ids.join(hits, "doc_id", "left_anti")
+
+
+# --- Numeric band (epsilon) join ---------------------------------------------
+
+_BAND_PAIRS_SQL = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT a.event_type, count(*) AS n_pairs
+FROM v a JOIN v b
+  ON a.event_type = b.event_type
+ AND a.event_id < b.event_id
+ AND abs(a.cents - b.cents) <= 2
+GROUP BY a.event_type
+"""
+
+
+@query("value_band_pairs", _BAND_PAIRS_SQL)
+def value_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance matching: count event pairs of the same type whose
+    values agree within 2 cents — the band-join family (sensor
+    reconciliation / price matching). Values are stable-rounded to
+    integer cents FIRST so the bucket decomposition is exact integer
+    arithmetic (float bucket edges could drop a boundary pair that the
+    oracle's direct |a-b| predicate keeps). The N² theta join the
+    oracle runs becomes a 3x-fanout equi hash join + residual filter
+    (operators/band_join.py) — bounded candidate volume at any scale."""
+    from dod_etl_spark.operators.band_join import band_join
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    a = ev.select(
+        F.col("event_id").alias("id_a"), "event_type", F.col("cents").alias("va")
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_b"), "event_type", F.col("cents").alias("vb")
+    )
+    pairs = band_join(a, b, "va", "vb", eps=2, on=["event_type"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_pairs"))

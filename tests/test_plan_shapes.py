@@ -137,6 +137,9 @@ def _count(plan: str, op: str) -> int:
         ("source_drift_tvd", 3),
         # PCA apply is literal arithmetic: any exchange is a regression.
         ("pca_project_embeddings", 0),
+        # Band join: bucket equi join (3x fan-out) + residual filter,
+        # one pair-count shuffle — never a cartesian theta join.
+        ("value_band_pairs", 1),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
