@@ -440,15 +440,25 @@ def winnow_fingerprints(
     explode + window-function formulation would shuffle the entire
     k-gram stream on doc_id for no semantic gain); output is
     ~2·|kgrams|/(window+1) rows of (id, BIGINT) — signature-sized,
-    never corpus-sized."""
+    never corpus-sized.
+
+    The hash array is materialized in its OWN projection before the
+    window pass: if the md5 transform is inlined into the selection
+    lambda, every slice re-evaluates the whole hash array — O(n²) md5
+    per document instead of O(n). Measured at sf0.1: 41.6 s inlined
+    vs 0.9 s materialized for the identical 558k-row output (the
+    separate select is a real projection boundary; CollapseProject
+    keeps it because the array is non-cheap and multiply-referenced).
+    """
     hashes = F.transform(
         char_ngrams(F.col(text_col), k), lambda g: md5_prefix_long(g)
     )
+    step = spread(docs).select(F.col(id_col), hashes.alias("_hs"))
     sel = F.transform(
-        F.sequence(F.lit(1), F.size(hashes)),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+        F.sequence(F.lit(1), F.size(F.col("_hs"))),
+        lambda i: F.array_min(F.slice(F.col("_hs"), i, window)),
     )
-    return spread(docs).select(
+    return step.select(
         F.col(id_col), F.explode(F.array_distinct(sel)).alias("fp")
     )
 
