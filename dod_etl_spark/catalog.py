@@ -297,3 +297,31 @@ def write_zordered(
         .drop("_z", *[f"_zr_{c}" for c in zorder_by], *[f"_zb_{c}" for c in zorder_by])
     )
     out.write.mode(mode).parquet(dest)
+
+
+def write_with_bloom(
+    df: DataFrame,
+    dest: str,
+    bloom_cols: list[str],
+    expected_ndv: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with BLOOM FILTERS on `bloom_cols` — the
+    file-skipping structure for POINT lookups on high-cardinality
+    columns, where min/max row-group stats are useless (a random id
+    falls inside every row group's [min, max]). A reader filtering
+    `col = literal` consults the bloom filter and skips row groups
+    that definitely lack the value — at 100 TB the difference between
+    opening every file of a shard and touching the two that can match.
+
+    Complements, not replaces, clustering: sort/Z-order makes RANGE
+    predicates prune via stats; blooms make EQUALITY predicates prune
+    despite unsorted layout. Size `expected_ndv` near the real
+    per-file distinct count — too low inflates false-positive rate
+    (skipping stops working), too high wastes footer bytes."""
+    writer = df.write.mode(mode)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        )
+    writer.parquet(dest)

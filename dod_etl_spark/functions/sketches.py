@@ -49,3 +49,24 @@ def approx_quantiles(col: Column | str, probs: list[float], accuracy: int = 1000
     return F.percentile_approx(
         c.cast("double"), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
     )
+
+
+def hll_intersect_est(
+    sketch_a: Column | str, sketch_b: Column | str
+) -> Column:
+    """Inclusion-exclusion estimate of |A ∩ B| from two HLL sketches:
+    est(A) + est(B) − est(A ∪ B), floored at 0 (the subtraction can go
+    slightly negative within sketch error on near-disjoint sets).
+
+    This is the standard HLL workaround for intersections (HLL supports
+    only union natively — a theta sketch would intersect directly, but
+    Spark ships HLL). Error grows with |A ∪ B| / |A ∩ B|: fine for
+    "how much do these two crawls overlap", unusable for tiny
+    intersections of huge sets — tests pin both regimes."""
+    a = F.col(sketch_a) if isinstance(sketch_a, str) else sketch_a
+    b = F.col(sketch_b) if isinstance(sketch_b, str) else sketch_b
+    est = F.hll_sketch_estimate
+    union = est(F.hll_union(a, b))
+    return F.greatest(
+        est(a) + est(b) - union, F.lit(0).cast("long")
+    ).cast("long")

@@ -162,3 +162,32 @@ def test_backfill_overwrites_only_its_partitions(spark, tmp_path):
         for r in spark.read.parquet(dest).collect()
     )
     assert got == [("2024-01-01", 1, 11.0), ("2024-01-02", 3, 30.0)]
+
+
+def test_bloom_filter_write_adds_structures(spark, tmp_path):
+    """write_with_bloom must actually emit bloom structures: same data
+    written with blooms is measurably larger than without (pyarrow
+    here can't introspect bloom offsets, so footprint is the check),
+    and reads back identically."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.catalog import write_with_bloom
+
+    df = spark.range(50_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("k")
+    ).coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    df.write.parquet(plain)
+    write_with_bloom(df, bloomed, ["k"], expected_ndv=50_000)
+
+    def psize(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert psize(bloomed) > psize(plain) + 10_000
+    assert spark.read.parquet(bloomed).count() == 50_000

@@ -43,3 +43,26 @@ def test_approx_quantiles_rank_accuracy(spark):
     q = ev.agg(approx_quantiles("value", [0.5]).alias("q")).first()["q"][0]
     rank = ev.filter(F.col("value") <= q).count()
     assert abs(rank / n - 0.5) < 0.01  # accuracy=10000 -> 1e-4 rank err + ties
+
+
+def test_hll_intersect_estimate(spark):
+    """Inclusion-exclusion intersection: accurate when the overlap is a
+    healthy fraction of the union; floored at 0 for near-disjoint sets."""
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.functions.sketches import hll_intersect_est, hll_partial
+
+    a = spark.range(0, 20000).select(F.col("id").alias("v"))
+    b = spark.range(10000, 30000).select(F.col("id").alias("v"))
+    sk = a.agg(hll_partial("v").alias("sa")).crossJoin(
+        b.agg(hll_partial("v").alias("sb"))
+    )
+    est = sk.select(hll_intersect_est("sa", "sb").alias("i")).first()["i"]
+    assert abs(est - 10000) / 10000 < 0.10  # compounded sketch error
+
+    dis = spark.range(40000, 60000).select(F.col("id").alias("v"))
+    sk2 = a.agg(hll_partial("v").alias("sa")).crossJoin(
+        dis.agg(hll_partial("v").alias("sb"))
+    )
+    est2 = sk2.select(hll_intersect_est("sa", "sb").alias("i")).first()["i"]
+    assert 0 <= est2 < 2000  # near-disjoint: small, never negative
