@@ -48,6 +48,13 @@ class TableSpec:
     # keys within the watermark window (state bounded, executor-side).
     dedupKeys: list[str] | None = None
     eventTimeColumnName: str | None = None  # watermark column for dedup
+    # Engine extension: declarative batch admission control — a list of
+    # constraint dicts compiled by operators.dq.compile_spec and
+    # evaluated in ONE aggregation pass before the table's data flows
+    # downstream. "enforce" raises on any failure; "report" only
+    # computes the report (caller reads it via builder.quality_report).
+    qualityChecks: list[dict] | None = None
+    qualityChecksMode: str = "enforce"  # "enforce" | "report"
 
 
 @dataclass(frozen=True)

@@ -149,3 +149,46 @@ def assert_checks(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
     if failed:
         raise ValueError(f"data-quality constraints failed: {failed}")
     return df
+
+
+# --- Config-surface compilation ----------------------------------------------
+
+def compile_spec(raw: list[dict]) -> list[Constraint]:
+    """Compile a JSON constraint list (the `qualityChecks` TableSpec
+    field) into Constraint objects. Kinds mirror the builder functions:
+
+        {"kind": "row_count", "lo": 1}
+        {"kind": "completeness", "col": "user_id", "min": 1.0}
+        {"kind": "uniqueness", "col": "event_id", "min": 1.0,
+         "approx": false}
+        {"kind": "min", "col": "value", "lo": 0.0}
+        {"kind": "max", "col": "value", "hi": 500.0}
+        {"kind": "in_set", "col": "event_type",
+         "values": ["click"], "min": 1.0}
+    """
+    out: list[Constraint] = []
+    for i, c in enumerate(raw):
+        kind = c.get("kind")
+        if kind == "row_count":
+            out.append(row_count(lo=c.get("lo", 1), hi=c.get("hi")))
+        elif kind == "completeness":
+            out.append(completeness(c["col"], min_ratio=c.get("min", 1.0)))
+        elif kind == "uniqueness":
+            out.append(
+                uniqueness(
+                    c["col"],
+                    min_ratio=c.get("min", 1.0),
+                    approx=bool(c.get("approx", False)),
+                )
+            )
+        elif kind == "min":
+            out.append(min_value(c["col"], lo=c["lo"]))
+        elif kind == "max":
+            out.append(max_value(c["col"], hi=c["hi"]))
+        elif kind == "in_set":
+            out.append(
+                in_set(c["col"], list(c["values"]), min_ratio=c.get("min", 1.0))
+            )
+        else:
+            raise ValueError(f"qualityChecks[{i}]: unknown kind {kind!r}")
+    return out

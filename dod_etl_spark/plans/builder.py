@@ -95,8 +95,18 @@ def prepare_event_stream(spec: PipelineSpec, events: DataFrame) -> DataFrame:
     it reaches a pipeline: watermark-windowed exact dedup when the table
     configures `dedupKeys` (+ `eventTimeColumnName`). Turns the
     reference's at-least-once Kafka consumption (T6) into
-    effectively-once with executor-side, watermark-evicted state."""
+    effectively-once with executor-side, watermark-evicted state.
+
+    `qualityChecks` (batch inputs only — a streaming frame cannot run
+    the gate's aggregate eagerly; use `quality_gate(spec)` inside
+    foreachBatch for the micro-batch twin): in "enforce" mode the whole
+    load is rejected with the failed constraint names before any
+    downstream work."""
     op = spec.operational
+    if op.qualityChecks and not events.isStreaming and op.qualityChecksMode == "enforce":
+        from dod_etl_spark.operators import dq
+
+        events = dq.assert_checks(events, dq.compile_spec(op.qualityChecks))
     if op.dedupKeys:
         if not events.isStreaming:
             # Batch replay of the same config: plain key dedup (no
@@ -230,3 +240,34 @@ def build_dedup_candidates(docs: DataFrame, spec: PipelineSpec, **kwargs) -> Dat
     from dod_etl_spark.operators.text_dedup import minhash_candidates
 
     return minhash_candidates(docs, hash_fn=spec.global_spec.hashFn, **kwargs)
+
+
+def quality_report(spark: SparkSession, spec: PipelineSpec, events: DataFrame) -> DataFrame:
+    """The operational table's configured constraint suite as a REPORT
+    frame (constraint, metric, passed) — the "report" mode companion to
+    the enforce gate in prepare_event_stream."""
+    from dod_etl_spark.operators import dq
+
+    op = spec.operational
+    if not op.qualityChecks:
+        raise ValueError(f"table {op.tableName} configures no qualityChecks")
+    return dq.run_checks(events, dq.compile_spec(op.qualityChecks))
+
+
+def quality_gate(spec: PipelineSpec):
+    """foreachBatch-composable micro-batch gate from the spec's
+    qualityChecks: returns fn(batch_df) -> batch_df that raises on a
+    failing batch (enforce) or passes everything through (report —
+    pair with quality_report on a sample for observability)."""
+    from dod_etl_spark.operators import dq
+
+    op = spec.operational
+    suite = dq.compile_spec(op.qualityChecks or [])
+    enforce = op.qualityChecksMode == "enforce"
+
+    def gate(batch: DataFrame) -> DataFrame:
+        if not suite or not enforce:
+            return batch
+        return dq.assert_checks(batch, suite)
+
+    return gate

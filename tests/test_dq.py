@@ -185,3 +185,68 @@ def test_winnow_bucket_cap_drops_boilerplate(spark):
     ).count()
     assert uncapped == 15  # all C(6,2) pairs share the boilerplate
     assert capped < uncapped
+
+
+# --- Config-surface compilation / builder wiring ----------------------------
+
+
+def test_compile_spec_roundtrip(spark):
+    raw = [
+        {"kind": "row_count", "lo": 1},
+        {"kind": "completeness", "col": "cat", "min": 0.5},
+        {"kind": "uniqueness", "col": "id"},
+        {"kind": "min", "col": "v", "lo": 0.0},
+        {"kind": "max", "col": "v", "hi": 100.0},
+        {"kind": "in_set", "col": "cat", "values": ["a", "b"], "min": 0.5},
+    ]
+    suite = dq.compile_spec(raw)
+    assert [c.name for c in suite] == [
+        "row_count",
+        "completeness(cat)",
+        "uniqueness(id)",
+        "min(v)",
+        "max(v)",
+        "in_set(cat)",
+    ]
+    df = spark.createDataFrame([(1, "a", 5.0), (2, "b", 6.0)], "id INT, cat STRING, v DOUBLE")
+    rep = {r["constraint"]: r["passed"] for r in dq.run_checks(df, suite).collect()}
+    assert all(v == 1 for v in rep.values())
+    with pytest.raises(ValueError, match="unknown kind"):
+        dq.compile_spec([{"kind": "nope"}])
+
+
+def test_builder_quality_gate_from_spec(spark):
+    from dod_etl_spark.config import GlobalSpec, PipelineSpec, TableSpec
+    from dod_etl_spark.plans.builder import prepare_event_stream, quality_gate, quality_report
+
+    checks = [
+        {"kind": "completeness", "col": "v", "min": 1.0},
+        {"kind": "min", "col": "v", "lo": 0.0},
+    ]
+    spec = PipelineSpec(
+        global_spec=GlobalSpec(),
+        tables=(
+            TableSpec(
+                tableName="EVENTS",
+                isOperational=True,
+                qualityChecks=checks,
+            ),
+        ),
+    )
+    good = spark.createDataFrame([(1.0,), (2.0,)], "v DOUBLE")
+    bad = spark.createDataFrame([(-1.0,), (None,)], "v DOUBLE")
+
+    # enforce: batch path raises on the bad load, passes the good one.
+    assert prepare_event_stream(spec, good).count() == 2
+    with pytest.raises(ValueError, match="constraints failed"):
+        prepare_event_stream(spec, bad).count()
+
+    # foreachBatch twin behaves identically per micro-batch.
+    gate = quality_gate(spec)
+    assert gate(good).count() == 2
+    with pytest.raises(ValueError, match="constraints failed"):
+        gate(bad)
+
+    # report mode: nothing raises, the report carries the failures.
+    rep = {r["constraint"]: r["passed"] for r in quality_report(spark, spec, bad).collect()}
+    assert rep == {"completeness(v)": 0, "min(v)": 0}
