@@ -226,3 +226,54 @@ def dedup_cluster_assignments(
     return comp.select(
         F.col("node").alias(id_col), F.col("component").alias("cluster_id")
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected graph:
+    (node, degree, n_triangles). The local-clustering building block
+    (communities in a near-dup graph, tightly-knit user cohorts).
+
+    Shape: canonicalize each edge to (a < b) once, build length-2 paths
+    by joining edges on the middle vertex, close each path with a third
+    edge lookup — every triangle found exactly once as a < b < c, three
+    equi hash joins, zero cartesian. Candidate volume is
+    Σ_v deg(v)² (the path join): bounded for bounded-degree graphs
+    (a kNN graph caps deg ≤ 2k). On power-law graphs the standard
+    compact-forward refinement — orient edges from lower- to
+    higher-degree endpoints so hubs never fan out — drops it to
+    O(|E|^1.5); documented escape hatch, not needed for the bounded-
+    degree inputs this engine feeds (the hook is a degree-join before
+    canonicalization)."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # 3 self-join aliases, 1 lineage
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    paths = e.join(e2, "b")  # (a,b) + (b,c) with a < b < c
+    closing = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tris = paths.join(closing, ["a", "c"]).select("a", "b", "c")
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    )

@@ -503,3 +503,94 @@ def winnow_shared_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def jaccard_similarity_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT token-set Jaccard self-join: every pair with
+    J(x, y) >= threshold, via prefix filtering (the PPJoin family) —
+    no LSH recall loss, no N² comparison.
+
+    Prefix theorem: order every document's distinct tokens by one
+    GLOBAL total order (ascending document frequency, rarest first —
+    ties broken by the token itself); if J(x,y) >= t, the two sets
+    share >= ceil(t·|x|) tokens, so they cannot avoid colliding within
+    each one's first |x| − ceil(t·|x|) + 1 tokens. Joining on PREFIX
+    tokens only is therefore complete — and the rarest-first order
+    makes those prefix buckets the smallest available, which is what
+    bounds the candidate volume (joining on a stopword would be the
+    |bucket|² skew disaster).
+
+    Exactness is the contrast with minhash_candidates: this finds
+    every qualifying pair and verifies the true Jaccard (array
+    intersection on the two sorted token sets); MinHash trades recall
+    for a fixed signature size. Cost grows with how common the rarest
+    shared token is — on corpora where every near-pair shares at
+    least one moderately-rare token (text with any content words),
+    candidates stay near-linear; on degenerate all-stopword corpora
+    prefix filtering alone cannot help and LSH is the right tool.
+
+    One tokenize pass feeds sizes, frequencies, prefixes and the
+    verification arrays (materialized once)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window as W
+
+    tok = (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.explode(distinct_tokens(F.col(text_col))).alias("token"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    arrs = tok.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("token")).alias("_toks"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = tok.join(dfreq, "token").withColumn(
+        "_pos",
+        F.row_number().over(
+            W.partitionBy(id_col).orderBy(F.col("_df"), F.col("token"))
+        ),
+    )
+    n_doc = F.count(F.lit(1)).over(W.partitionBy(id_col))
+    prefix = (
+        ranked.withColumn("_nd", n_doc)
+        .filter(
+            F.col("_pos")
+            <= F.col("_nd") - F.ceil(F.lit(threshold) * F.col("_nd")) + 1
+        )
+        .select(id_col, "token")
+    )
+    a = prefix.select(F.col(id_col).alias("id_1"), "token")
+    b = prefix.select(F.col(id_col).alias("id_2"), "token")
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    a_arr = arrs.select(
+        F.col(id_col).alias("id_1"), F.col("_toks").alias("_ta"), F.col("_n").alias("_na")
+    )
+    b_arr = arrs.select(
+        F.col(id_col).alias("id_2"), F.col("_toks").alias("_tb"), F.col("_n").alias("_nb")
+    )
+    inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
+    jac = inter.cast("double") / (F.col("_na") + F.col("_nb") - inter).cast("double")
+    return (
+        cand.join(a_arr, "id_1")
+        .join(b_arr, "id_2")
+        .withColumn("jaccard", stable_round(jac, 4))
+        .filter(
+            inter.cast("double")
+            >= F.lit(threshold) * (F.col("_na") + F.col("_nb") - inter).cast("double")
+        )
+        .select("id_1", "id_2", "jaccard")
+    )

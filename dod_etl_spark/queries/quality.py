@@ -485,3 +485,89 @@ def value_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a") < F.col("id_b")
     )
     return pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# --- Triangle counts over the kNN graph --------------------------------------
+
+# Reuse the exact kNN-graph derivation the knn_graph_docs oracle pins,
+# then canonicalize to undirected a<b edges and close length-2 paths.
+from dod_etl_spark.queries.llm import _KNN_GRAPH_ORACLE  # noqa: E402
+
+_TRIANGLES_SQL = f"""
+WITH graph AS ({_KNN_GRAPH_ORACLE}),
+und AS (
+  SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+                  greatest(vec_id, neighbor_id) AS b
+  FROM graph WHERE vec_id <> neighbor_id
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+  ) GROUP BY node
+),
+tris AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b AS node FROM tris
+    UNION ALL SELECT c AS node FROM tris
+  ) GROUP BY node
+)
+SELECT d.node, d.degree, coalesce(p.n_triangles, 0) AS n_triangles
+FROM deg d LEFT JOIN per_node p USING (node)
+"""
+
+
+@query("knn_triangles", _TRIANGLES_SQL)
+def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the (undirected) kNN graph — the
+    local-density signal that separates tight semantic clusters from
+    chains; three equi joins on a bounded-degree graph
+    (operators/graph.triangle_counts)."""
+    from dod_etl_spark.operators.graph import triangle_counts
+    from dod_etl_spark.operators.similarity import knn_graph
+
+    emb = t(spark, sf_dir, "embeddings")
+    g = knn_graph(emb, k=3, sign_dims=4)
+    return triangle_counts(g, "vec_id", "neighbor_id")
+
+
+# --- Exact Jaccard similarity join (prefix filtering / PPJoin family) --------
+
+_JACCARD_JOIN_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+  FROM documents
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_1, i.id_2,
+       {sround_sql('CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i)', 4)} AS jaccard
+FROM inter i
+JOIN sz sa ON i.id_1 = sa.doc_id
+JOIN sz sb ON i.id_2 = sb.doc_id
+WHERE CAST(i.i AS DOUBLE) >= 0.8 * (sa.n + sb.n - i.i)
+"""
+
+
+@query("jaccard_join_docs", _JACCARD_JOIN_SQL)
+def jaccard_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.8 self-join via prefix filtering (the PPJoin
+    family, operators/text_dedup.jaccard_similarity_join). The oracle
+    computes ground truth with an unfiltered all-shared-token join, so
+    this parity row ALSO proves prefix-filter completeness: a single
+    pair missed by the prefix optimization would hash-mismatch."""
+    from dod_etl_spark.operators.text_dedup import jaccard_similarity_join
+
+    docs = t(spark, sf_dir, "documents")
+    return jaccard_similarity_join(docs, threshold=0.8)

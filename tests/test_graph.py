@@ -94,3 +94,40 @@ def test_bucket_star_edges_same_components_as_cliques(spark, sf_dir):
     assert via_pairs.sort_values("doc_id").reset_index(drop=True).equals(
         via_stars.sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def test_triangle_counts_small_graph(spark):
+    """Known graph: one triangle (1,2,3) + a pendant edge (3,4) + an
+    isolated edge (5,6)."""
+    from dod_etl_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6), (2, 1)],  # (2,1) dup direction
+        "src LONG, dst LONG",
+    )
+    got = {r["node"]: (r["degree"], r["n_triangles"]) for r in triangle_counts(edges).collect()}
+    assert got == {
+        1: (2, 1),
+        2: (2, 1),
+        3: (3, 1),
+        4: (1, 0),
+        5: (1, 0),
+        6: (1, 0),
+    }
+
+
+def test_triangle_counts_k4_and_no_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.operators.graph import triangle_counts
+
+    # K4: every node sits in C(3,2) = 3 triangles.
+    import itertools
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(range(4), 2)], "src LONG, dst LONG"
+    )
+    out = triangle_counts(edges)
+    assert {r["n_triangles"] for r in out.collect()} == {3}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

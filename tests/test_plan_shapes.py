@@ -346,3 +346,15 @@ def test_winnow_decon_shape(spark):
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, "Exchange") <= 6, plan
     assert _count(plan, "SortMergeJoin") <= 1, plan
+
+
+def test_triangle_and_jaccard_join_shapes(spark):
+    """knn_triangles: three bounded-degree self-joins (post-checkpoint
+    SMJs on tiny canonical-edge frames are fine; a cartesian is not).
+    jaccard_join_docs: prefix-bucket candidate join + verify joins —
+    bounded exchanges, no cartesian, no nested loop."""
+    for name, max_ex in (("knn_triangles", 7), ("jaccard_join_docs", 7)):
+        plan = _plan(spark, name)
+        assert _count(plan, "CartesianProduct") == 0, name
+        assert _count(plan, "BroadcastNestedLoopJoin") == 0, name
+        assert _count(plan, "Exchange") <= max_ex, (name, plan)

@@ -188,3 +188,63 @@ def test_fingerprint_store_scan_is_bucketed(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS fp_bucket_t")
+
+
+# --- Exact Jaccard similarity join (prefix filtering) ------------------------
+
+
+def test_jaccard_join_matches_bruteforce(spark):
+    """Prefix-filtered join == brute-force all-pairs on random docs —
+    completeness and exactness in one property."""
+    import itertools
+    import random
+
+    from dod_etl_spark.operators.text_dedup import jaccard_similarity_join
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        n = rng.randint(3, 12)
+        rows.append((i, " ".join(rng.sample(vocab, n))))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r["id_1"], r["id_2"])
+            for r in jaccard_similarity_join(docs, threshold=t).collect()
+        }
+        want = set()
+        sets = {i: set(txt.split()) for i, txt in rows}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter >= t * union:
+                want.add((a, b))
+        assert got == want, f"t={t}: {got ^ want}"
+
+
+def test_jaccard_join_identical_and_disjoint(spark):
+    from dod_etl_spark.operators.text_dedup import jaccard_similarity_join
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),
+            (3, "delta epsilon zeta"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = jaccard_similarity_join(docs, threshold=0.99).collect()
+    assert {(r["id_1"], r["id_2"]) for r in rows} == {(1, 2)}
+    assert rows[0]["jaccard"] == 1.0
+
+
+def test_jaccard_join_rejects_bad_threshold(spark):
+    import pytest as _pytest
+
+    from dod_etl_spark.operators.text_dedup import jaccard_similarity_join
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id LONG, text STRING")
+    with _pytest.raises(ValueError):
+        jaccard_similarity_join(docs, threshold=0.0)
