@@ -566,13 +566,20 @@ def jaccard_similarity_join(
             F.col("_pos")
             <= F.col("_nd") - F.ceil(F.lit(threshold) * F.col("_nd")) + 1
         )
-        .select(id_col, "token")
+        .select(id_col, "token", "_nd")
     )
-    a = prefix.select(F.col(id_col).alias("id_1"), "token")
-    b = prefix.select(F.col(id_col).alias("id_2"), "token")
+    a = prefix.select(F.col(id_col).alias("id_1"), "token", F.col("_nd").alias("_la"))
+    b = prefix.select(F.col(id_col).alias("id_2"), "token", F.col("_nd").alias("_lb"))
+    # Length filter (standard PPJoin pruning): J(x,y) >= t forces
+    # t·|x| <= |y| <= |x|/t — drop size-incompatible pairs before the
+    # distinct/verify stages pay for them.
     cand = (
         a.join(b, "token")
-        .filter(F.col("id_1") < F.col("id_2"))
+        .filter(
+            (F.col("id_1") < F.col("id_2"))
+            & (F.col("_lb") >= F.lit(threshold) * F.col("_la"))
+            & (F.col("_la") >= F.lit(threshold) * F.col("_lb"))
+        )
         .select("id_1", "id_2")
         .distinct()
     )
