@@ -68,6 +68,17 @@ AUDIT = [
     "hybrid_dedup_pairs",
     "dau_mau_stickiness",
     "funnel_conversion_summary",
+    # Round-5 quality/similarity wave.
+    "dq_checks_events",
+    "winnow_fingerprints_docs",
+    "winnow_dup_pairs",
+    "winnow_decontaminate_docs",
+    "lm_score_docs",
+    "source_drift_tvd",
+    "value_band_pairs",
+    "pca_project_embeddings",
+    "jaccard_join_docs",
+    "knn_triangles",
 ]
 
 
