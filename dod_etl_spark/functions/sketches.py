@@ -70,3 +70,77 @@ def hll_intersect_est(
     return F.greatest(
         est(a) + est(b) - union, F.lit(0).cast("long")
     ).cast("long")
+
+
+# --- Count-Min sketch (deterministic, oracle-checkable) ----------------------
+
+def cm_bucket(col: Column | str, depth_idx, width: int) -> Column:
+    """Row j's bucket for value x: md5-prefix of "x_cm{j}" mod width —
+    the same cross-engine hash idiom as operators/sampling.hash_bucket,
+    so the sketch is bit-identical in any engine."""
+    from dod_etl_spark.functions.text import md5_prefix_long
+
+    c = F.col(col) if isinstance(col, str) else col
+    j = F.lit(depth_idx) if isinstance(depth_idx, int) else depth_idx
+    salted = F.concat(c.cast("string"), F.lit("_cm"), j.cast("string"))
+    return F.pmod(md5_prefix_long(salted), F.lit(width))
+
+
+def cm_sketch(df, col: str, depth: int = 4, width: int = 1024):
+    """Build a Count-Min sketch over `col` occurrences as a DataFrame:
+    (depth, bucket, cnt), at most depth x width rows.
+
+    Pure DataFrame aggregation — each row contributes `depth`
+    (row, bucket) pairs via a map-side explode, and the groupBy's
+    partial aggregation collapses every partition to <= depth·width
+    counters before the only shuffle: the classic CM property (bounded
+    state regardless of cardinality) expressed in Spark's own
+    partial-agg machinery, no UDF, no custom accumulator. Sketches of
+    disjoint data UNION by summing counters (groupBy (depth, bucket)
+    sum) — the same monoid posture as hll_partial/hll_merge, but with
+    a deterministic construction, so unlike HLL it is fully
+    ORACLE-CHECKABLE cross-engine.
+
+    Estimate(x) = min over j of cnt[j, bucket_j(x)] — overestimates
+    only: E[err] <= 2N/width per row, exponentially unlikely to
+    survive the min across depth rows."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        cm_bucket(col, j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p")
+    ).select("p.depth", "p.bucket")
+    return pairs.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cm_estimate(sketch, items, col: str, depth: int = 4, width: int = 1024):
+    """Point-query the sketch for every row of `items`: appends `est`
+    (BIGINT upper-bound count). The items side fans out x depth,
+    joins the (<= depth·width)-row sketch — broadcast-sized by
+    construction — and takes the min across rows."""
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        cm_bucket(col, j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("*", "p.depth", "p.bucket").drop("p")
+    joined = probes.join(F.broadcast(sketch), ["depth", "bucket"], "left").fillna(
+        0, subset=["cnt"]
+    )
+    keys = [c for c in items.columns]
+    return joined.groupBy(*keys).agg(F.min("cnt").alias("est"))

@@ -571,3 +571,62 @@ def jaccard_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return jaccard_similarity_join(docs, threshold=0.8)
+
+
+# --- Count-Min heavy-hitter tokens -------------------------------------------
+
+_CM_DEPTH, _CM_WIDTH, _CM_MIN = 4, 1024, 50
+
+
+def _cm_bucket_sql(expr: str, j: str) -> str:
+    return (
+        f"(('0x' || substr(md5({expr} || '_cm' || {j}), 1, 8))::BIGINT % {_CM_WIDTH})"
+    )
+
+
+_CM_HEAVY_SQL = f"""
+WITH occ AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+  FROM documents
+),
+pairs AS (
+  SELECT j.d AS depth, {_cm_bucket_sql('token', 'j.d')} AS bucket
+  FROM occ CROSS JOIN (SELECT unnest(range({_CM_DEPTH})) AS d) j
+),
+sketch AS (
+  SELECT depth, bucket, count(*) AS cnt FROM pairs GROUP BY depth, bucket
+),
+toks AS (SELECT DISTINCT token FROM occ),
+probes AS (
+  SELECT t.token, j.d AS depth, {_cm_bucket_sql('t.token', 'j.d')} AS bucket
+  FROM toks t CROSS JOIN (SELECT unnest(range({_CM_DEPTH})) AS d) j
+)
+SELECT p.token, min(coalesce(s.cnt, 0)) AS est
+FROM probes p LEFT JOIN sketch s USING (depth, bucket)
+GROUP BY p.token
+HAVING min(coalesce(s.cnt, 0)) >= {_CM_MIN}
+"""
+
+
+@query("cm_heavy_tokens", _CM_HEAVY_SQL)
+def cm_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy-hitter tokens via a Count-Min sketch
+    (functions/sketches.cm_sketch): the sketch is depth x width
+    counters built with ONE map-side-combined aggregation (bounded
+    state at any cardinality — the 100 TB path when an exact
+    groupBy(token) would shuffle web-scale vocabulary), probed per
+    distinct token, thresholded at est >= 50. The construction is
+    deterministic md5 arithmetic, so — unlike HLL — the whole sketch
+    AND its estimates are hash-checked against the oracle exactly."""
+    from dod_etl_spark.functions.sketches import cm_estimate, cm_sketch
+
+    docs = t(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+        ).alias("token")
+    ).localCheckpoint(eager=True)  # feeds sketch build AND distinct probes
+    sketch = cm_sketch(occ, "token", depth=_CM_DEPTH, width=_CM_WIDTH)
+    toks = occ.distinct()
+    est = cm_estimate(sketch, toks, "token", depth=_CM_DEPTH, width=_CM_WIDTH)
+    return est.filter(F.col("est") >= _CM_MIN)

@@ -66,3 +66,44 @@ def test_hll_intersect_estimate(spark):
     )
     est2 = sk2.select(hll_intersect_est("sa", "sb").alias("i")).first()["i"]
     assert 0 <= est2 < 2000  # near-disjoint: small, never negative
+
+
+def test_cm_sketch_bounds_and_merge(spark):
+    """CM estimates never undercount, overcount within the e·N/width
+    bound (loose factor applied), and sketches of disjoint halves merge
+    by counter addition into the full-data sketch."""
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.functions.sketches import cm_estimate, cm_sketch
+
+    # Zipf-ish: token t_k appears ~1000/k times.
+    rows = []
+    for k in range(1, 40):
+        rows += [(f"t{k}",)] * (1000 // k)
+    df = spark.createDataFrame(rows, "v STRING")
+    n = df.count()
+    width, depth = 256, 4
+    sk = cm_sketch(df, "v", depth=depth, width=width)
+    assert sk.count() <= depth * width
+    items = df.distinct()
+    est = {
+        r["v"]: r["est"]
+        for r in cm_estimate(sk, items, "v", depth=depth, width=width).collect()
+    }
+    true = {r["v"]: r["cnt"] for r in df.groupBy("v").agg(F.count("*").alias("cnt")).collect()}
+    for v, t in true.items():
+        assert est[v] >= t, (v, est[v], t)
+        assert est[v] <= t + 3 * n // width, (v, est[v], t)
+
+    # Merge: sketch(a) + sketch(b) == sketch(a ∪ b), counter-exact.
+    half1 = spark.createDataFrame(rows[: len(rows) // 2], "v STRING")
+    half2 = spark.createDataFrame(rows[len(rows) // 2 :], "v STRING")
+    merged = (
+        cm_sketch(half1, "v", depth=depth, width=width)
+        .unionByName(cm_sketch(half2, "v", depth=depth, width=width))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = cm_sketch(df, "v", depth=depth, width=width)
+    diff = merged.exceptAll(full).count() + full.exceptAll(merged).count()
+    assert diff == 0
