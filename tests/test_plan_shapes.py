@@ -140,6 +140,9 @@ def _count(plan: str, op: str) -> int:
         # Band join: bucket equi join (3x fan-out) + residual filter,
         # one pair-count shuffle — never a cartesian theta join.
         ("value_band_pairs", 1),
+        # CM sketch build (map-combined) + probe agg; the <= d·w-row
+        # sketch joins broadcast.
+        ("cm_heavy_tokens", 2),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
