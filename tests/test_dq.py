@@ -250,3 +250,41 @@ def test_builder_quality_gate_from_spec(spark):
     # report mode: nothing raises, the report carries the failures.
     rep = {r["constraint"]: r["passed"] for r in quality_report(spark, spec, bad).collect()}
     assert rep == {"completeness(v)": 0, "min(v)": 0}
+
+
+# --- CUSUM change-point detection power --------------------------------------
+
+
+def test_cusum_detects_injected_rate_shift(spark):
+    """A 3x sustained rate shift in the second half of one type's
+    timeline must raise alarms for THAT type and none for the steady
+    type — detection power the all-uniform oracle data can't show."""
+    import datetime
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    eid = 0
+    for h in range(200):
+        ts = base + datetime.timedelta(hours=h)
+        for _ in range(3):  # steady: 3/hour
+            rows.append((eid, ts, 1, "steady", 1.0, "{}")); eid += 1
+        rate = 9 if h >= 100 else 3  # shifted: 3 -> 9/hour at h=100
+        for _ in range(rate):
+            rows.append((eid, ts, 1, "shifted", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        from dod_etl_spark.queries import QUERIES
+
+        out = {
+            r["event_type"]: r["n_alarms"]
+            for r in QUERIES["cusum_changepoints"](spark, d).collect()
+        }
+    assert out["steady"] == 0
+    assert out["shifted"] > 0

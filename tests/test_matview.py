@@ -133,3 +133,53 @@ def test_bad_specs_rejected(spark, tmp_path):
         Metric("x", "sum")
     with pytest.raises(ValueError, match="unique"):
         AggMatView(spark, "mv_bad", ["k"], [Metric("n", "count"), Metric("n", "count")])
+
+
+def test_streaming_count_min_sketch_via_matview(spark, tmp_path):
+    """Composition: a continuously-maintained Count-Min sketch IS an
+    AggMatView keyed on (depth, bucket) fed with the per-batch CM
+    pairs — the sketch counters merge by addition, so heavy-hitter
+    estimates stay exact-to-the-sketch across any number of
+    micro-batches."""
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.functions.sketches import cm_bucket, cm_estimate
+    from dod_etl_spark.streaming.matview import AggMatView, Metric
+
+    depth, width = 4, 64
+
+    def pairs(batch):
+        return batch.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("depth"),
+                            cm_bucket("v", j, width).alias("bucket"),
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("p")
+        ).select("p.depth", "p.bucket")
+
+    mv = AggMatView(
+        spark,
+        name="mv_cm",
+        key_cols=["depth", "bucket"],
+        metrics=[Metric("cnt", "count")],
+        snapshot_dir=str(tmp_path / "cm"),
+    )
+    b1 = spark.createDataFrame([("hot",)] * 30 + [("a",), ("b",)], "v STRING")
+    b2 = spark.createDataFrame([("hot",)] * 20 + [("c",)], "v STRING")
+    mv.apply_batch(pairs(b1), 0)
+    mv.apply_batch(pairs(b2), 1)
+
+    items = spark.createDataFrame([("hot",), ("a",), ("zz",)], "v STRING")
+    est = {
+        r["v"]: r["est"]
+        for r in cm_estimate(mv.view(), items, "v", depth=depth, width=width).collect()
+    }
+    assert est["hot"] >= 50  # never undercounts, across batches
+    assert est["a"] >= 1
+    assert est["zz"] <= 5  # absent key: only collision noise
