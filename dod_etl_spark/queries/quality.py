@@ -718,3 +718,79 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("cusum") > 5 * F.col("t")).cast("long")).alias("n_alarms"),
         F.max("cusum").alias("max_cusum"),
     )
+
+
+# --- Dataset card: one-command corpus report ---------------------------------
+
+_DATASET_CARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_toks,
+         md5(text) AS fp
+  FROM documents
+),
+base AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(n_toks) AS DOUBLE) AS n_tokens,
+         CAST(sum(n_chars) AS DOUBLE) AS n_chars,
+         CAST(count(DISTINCT fp) AS DOUBLE) AS n_unique,
+         CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+         CAST(count(DISTINCT source) AS DOUBLE) AS n_sources
+  FROM toks
+)
+SELECT 'n_docs' AS metric, {sround_sql('n_docs', 4)} AS value FROM base
+UNION ALL SELECT 'n_tokens', {sround_sql('n_tokens', 4)} FROM base
+UNION ALL SELECT 'n_chars', {sround_sql('n_chars', 4)} FROM base
+UNION ALL SELECT 'n_langs', {sround_sql('n_langs', 4)} FROM base
+UNION ALL SELECT 'n_sources', {sround_sql('n_sources', 4)} FROM base
+UNION ALL SELECT 'mean_doc_tokens',
+    {sround_sql('n_tokens / n_docs', 4)} FROM base
+UNION ALL SELECT 'exact_dup_rate',
+    {sround_sql('1.0 - n_unique / n_docs', 4)} FROM base
+"""
+
+
+@query("dataset_card", _DATASET_CARD_SQL)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-command dataset card: corpus size, vocabulary-bearing
+    token volume, language/source spread, mean document length, and
+    the exact-duplicate rate — the header block of a dataset
+    datasheet, as ONE aggregation pass (multi-distinct Expand) emitted
+    in long (metric, value) format via inline(). Deeper sections stay
+    their own queries (corpus_profile, dedup_rate_by_source,
+    source_drift_tvd, gopher_rules_docs): at 100 TB you want to run —
+    and re-run — each section independently."""
+    from dod_etl_spark.functions.scalar import stable_round
+    from dod_etl_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    n_toks = F.size(F.filter(tokens(F.lower(F.col("text"))), lambda x: x != ""))
+    base = docs.select(
+        n_toks.alias("n_toks"),
+        "n_chars",
+        "lang",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_toks").cast("double").alias("n_tokens"),
+        F.sum("n_chars").cast("double").alias("n_chars"),
+        F.count_distinct("fp").cast("double").alias("n_unique"),
+        F.count_distinct("lang").cast("double").alias("n_langs"),
+        F.count_distinct("source").cast("double").alias("n_sources"),
+    )
+    rows = F.array(
+        *[
+            F.struct(F.lit(name).alias("metric"), stable_round(expr, 4).alias("value"))
+            for name, expr in [
+                ("n_docs", F.col("n_docs")),
+                ("n_tokens", F.col("n_tokens")),
+                ("n_chars", F.col("n_chars")),
+                ("n_langs", F.col("n_langs")),
+                ("n_sources", F.col("n_sources")),
+                ("mean_doc_tokens", F.col("n_tokens") / F.col("n_docs")),
+                ("exact_dup_rate", F.lit(1.0) - F.col("n_unique") / F.col("n_docs")),
+            ]
+        ]
+    )
+    return base.select(F.inline(rows))

@@ -143,6 +143,9 @@ def _count(plan: str, op: str) -> int:
         # CM sketch build (map-combined) + probe agg; the <= d·w-row
         # sketch joins broadcast.
         ("cm_heavy_tokens", 2),
+        # Dataset card: ONE aggregation pass (multi-distinct Expand
+        # partial/final) + inline() long format.
+        ("dataset_card", 2),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
