@@ -147,3 +147,36 @@ def snapshot_diff(
         "old_fp",
         "new_fp",
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    version_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Full CDC apply — upsert_snapshot's superset that also honors
+    DELETES (Debezium-style op column: I/U rows carry data, `delete_op`
+    rows are tombstones). The reference's H2 MERGE can only upsert
+    (imtu/DatabaseManager.scala:52-62); real CDC feeds carry deletes,
+    and dropping them silently resurrects rows on every re-merge.
+
+    Semantics: per key, the change row with the highest version wins
+    (changes beat base at equal version, same `_src` precedence as
+    upsert_snapshot); if that winner is a tombstone the key disappears
+    from the snapshot. Applying batches one-at-a-time or all-at-once
+    yields the same snapshot as long as versions are totally ordered
+    per key (pinned by tests): max-version-wins composes.
+
+    One shuffle (latest_per_key) + a tombstone filter — no joins."""
+    cols = base.columns
+    b = base.select(*cols).withColumn("_op", F.lit("U")).withColumn("_src", F.lit(0))
+    u = (
+        changes.withColumn("_op", F.coalesce(F.col(op_col).cast("string"), F.lit("U")))
+        .select(*cols, "_op")
+        .withColumn("_src", F.lit(1))
+    )
+    merged = latest_per_key(b.unionByName(u), keys, [*version_cols, "_src"])
+    return merged.filter(F.col("_op") != F.lit(delete_op)).drop("_op", "_src")

@@ -281,3 +281,60 @@ def test_session_window_stream(spark, tmp_path):
         (1, t0 + 70 * m): (t0 + 70 * m + 30 * m, 1),  # 11:10..(+gap)
         (2, t0 + 5 * m): (t0 + 5 * m + 30 * m, 1),
     }
+
+
+# --- CDC apply with deletes (operators/dedup.apply_cdc) ----------------------
+
+
+def test_apply_cdc_upserts_and_deletes(spark):
+    from dod_etl_spark.operators.dedup import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "id INT, v STRING, ver INT"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 20, "U"),   # update
+            (3, None, 20, "D"),   # delete
+            (4, "d", 20, "I"),    # insert
+            (1, "stale", 5, "U"), # older than base: ignored
+        ],
+        "id INT, v STRING, ver INT, op STRING",
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in apply_cdc(base, changes, ["id"], ["ver"]).collect()
+    }
+    assert out == {1: "a", 2: "b2", 4: "d"}  # 3 deleted, 1 kept (stale change)
+
+
+def test_apply_cdc_batch_composition(spark):
+    """Applying change batches one-at-a-time equals applying their
+    union — the property that makes micro-batch CDC replay safe."""
+    from dod_etl_spark.operators.dedup import apply_cdc
+
+    base = spark.createDataFrame([(1, "a", 0)], "id INT, v STRING, ver INT")
+    b1 = spark.createDataFrame(
+        [(1, "a1", 1, "U"), (2, "b", 1, "I")], "id INT, v STRING, ver INT, op STRING"
+    )
+    b2 = spark.createDataFrame(
+        [(1, None, 2, "D"), (2, "b2", 2, "U")], "id INT, v STRING, ver INT, op STRING"
+    )
+    stepped = apply_cdc(
+        apply_cdc(base, b1, ["id"], ["ver"]), b2, ["id"], ["ver"]
+    )
+    at_once = apply_cdc(base, b1.unionByName(b2), ["id"], ["ver"])
+    assert sorted(map(tuple, stepped.collect())) == sorted(map(tuple, at_once.collect()))
+    assert {r["id"]: r["v"] for r in stepped.collect()} == {2: "b2"}
+
+
+def test_apply_cdc_delete_then_reinsert(spark):
+    from dod_etl_spark.operators.dedup import apply_cdc
+
+    base = spark.createDataFrame([(1, "a", 0)], "id INT, v STRING, ver INT")
+    ch = spark.createDataFrame(
+        [(1, None, 1, "D"), (1, "reborn", 2, "I")],
+        "id INT, v STRING, ver INT, op STRING",
+    )
+    out = apply_cdc(base, ch, ["id"], ["ver"]).collect()
+    assert [(r["id"], r["v"]) for r in out] == [(1, "reborn")]
