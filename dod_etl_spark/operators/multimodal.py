@@ -185,3 +185,79 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
         F.col("meta.sample_rate").alias("sample_rate"),
     )
     return media.withColumn("meta", new_meta)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+PHASH_BITS = 60  # <= 60 keeps every 1<<j in signed-64 range (simhash rule)
+
+
+def perceptual_hash(media: DataFrame, codec: Codec | None = None) -> DataFrame:
+    """Average-hash perceptual fingerprint per media item: decode,
+    tile the signal into PHASH_BITS cells, threshold each cell against
+    the mean -> one 60-bit integer. Visually-near images differ in few
+    bits (with a REAL codec; the fake sha256 decode is avalanche, so
+    only identical payloads collide — the honest stub posture: the
+    Spark-side plumbing, schema, and pair machinery are real and
+    tested, hash QUALITY arrives with the codec).
+
+    Same mapInPandas shape as extract_features: Arrow-batched binary
+    in, (media_id, BIGINT) out — fingerprints are the only thing that
+    ever shuffles. Near-dup pairs come free from the SimHash band
+    machinery (phash_near_pairs): a perceptual hash IS a simhash-typed
+    fingerprint."""
+    from dod_etl_spark.catalog import spread
+
+    media = spread(media)
+    codec = codec or Codec()
+    if codec.fake:
+        decode_fn = lambda c, fmt: hashlib.sha256(c or b"").digest()  # noqa: E731
+    else:
+        decode_fn = codec.decode
+
+    n_bits = PHASH_BITS
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for c, m in zip(pdf["content"], pdf["meta"]):
+                sig = decode_fn(c, m["format"] if isinstance(m, dict) else None)
+                cells = [sig[i % len(sig)] for i in range(n_bits)]
+                mean = sum(cells) / n_bits
+                h = 0
+                for j, px in enumerate(cells):
+                    if px > mean:
+                        h |= 1 << j
+                hashes.append(h)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": hashes})
+
+    return media.mapInPandas(gen, schema=PHASH_SCHEMA)
+
+
+def phash_near_pairs(
+    media: DataFrame,
+    codec: Codec | None = None,
+    max_hamming: int = 5,
+    n_bands: int = 6,
+) -> DataFrame:
+    """Perceptual near-duplicate candidate pairs: banded blocking +
+    exact hamming cut over the 60-bit fingerprints — literally
+    operators.text_dedup.simhash_near_pairs applied to the perceptual
+    hash column (pigeonhole guarantee: hamming <= n_bands - 1 pairs
+    always share a band)."""
+    from dod_etl_spark.operators.text_dedup import simhash_near_pairs
+
+    fps = perceptual_hash(media, codec)
+    return simhash_near_pairs(
+        fps,
+        id_col="media_id",
+        fp_col="phash",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        n_bits=PHASH_BITS,
+    )

@@ -64,3 +64,42 @@ def test_resize_updates_metadata_only(spark, media):
 def test_content_fingerprint_jvm_side(spark, media):
     out = content_fingerprint(media).filter(F.col("media_id") == 1).first()
     assert out["content_sha"] == hashlib.sha256(b"imagebytes-1").hexdigest()
+
+
+def test_perceptual_hash_deterministic_and_bounded(spark, media):
+    import hashlib as _hl
+
+    from dod_etl_spark.operators.multimodal import PHASH_BITS, perceptual_hash
+
+    out = {r["media_id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    assert len(out) == 4
+    assert all(0 <= h < (1 << PHASH_BITS) for h in out.values())
+    # Reference recomputation of the aHash from the fake decode.
+    sig = _hl.sha256(b"imagebytes-1").digest()
+    cells = [sig[i % len(sig)] for i in range(PHASH_BITS)]
+    mean = sum(cells) / PHASH_BITS
+    want = sum(1 << j for j, px in enumerate(cells) if px > mean)
+    assert out[1] == want
+    again = {r["media_id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    assert again == out
+
+
+def test_phash_near_pairs_same_content_only(spark):
+    """With the avalanche fake codec, identical payloads are hamming-0
+    pairs and distinct payloads don't collide — pinning the banded
+    pair machinery end-to-end over binary media."""
+    from dod_etl_spark.operators.multimodal import MEDIA_SCHEMA, phash_near_pairs
+
+    rows = [
+        (1, b"same-bytes", ("image", "png", 64, 64, None, None)),
+        (2, b"same-bytes", ("image", "png", 64, 64, None, None)),
+        (3, b"other-bytes", ("image", "png", 64, 64, None, None)),
+        (4, b"same-bytes", ("image", "jpg", 32, 32, None, None)),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    pairs = {
+        (r["id_1"], r["id_2"]) for r in phash_near_pairs(media, max_hamming=0).collect()
+    }
+    assert pairs == {(1, 2), (1, 4), (2, 4)}
+    plan = phash_near_pairs(media)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
