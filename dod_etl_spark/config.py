@@ -55,6 +55,12 @@ class TableSpec:
     # computes the report (caller reads it via builder.quality_report).
     qualityChecks: list[dict] | None = None
     qualityChecksMode: str = "enforce"  # "enforce" | "report"
+    # Engine extension: Debezium-style op column in this table's CDC
+    # feed — rows with opDeleteValue are tombstones and remove their
+    # key from the maintained snapshot (the deletes the reference's
+    # upsert-only H2 MERGE cannot express).
+    opColumnName: str | None = None
+    opDeleteValue: str = "D"
 
 
 @dataclass(frozen=True)

@@ -143,6 +143,8 @@ def _make_maintainers(
             filter_col=t.filterColumnName,
             retention_days=t.retentionPeriodInDays,
             retention_ts_col=t.transactionTimeColumnName,
+            op_col=t.opColumnName,
+            delete_op=t.opDeleteValue,
             snapshot_dir=os.path.join(snapshot_root, role) if snapshot_root else None,
         )
     return maintainers

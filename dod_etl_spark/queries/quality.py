@@ -794,3 +794,46 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return base.select(F.inline(rows))
+
+
+# --- CDC apply with deletes (oracle pairing for operators/dedup.apply_cdc) ---
+
+_CDC_STATE_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, {v} AS last_value, epoch_ms(ts) AS last_ts_ms
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+""".format(v=sround_sql("value", 4))
+
+
+@query("cdc_user_state", _CDC_STATE_SQL)
+def cdc_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events stream replayed as a CDC feed through
+    operators/dedup.apply_cdc: every event upserts its user's state,
+    'error' events are tombstones — users whose LAST event errored
+    vanish from the snapshot. The oracle derives the same survivor set
+    with max_by, so the delete-aware merge (max-version-wins +
+    tombstone filter) is hash-checked, not just unit-tested."""
+    from dod_etl_spark.functions.scalar import stable_round
+    from dod_etl_spark.operators.dedup import apply_cdc
+
+    events = t(spark, sf_dir, "events")
+    changes = events.select(
+        "user_id",
+        F.col("value").alias("last_value"),
+        F.unix_millis("ts").alias("last_ts_ms"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    base = changes.limit(0).drop("op")
+    state = apply_cdc(base, changes, ["user_id"], ["ts", "event_id"])
+    return state.select(
+        "user_id", stable_round(F.col("last_value"), 4).alias("last_value"), "last_ts_ms"
+    )

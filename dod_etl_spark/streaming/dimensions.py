@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from dod_etl_spark.operators.dedup import latest_per_key, upsert_snapshot
+from dod_etl_spark.operators.dedup import apply_cdc, latest_per_key, upsert_snapshot
 from dod_etl_spark.operators.filters import keyset_filter, retention_filter
 
 
@@ -64,6 +64,12 @@ class DimensionMaintainer:
     filter_keys_fn: Callable[[], DataFrame] | None = None
     retention_days: int | None = None
     retention_ts_col: str | None = None
+    # Debezium-style op column in the CDC feed: rows whose op equals
+    # `delete_op` are TOMBSTONES — the winning version for a key being a
+    # tombstone removes it from the snapshot (operators/dedup.apply_cdc).
+    # None = upsert-only feed (the reference's H2 MERGE semantics).
+    op_col: str | None = None
+    delete_op: str = "D"
     snapshot_dir: str | None = None
     # How many snapshot versions survive GC. 2 (current+previous) is the
     # minimum that never deletes files under a plan started against the
@@ -121,11 +127,23 @@ class DimensionMaintainer:
                 )
 
         current = self._snapshot()
-        merged = (
-            upsert_snapshot(current, changes, self.key_cols, self.version_cols)
-            if current is not None
-            else changes
-        )
+        if self.op_col is not None and self.op_col in changes.columns:
+            if current is None:
+                current = changes.limit(0).drop(self.op_col)
+            merged = apply_cdc(
+                current,
+                changes,
+                self.key_cols,
+                self.version_cols,
+                op_col=self.op_col,
+                delete_op=self.delete_op,
+            )
+        else:
+            merged = (
+                upsert_snapshot(current, changes, self.key_cols, self.version_cols)
+                if current is not None
+                else changes
+            )
         # Executors-only materialization: write to a NEW versioned path
         # (never the files a live plan may be reading), repoint the view,
         # then GC versions older than the previous one.

@@ -338,3 +338,54 @@ def test_apply_cdc_delete_then_reinsert(spark):
     )
     out = apply_cdc(base, ch, ["id"], ["ver"]).collect()
     assert [(r["id"], r["v"]) for r in out] == [(1, "reborn")]
+
+
+def test_dimension_maintainer_cdc_deletes(spark):
+    """op_col wiring: a tombstone change removes its key from the
+    published snapshot; a later re-insert brings it back."""
+    from dod_etl_spark.streaming.dimensions import DimensionMaintainer
+
+    m = DimensionMaintainer(
+        spark,
+        table_name="dim_test_cdc",
+        key_cols=["ID"],
+        version_cols=["VER"],
+        op_col="OP",
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "ID INT, NAME STRING, VER INT, OP STRING")
+
+    m.apply_batch(batch([(1, "a", 1, "I"), (2, "b", 1, "I")]), 0)
+    snap = {r["ID"]: r["NAME"] for r in spark.table("dim_test_cdc").collect()}
+    assert snap == {1: "a", 2: "b"}
+    assert "OP" not in spark.table("dim_test_cdc").columns
+
+    m.apply_batch(batch([(1, "a2", 2, "U"), (2, None, 2, "D")]), 1)
+    snap = {r["ID"]: r["NAME"] for r in spark.table("dim_test_cdc").collect()}
+    assert snap == {1: "a2"}
+
+    m.apply_batch(batch([(2, "b-reborn", 3, "I")]), 2)
+    snap = {r["ID"]: r["NAME"] for r in spark.table("dim_test_cdc").collect()}
+    assert snap == {1: "a2", 2: "b-reborn"}
+
+
+def test_builder_wires_op_column(spark):
+    from dod_etl_spark.config import GlobalSpec, PipelineSpec, TableSpec
+    from dod_etl_spark.plans.builder import _make_maintainers
+
+    spec = PipelineSpec(
+        global_spec=GlobalSpec(),
+        tables=(
+            TableSpec(
+                tableName="PRODUCTION_ORDER",
+                isMetadata=True,
+                primaryKey="ID",
+                opColumnName="__op",
+                opDeleteValue="d",
+            ),
+        ),
+    )
+    ms = _make_maintainers(spark, spec)
+    assert ms["production_order"].op_col == "__op"
+    assert ms["production_order"].delete_op == "d"
