@@ -837,3 +837,73 @@ def cdc_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "user_id", stable_round(F.col("last_value"), 4).alias("last_value"), "last_ts_ms"
     )
+
+
+# --- Market-basket association (part co-occurrence with lift) ----------------
+
+_BASKET_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+freq AS (SELECT l_partkey, count(*) AS n_ord FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.n_both,
+       {sround_sql('CAST(p.n_both AS DOUBLE) * n.n_orders / (fa.n_ord * fb.n_ord)', 4)}
+         AS lift
+FROM pairs p
+JOIN freq fa ON p.part_a = fa.l_partkey
+JOIN freq fb ON p.part_b = fb.l_partkey
+CROSS JOIN n
+"""
+
+
+@query("basket_part_pairs", _BASKET_SQL)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: parts co-purchased in >= 2
+    orders, scored by lift = P(a,b)/(P(a)·P(b)) — the classic
+    recommendation/assortment primitive. Pair generation is the
+    in-basket self-join (fan-out bounded by basket size², ~C(4,2) per
+    TPC-H order — the same bounded-group shape as the interval join's
+    buckets, never an all-parts N²); part frequencies broadcast back
+    onto the surviving pairs; lift's one double division runs on
+    integer operands (exact cross-engine). The (order, part) frame is
+    materialized once and feeds the pair join and the frequency
+    rollup."""
+    from dod_etl_spark.functions.scalar import stable_round
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("_na"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("_nb"))
+    out = (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n))
+    )
+    lift = stable_round(
+        F.col("n_both").cast("double")
+        * F.col("n_orders")
+        / (F.col("_na") * F.col("_nb")),
+        4,
+    )
+    return out.select("part_a", "part_b", "n_both", lift.alias("lift"))
