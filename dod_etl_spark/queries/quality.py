@@ -907,3 +907,118 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return out.select("part_a", "part_b", "n_both", lift.alias("lift"))
+
+
+# --- Statistical functions: exact correlation & chi-square -------------------
+
+_CORR_SQL = f"""
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(epoch_ms(ts) // 3600000 % 24) AS sx,
+         sum((epoch_ms(ts) // 3600000 % 24) * (epoch_ms(ts) // 3600000 % 24)) AS sxx,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sy,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+             * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS syy,
+         sum((epoch_ms(ts) // 3600000 % 24)
+             * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sxy
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       {sround_sql('''CAST(n * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+           / sqrt(CAST(n * syy - sy * sy AS DOUBLE))''', 6)} AS corr_hour_value
+FROM m
+"""
+
+
+@query("value_hour_correlation", _CORR_SQL)
+def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between hour-of-day and value per event type
+    — computed from INTEGER moment sums (hours and value-cents), so the
+    only floating ops are the final two sqrts and divisions on exact
+    operands: deterministic on any partitioning/engine, where a naive
+    corr() over doubles is order-dependent. One map-side-combined
+    aggregation; at 100 TB the shuffle carries six BIGINTs per type."""
+    from dod_etl_spark.functions.scalar import stable_round
+
+    events = t(spark, sf_dir, "events")
+    x = F.expr("unix_millis(ts) div 3600000 % 24")
+    y = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    m = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    corr = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    )
+    return m.select(
+        "event_type", "n", stable_round(corr, 6).alias("corr_hour_value")
+    )
+
+
+_CHI2_SQL = f"""
+WITH o AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 % 24 AS hr, count(*) AS obs
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, sum(obs) AS row_n FROM o GROUP BY 1),
+ct AS (SELECT hr, sum(obs) AS col_n FROM o GROUP BY 1),
+g AS (SELECT sum(obs) AS n FROM o),
+grid AS (
+  SELECT rt.event_type, ct.hr, rt.row_n, ct.col_n, g.n
+  FROM rt CROSS JOIN ct CROSS JOIN g
+),
+j AS (
+  SELECT grid.*, coalesce(o.obs, 0) AS obs
+  FROM grid LEFT JOIN o USING (event_type, hr)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       {sround_sql('''CAST(sum(CAST(
+         CAST(n * obs - row_n * col_n AS DOUBLE)
+         * CAST(n * obs - row_n * col_n AS DOUBLE)
+         / (CAST(row_n AS DOUBLE) * col_n * n) AS DECIMAL(27,6))) AS DOUBLE)''', 4)} AS chi2
+FROM j
+"""
+
+
+@query("type_hour_chi2", _CHI2_SQL)
+def type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for event_type × hour-of-day:
+    Σ (O−E)²/E over the full contingency grid (absent cells included
+    via the row×col outer grid), algebraically rearranged so the
+    squared term is an exact integer (n·obs − row_n·col_n) — one
+    double division per cell, summed over a |types|×24 grid that is
+    metadata-sized at any corpus scale. The per-cell double terms are
+    summed with a deterministic order via the single-partition grid
+    (|cells| ≤ 120 rows), so the result is engine-stable."""
+    from dod_etl_spark.functions.scalar import stable_round
+
+    events = t(spark, sf_dir, "events")
+    o = events.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 3600000 % 24").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("row_n"))
+    ct = o.groupBy("hr").agg(F.sum("obs").alias("col_n"))
+    g = o.agg(F.sum("obs").alias("n"))
+    grid = rt.crossJoin(F.broadcast(ct)).crossJoin(F.broadcast(g))
+    j = grid.join(o, ["event_type", "hr"], "left").withColumn(
+        "obs", F.coalesce(F.col("obs"), F.lit(0))
+    )
+    diff = (F.col("n") * F.col("obs") - F.col("row_n") * F.col("col_n")).cast("double")
+    term = (
+        diff * diff / (F.col("row_n").cast("double") * F.col("col_n") * F.col("n"))
+    )
+    # Decimal-exact, order-independent accumulation of the per-cell
+    # double terms (cell count is tiny; the cast is belt-and-braces for
+    # engines that would otherwise sum in arbitrary order).
+    acc = F.sum(term.cast("decimal(27,6)")).cast("double")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_cells"), stable_round(acc, 4).alias("chi2")
+    )
