@@ -1022,3 +1022,62 @@ def type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(
         F.count(F.lit(1)).alias("n_cells"), stable_round(acc, 4).alias("chi2")
     )
+
+
+# --- Robust outliers: median absolute deviation ------------------------------
+
+_MAD_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, med.m,
+         quantile_cont(abs(e.value - med.m), 0.5) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type, med.m
+)
+SELECT e.event_type,
+       {sround_sql('mad.m', 6)} AS median_value,
+       {sround_sql('mad.mad', 6)} AS mad,
+       CAST(sum(CASE WHEN abs(e.value - mad.m) > 3.0 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       count(*) AS n
+FROM events e JOIN mad USING (event_type)
+GROUP BY e.event_type, mad.m, mad.mad
+"""
+
+
+@query("mad_outliers_by_type", _MAD_SQL)
+def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: |v − median| > 3·MAD per event type —
+    immune to the outliers themselves, unlike the z-score screen whose
+    mean/stddev the outliers inflate (value_zscore_outliers' documented
+    blind spot). Two exact-percentile passes (median, then median of
+    absolute deviations — MAD is not algebraic, the second pass is
+    irreducible) with the |types|-row medians broadcast back between
+    them; the fact table never shuffles — only the two percentile
+    aggregations do, with per-partition digests merging map-side."""
+    from dod_etl_spark.functions.scalar import stable_round
+
+    events = t(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("m")
+    )
+    dev = events.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type", "m").agg(
+        F.expr("percentile(abs(value - m), 0.5D)").alias("mad")
+    )
+    flagged = events.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type", "m", "mad").agg(
+        F.sum(
+            (F.abs(F.col("value") - F.col("m")) > 3.0 * F.col("mad")).cast("long")
+        ).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "event_type",
+        stable_round(F.col("m"), 6).alias("median_value"),
+        stable_round(F.col("mad"), 6).alias("mad"),
+        "n_outliers",
+        "n",
+    )
