@@ -1081,3 +1081,91 @@ def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_outliers",
         "n",
     )
+
+
+# --- Seasonal-naive forecast backtest ----------------------------------------
+
+_FORECAST_SQL = """
+WITH e AS (
+  SELECT event_type,
+         epoch_ms(ts) // 86400000 AS day,
+         epoch_ms(ts) // 3600000 % 24 AS hod
+  FROM events
+),
+split AS (SELECT max(day) AS test_day FROM e),
+train AS (SELECT * FROM e, split WHERE day < test_day),
+test AS (SELECT * FROM e, split WHERE day = test_day),
+n_days AS (SELECT count(DISTINCT day) AS nd FROM train),
+types AS (SELECT DISTINCT event_type FROM e),
+grid AS (
+  SELECT t.event_type, h.hod
+  FROM types t CROSS JOIN (SELECT unnest(range(24)) AS hod) h
+),
+f AS (
+  SELECT event_type, hod, count(*) AS c FROM train GROUP BY 1, 2
+),
+a AS (
+  SELECT event_type, hod, count(*) AS c FROM test GROUP BY 1, 2
+),
+cells AS (
+  SELECT g.event_type, g.hod,
+         (coalesce(f.c, 0) * 1000) // n_days.nd AS fc_milli,
+         coalesce(a.c, 0) * 1000 AS ac_milli
+  FROM grid g
+  LEFT JOIN f USING (event_type, hod)
+  LEFT JOIN a USING (event_type, hod)
+  CROSS JOIN n_days
+)
+SELECT event_type,
+       (SELECT nd FROM n_days) AS n_train_days,
+       CAST(sum(abs(ac_milli - fc_milli)) // 24 AS BIGINT) AS mae_milli,
+       CAST(sum(fc_milli) AS BIGINT) AS forecast_total_milli,
+       CAST(sum(ac_milli) AS BIGINT) AS actual_total_milli
+FROM cells GROUP BY event_type
+"""
+
+
+@query("seasonal_forecast_backtest", _FORECAST_SQL)
+def seasonal_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting with a holdout backtest: predict the
+    LAST day's hourly event counts per type from the per-(type,
+    hour-of-day) training mean, score by MAE over the full 24-cell
+    grid (absent hours count as zero on both sides). Counts ride as
+    integer millis (count·1000 div n_days), so forecast, actuals and
+    MAE are exact integers end to end — reproducible on any engine.
+    Shape: two (type, hod) aggregations + a types×24 metadata grid;
+    the fact table is scanned twice (train/test split by day) and
+    never joined row-to-row."""
+    events = t(spark, sf_dir, "events")
+    e = events.select(
+        "event_type",
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        F.expr("unix_millis(ts) div 3600000 % 24").alias("hod"),
+    ).localCheckpoint(eager=True)
+    split = e.agg(F.max("day").alias("test_day"))
+    ej = e.crossJoin(F.broadcast(split))
+    train = ej.filter(F.col("day") < F.col("test_day"))
+    test = ej.filter(F.col("day") == F.col("test_day"))
+    n_days = train.agg(F.count_distinct("day").alias("nd"))
+    types = e.select("event_type").distinct()
+    hods = spark.range(24).select(F.col("id").alias("hod"))
+    grid = types.crossJoin(F.broadcast(hods))
+    f = train.groupBy("event_type", "hod").agg(F.count(F.lit(1)).alias("fc"))
+    a = test.groupBy("event_type", "hod").agg(F.count(F.lit(1)).alias("ac"))
+    cells = (
+        grid.join(f, ["event_type", "hod"], "left")
+        .join(a, ["event_type", "hod"], "left")
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "event_type",
+            "nd",
+            F.expr("(coalesce(fc, 0) * 1000) div nd").alias("fc_milli"),
+            (F.coalesce(F.col("ac"), F.lit(0)) * 1000).alias("ac_milli"),
+        )
+    )
+    return cells.groupBy("event_type").agg(
+        F.max("nd").alias("n_train_days"),
+        F.expr("sum(abs(ac_milli - fc_milli)) div 24").cast("long").alias("mae_milli"),
+        F.sum("fc_milli").cast("long").alias("forecast_total_milli"),
+        F.sum("ac_milli").cast("long").alias("actual_total_milli"),
+    )
