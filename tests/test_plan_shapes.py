@@ -364,3 +364,32 @@ def test_triangle_and_jaccard_join_shapes(spark):
         assert _count(plan, "CartesianProduct") == 0, name
         assert _count(plan, "BroadcastNestedLoopJoin") == 0, name
         assert _count(plan, "Exchange") <= max_ex, (name, plan)
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges,max_bnlj",
+    [
+        # One max_by shuffle; tombstone filter is a scan-stage predicate.
+        ("cdc_user_state", 1, 0),
+        # Basket: (order,part) distinct + in-basket pair agg + frequency
+        # rollups; the single-row order-count joins as a 1-row BNLJ
+        # (legitimate scalar broadcast, q11 pattern).
+        ("basket_part_pairs", 5, 1),
+        # Six integer moments, one map-combined shuffle.
+        ("value_hour_correlation", 1, 0),
+        # Contingency grid: counts + metadata-sized row/col/total
+        # rollups; 1-row totals join as scalar BNLJs.
+        ("type_hour_chi2", 8, 2),
+        # Two percentile passes with |types|-row broadcasts between.
+        ("mad_outliers_by_type", 3, 0),
+        # Train/test aggregations + types x 24 grid; scalar split-day
+        # and n-days rows join as BNLJs.
+        ("seasonal_forecast_backtest", 8, 4),
+    ],
+)
+def test_stats_wave_shapes(spark, name, max_exchanges, max_bnlj):
+    plan = _plan(spark, name)
+    assert _count(plan, "CartesianProduct") == 0, name
+    assert _count(plan, "SortMergeJoin") == 0, name
+    assert _count(plan, "Exchange") <= max_exchanges, (name, plan)
+    assert _count(plan, "BroadcastNestedLoopJoin") <= max_bnlj, (name, plan)
