@@ -1169,3 +1169,73 @@ def seasonal_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("fc_milli").cast("long").alias("forecast_total_milli"),
         F.sum("ac_milli").cast("long").alias("actual_total_milli"),
     )
+
+
+# --- Source concentration (inequality metrics) -------------------------------
+
+_CONCENTRATION_SQL = f"""
+WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+r AS (
+  SELECT n,
+         row_number() OVER (ORDER BY n, source) AS i,
+         count(*) OVER () AS k,
+         sum(n) OVER () AS total
+  FROM s
+),
+g AS (
+  SELECT max(k) AS k, max(total) AS total,
+         sum((2 * i - k - 1) * n) AS gini_num,
+         sum(CASE WHEN i > k - 1 THEN n ELSE 0 END) AS top1,
+         sum(CASE WHEN i > k - 5 THEN n ELSE 0 END) AS top5
+  FROM r
+)
+SELECT CAST(k AS BIGINT) AS n_sources,
+       CAST(total AS BIGINT) AS n_docs,
+       {sround_sql('CAST(gini_num AS DOUBLE) / (CAST(k AS DOUBLE) * total)', 6)} AS gini,
+       {sround_sql('CAST(top1 AS DOUBLE) / total', 6)} AS top1_share,
+       {sround_sql('CAST(top5 AS DOUBLE) / total', 6)} AS top5_share
+FROM g
+"""
+
+
+@query("source_concentration", _CONCENTRATION_SQL)
+def source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration report: Gini coefficient of per-source
+    document counts plus top-1/top-5 source shares — the "is this
+    corpus dominated by a handful of crawls" screen that motivates
+    domain caps and mixture rebalancing. The inequality sum runs on
+    the |sources|-row aggregate (rank window over metadata, never the
+    corpus); Gini numerator Σ(2i−k−1)·n_i is exact integers, one
+    division at the end. Ties in source size are ordered by source
+    name so the rank — and therefore the hash — is deterministic."""
+    from pyspark.sql import Window as W
+
+    from dod_etl_spark.functions.scalar import stable_round
+
+    docs = t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy("n", "source")
+    r = s.select(
+        "n",
+        F.row_number().over(w).alias("i"),
+    )
+    k_total = r.agg(F.count(F.lit(1)).alias("k"), F.sum("n").alias("total"))
+    j = r.crossJoin(F.broadcast(k_total))
+    g = j.agg(
+        F.max("k").alias("k"),
+        F.max("total").alias("total"),
+        F.sum((2 * F.col("i") - F.col("k") - 1) * F.col("n")).alias("gini_num"),
+        F.sum(F.when(F.col("i") > F.col("k") - 1, F.col("n")).otherwise(0)).alias("top1"),
+        F.sum(F.when(F.col("i") > F.col("k") - 5, F.col("n")).otherwise(0)).alias("top5"),
+    )
+    return g.select(
+        F.col("k").cast("long").alias("n_sources"),
+        F.col("total").cast("long").alias("n_docs"),
+        stable_round(
+            F.col("gini_num").cast("double")
+            / (F.col("k").cast("double") * F.col("total")),
+            6,
+        ).alias("gini"),
+        stable_round(F.col("top1").cast("double") / F.col("total"), 6).alias("top1_share"),
+        stable_round(F.col("top5").cast("double") / F.col("total"), 6).alias("top5_share"),
+    )
