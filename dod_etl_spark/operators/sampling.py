@@ -126,3 +126,49 @@ def split_train_holdout(
     cut = int(holdout_fraction * SAMPLE_BUCKETS)
     bucket = hash_bucket(F.col(key_col), seed)
     return df.filter(bucket >= cut), df.filter(bucket < cut)
+
+
+def priority_sample(
+    df,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+):
+    """Priority sampling (Duffield/Lund/Thorup): a deterministic
+    weighted sample of k rows supporting UNBIASED subset-sum estimates
+    — the principled way to keep "a representative 0.1%" when rows
+    carry very different weights (token counts, byte sizes) and a
+    plain Bernoulli sample would be dominated by small items.
+
+    priority_i = w_i / u_i with u_i = hash(key, seed)/2^32 in (0,1];
+    keep the k largest priorities; tau = the (k+1)-th priority; each
+    kept row's estimator is max(w_i, tau) — E[sum of estimators over
+    the sample] equals the true total weight (pinned by a multi-seed
+    pytest). All arithmetic is integer (priority = w·2^32 div h), so
+    the sample and estimates are identical on any engine/partitioning.
+
+    Scale: priorities are a scan-stage projection; the top-(k+1) cut
+    is a global TakeOrdered (per-partition heaps + one k+1-sized merge
+    — never a full sort), and tau is one driver-side scalar, the same
+    metadata posture as IVF centroids. Returns (key, weight,
+    est_weight) as a DataFrame with the key column's original name."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = hash_bucket(F.col(key_col), seed, 1 << 32) + 1  # [1, 2^32]
+    scored = df.select(
+        F.col(key_col),
+        F.col(weight_col).cast("long").alias("weight"),
+    ).withColumn("_h", h).withColumn(
+        "_prio", F.expr(f"(weight * {1 << 32}) div _h")
+    )
+    rows = scored.orderBy(F.desc("_prio"), F.asc(key_col)).limit(k + 1).collect()
+    if len(rows) <= k:
+        kept = [(r[key_col], r["weight"], r["weight"]) for r in rows]
+    else:
+        tau = rows[k]["_prio"]
+        kept = [(r[key_col], r["weight"], max(r["weight"], tau)) for r in rows[:k]]
+    key_type = dict(df.dtypes)[key_col]
+    return df.sparkSession.createDataFrame(
+        kept, f"{key_col} {key_type}, weight LONG, est_weight LONG"
+    )

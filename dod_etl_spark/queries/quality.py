@@ -1239,3 +1239,40 @@ def source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("top1").cast("double") / F.col("total"), 6).alias("top1_share"),
         stable_round(F.col("top5").cast("double") / F.col("total"), 6).alias("top5_share"),
     )
+
+
+# --- Priority sampling (weighted, deterministic) -----------------------------
+
+_PRIORITY_SQL = """
+WITH scored AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_5'), 1, 8))::BIGINT
+          % 4294967296) + 1 AS h
+  FROM documents
+),
+p AS (
+  SELECT doc_id, weight, (weight * 4294967296) // h AS prio FROM scored
+),
+ranked AS (
+  SELECT doc_id, weight, prio,
+         row_number() OVER (ORDER BY prio DESC, doc_id) AS rn
+  FROM p
+),
+tau AS (SELECT prio AS t FROM ranked WHERE rn = 51)
+SELECT r.doc_id, r.weight,
+       CAST(greatest(r.weight, tau.t) AS BIGINT) AS est_weight
+FROM ranked r CROSS JOIN tau WHERE r.rn <= 50
+"""
+
+
+@query("priority_sample_docs", _PRIORITY_SQL)
+def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted 50-document priority sample by character count —
+    deterministic (content-hash priorities, exact integer arithmetic)
+    with unbiased subset-sum estimators (operators/sampling.
+    priority_sample; unbiasedness pinned across seeds in
+    tests/test_sampling.py)."""
+    from dod_etl_spark.operators.sampling import priority_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return priority_sample(docs, "doc_id", "n_chars", k=50, seed=5)

@@ -99,3 +99,52 @@ def test_minhash_xxhash64_mode_finds_exact_dups(spark):
     }
     for pair in expected_pairs:
         assert xx.get(pair) == 4, f"exact dup {pair} missing/partial in xxhash64 mode"
+
+
+# --- Priority sampling -------------------------------------------------------
+
+
+def test_priority_sample_deterministic_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.operators.sampling import priority_sample
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("w")
+    )
+    a = priority_sample(df, "doc_id", "w", k=40, seed=3).collect()
+    b = priority_sample(df.repartition(13), "doc_id", "w", k=40, seed=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 40
+    # Estimator never under-reports the item's own weight.
+    assert all(r["est_weight"] >= r["weight"] for r in a)
+
+
+def test_priority_sample_unbiased_subset_sum(spark):
+    """Mean of the total-weight estimator across seeds approaches the
+    true total (the property priority sampling exists for)."""
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.operators.sampling import priority_sample
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50 + 1).alias("w")
+    )
+    truth = df.agg(F.sum("w")).first()[0]
+    ests = []
+    for seed in range(12):
+        s = priority_sample(df, "doc_id", "w", k=60, seed=seed)
+        ests.append(sum(r["est_weight"] for r in s.collect()))
+    mean = sum(ests) / len(ests)
+    assert abs(mean - truth) / truth < 0.12, (mean, truth)
+
+
+def test_priority_sample_small_population_kept_exactly(spark):
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.operators.sampling import priority_sample
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"), F.lit(7).alias("w"))
+    out = priority_sample(df, "doc_id", "w", k=10).collect()
+    assert len(out) == 5
+    assert all(r["est_weight"] == 7 for r in out)
