@@ -171,3 +171,40 @@ class AggMatView:
         for n in os.listdir(root):
             if n.startswith("v") and n not in keep:
                 shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+
+
+def _versions(root: str) -> list[int]:
+    import re
+
+    out = []
+    for n in os.listdir(root):
+        m = re.fullmatch(r"v(\d{10})", n)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+# Module-level methods attached to AggMatView below (kept out of the
+# dataclass body so field ordering stays stable).
+def view_at(self: AggMatView, version: int) -> DataFrame:
+    """Read a RETAINED snapshot version (finalized form) — the
+    debugging/diff surface for "what did the summary say before this
+    batch". Only the last `keep_versions` versions exist (GC'd like
+    the dimension snapshots); requesting an older one raises with the
+    available range."""
+    avail = _versions(self._root())
+    if version not in avail:
+        raise ValueError(
+            f"version {version} not retained (available: {avail}; "
+            f"keep_versions={self.keep_versions})"
+        )
+    state = self.spark.read.parquet(self._state_path(version))
+    return state.select(*self.key_cols, *[m.final() for m in self.metrics])
+
+
+def versions(self: AggMatView) -> list[int]:
+    return _versions(self._root())
+
+
+AggMatView.view_at = view_at
+AggMatView.versions = versions

@@ -183,3 +183,17 @@ def test_streaming_count_min_sketch_via_matview(spark, tmp_path):
     assert est["hot"] >= 50  # never undercounts, across batches
     assert est["a"] >= 1
     assert est["zz"] <= 5  # absent key: only collision noise
+
+
+def test_time_travel_reads_previous_version(spark, tmp_path):
+    mv = _mk(spark, tmp_path, "mv_tt")
+    mv.apply_batch(_batch(spark, [("a", 1.0, 1)]), 0)
+    mv.apply_batch(_batch(spark, [("a", 2.0, 2)]), 1)
+    assert mv.versions() == [1, 2]
+    prev = {r["event_type"]: r["n"] for r in mv.view_at(1).collect()}
+    cur = {r["event_type"]: r["n"] for r in mv.view_at(2).collect()}
+    assert prev == {"a": 1} and cur == {"a": 2}
+    mv.apply_batch(_batch(spark, [("a", 3.0, 3)]), 2)  # GC drops v1
+    assert mv.versions() == [2, 3]
+    with pytest.raises(ValueError, match="not retained"):
+        mv.view_at(1)
