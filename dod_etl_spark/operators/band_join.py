@@ -41,9 +41,25 @@ def band_join(
     """All (left, right) pairs with |l_val - r_val| <= eps (and equal
     `on` keys, if given). Column name collisions between the two sides
     must be pre-renamed by the caller (except `on` keys, which are
-    coalesced like a USING join)."""
+    coalesced like a USING join).
+
+    Only ``how='inner'`` is supported: the bucket decomposition
+    explodes the left side 3x and applies the exact band predicate as
+    a post-join residual filter, so outer-join null-extended rows are
+    silently dropped by the residual (NULL comparison) and left rows
+    would be triplicated — an outer request would degenerate to inner
+    results without error. Callers needing left semantics should
+    anti-join the unmatched left keys back in on top of this result.
+    """
     if eps <= 0:
         raise ValueError(f"eps must be positive, got {eps}")
+    if how != "inner":
+        raise ValueError(
+            "band_join supports how='inner' only: the 3x bucket fan-out "
+            "plus the residual |l-r|<=eps filter make outer semantics "
+            f"silently wrong (got how={how!r}). Compose outer behavior "
+            "via an anti-join of unmatched keys on the inner result."
+        )
     on = on or []
     # Left side fans out to its bucket and both neighbors; the right
     # side stays single-bucket, so every true pair meets exactly once.

@@ -156,6 +156,7 @@ def apply_cdc(
     version_cols: Sequence[str],
     op_col: str = "op",
     delete_op: str = "D",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Full CDC apply — upsert_snapshot's superset that also honors
     DELETES (Debezium-style op column: I/U rows carry data, `delete_op`
@@ -166,17 +167,39 @@ def apply_cdc(
     Semantics: per key, the change row with the highest version wins
     (changes beat base at equal version, same `_src` precedence as
     upsert_snapshot); if that winner is a tombstone the key disappears
-    from the snapshot. Applying batches one-at-a-time or all-at-once
-    yields the same snapshot as long as versions are totally ordered
-    per key (pinned by tests): max-version-wins composes.
+    from the readable snapshot.
+
+    Batch composability has two modes:
+
+    * ``keep_tombstones=False`` (default, read-optimized): tombstoned
+      keys are DROPPED from the returned snapshot. Chaining batches
+      one-at-a-time through this mode matches the all-at-once result
+      only when versions are monotone ACROSS batches per key — a later
+      batch carrying a lower-version upsert for a deleted key would
+      resurrect it (the tombstone it lost to is gone), whereas
+      all-at-once would drop it. Per-key total order within the union
+      is NOT sufficient.
+    * ``keep_tombstones=True`` (store-optimized): tombstone rows are
+      retained in the snapshot (with `op_col` preserved), so max-
+      version-wins composes exactly batch-at-a-time for any per-key
+      totally ordered versions; filter ``col(op_col) != delete_op`` at
+      read time. Use this mode for the persisted state, the other for
+      serving.
 
     One shuffle (latest_per_key) + a tombstone filter — no joins."""
-    cols = base.columns
-    b = base.select(*cols).withColumn("_op", F.lit("U")).withColumn("_src", F.lit(0))
+    cols = [c for c in base.columns if c != op_col]
+    b = base.withColumn(
+        "_op",
+        F.coalesce(F.col(op_col).cast("string"), F.lit("U"))
+        if op_col in base.columns
+        else F.lit("U"),
+    ).select(*cols, "_op").withColumn("_src", F.lit(0))
     u = (
         changes.withColumn("_op", F.coalesce(F.col(op_col).cast("string"), F.lit("U")))
         .select(*cols, "_op")
         .withColumn("_src", F.lit(1))
     )
     merged = latest_per_key(b.unionByName(u), keys, [*version_cols, "_src"])
+    if keep_tombstones:
+        return merged.withColumn(op_col, F.col("_op")).drop("_op", "_src")
     return merged.filter(F.col("_op") != F.lit(delete_op)).drop("_op", "_src")

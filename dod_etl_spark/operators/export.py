@@ -24,17 +24,81 @@ Scale design
   compare checksums without knowing anything about the producing job.
 - Checksums are order-insensitive aggregates, so verification is
   shard-parallel and never sorts.
+- Manifest I/O and file-size listing go through the HADOOP FileSystem
+  API (resolved from the destination's scheme), not os.walk/open, so
+  hdfs:// and s3a:// destinations produce and verify the same manifest
+  a local run does. input_file_name() values are parsed as URIs and
+  compared by path, never by raw-string prefix stripping.
+- `n_shards` is an upper bound on file count: shard ids with zero rows
+  write no file, so a sparse keyspace can yield fewer than n_shards
+  files (the manifest records the actual count).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import posixpath
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_MANIFEST.json"
+
+
+def _uri_path(uri_or_path: str) -> str:
+    """The path component of a file URI (`file:///a/b`, `hdfs://nn/a`,
+    `s3a://bucket/a`) or a bare path, percent-decoded — the common
+    coordinate system for comparing input_file_name() against a
+    destination across schemes."""
+    parsed = urlparse(uri_or_path)
+    path = parsed.path if parsed.scheme else uri_or_path
+    if not parsed.scheme:
+        path = os.path.abspath(path)
+    return path
+
+
+def _hadoop_fs(spark: SparkSession, dest: str):
+    """(FileSystem, qualified Path, jvm) for `dest`, scheme-resolved —
+    LocalFileSystem for bare paths, S3A/HDFS/... when the URI says so."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(dest)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, fs.makeQualified(jpath), jvm
+
+
+def _fs_read_text(spark: SparkSession, dest: str, name: str) -> str:
+    fs, jpath, jvm = _hadoop_fs(spark, dest)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(jpath, name))
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark: SparkSession, dest: str, name: str, text: str) -> None:
+    fs, jpath, jvm = _hadoop_fs(spark, dest)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(jpath, name), True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_parquet_sizes(spark: SparkSession, dest: str) -> dict[str, int]:
+    """{relative file path: bytes} for every parquet file under dest,
+    via FileSystem.listFiles — works on any supported scheme."""
+    fs, jpath, _jvm = _hadoop_fs(spark, dest)
+    base = jpath.toUri().getPath()
+    sizes: dict[str, int] = {}
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toUri().getPath()
+        if p.endswith(".parquet"):
+            sizes[posixpath.relpath(p, base)] = st.getLen()
+    return sizes
 
 
 def shard_column(key, n_shards: int):
@@ -63,12 +127,12 @@ def _file_stats(df: DataFrame, dest: str) -> list[dict]:
         .collect()
     )
     out = []
-    base = os.path.abspath(dest)
+    base = _uri_path(dest)
     for r in per_file:
-        path = os.path.abspath(r["_file"].replace("file:", ""))
+        path = _uri_path(r["_file"])
         out.append(
             {
-                "file": os.path.relpath(path, base),
+                "file": posixpath.relpath(path, base),
                 "rows": r["rows"],
                 "checksum": f"{r['_sum']}:{r['_xor']}",
             }
@@ -82,7 +146,9 @@ def write_shards(
     n_shards: int,
     shard_key: str,
 ) -> dict:
-    """Export `df` as exactly `n_shards` parquet files plus a manifest.
+    """Export `df` as up to `n_shards` parquet files plus a manifest
+    (shard ids that receive zero rows write no file; the manifest's
+    `n_shards` records the actual file count).
 
     Layout is Hive-partitioned `dest/shard=K/part-*.parquet`, one file
     per shard: the frame is hash-repartitioned on the shard id (one
@@ -100,12 +166,7 @@ def write_shards(
 
     back = spark.read.parquet(dest)
     stats = _file_stats(back, dest)
-    sizes = {}
-    for root, _dirs, files in os.walk(dest):
-        for name in files:
-            if name.endswith(".parquet"):
-                p = os.path.join(root, name)
-                sizes[os.path.relpath(p, os.path.abspath(dest))] = os.path.getsize(p)
+    sizes = _fs_parquet_sizes(spark, dest)
     for s in stats:
         s["bytes"] = sizes.get(s["file"], 0)
     manifest = {
@@ -116,8 +177,9 @@ def write_shards(
         "total_rows": sum(s["rows"] for s in stats),
         "shards": stats,
     }
-    with open(os.path.join(dest, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    _fs_write_text(
+        spark, dest, MANIFEST_NAME, json.dumps(manifest, indent=1, sort_keys=True)
+    )
     return manifest
 
 
@@ -125,8 +187,7 @@ def verify_manifest(spark: SparkSession, dest: str) -> dict:
     """Re-derive per-file stats from the data and compare with the
     stored manifest. Returns {"ok": bool, "errors": [...]} — the check
     a trainer runs after transferring shards to its filesystem."""
-    with open(os.path.join(dest, MANIFEST_NAME)) as f:
-        manifest = json.load(f)
+    manifest = json.loads(_fs_read_text(spark, dest, MANIFEST_NAME))
     actual = {s["file"]: s for s in _file_stats(spark.read.parquet(dest), dest)}
     errors = []
     expected = {s["file"]: s for s in manifest["shards"]}

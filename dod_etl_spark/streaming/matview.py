@@ -156,8 +156,18 @@ class AggMatView:
         self._publish(path)
         self._version = version
         self._last_batch = batch_id
-        with open(self._meta_path(), "w") as f:
+        # Atomic metadata publish: write-then-rename so a crash mid-write
+        # can never leave truncated JSON — restart either sees the old
+        # (version, last_batch) and refolds the batch idempotently, or
+        # the new one and skips it; never a corrupt file that would turn
+        # the documented restart-survival into a hard failure.
+        meta = self._meta_path()
+        tmp = meta + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"version": version, "last_batch": batch_id}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, meta)
         self._gc()
 
     def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:

@@ -83,3 +83,14 @@ def test_band_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_band_join_rejects_outer_how(spark):
+    """Outer types would silently degenerate to inner results (the 3x
+    fan-out + residual NULL filter drop null-extended rows), so the
+    operator must refuse them loudly (round-5 ADVICE, band_join.py:39)."""
+    a = spark.createDataFrame([(1, 1.0)], "ida LONG, va DOUBLE")
+    b = spark.createDataFrame([(1, 9.0)], "idb LONG, vb DOUBLE")
+    for how in ("left", "right", "full", "left_outer", "outer"):
+        with pytest.raises(ValueError, match="inner"):
+            band_join(a, b, "va", "vb", 0.5, how=how)

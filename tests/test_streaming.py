@@ -389,3 +389,32 @@ def test_builder_wires_op_column(spark):
     ms = _make_maintainers(spark, spec)
     assert ms["production_order"].op_col == "__op"
     assert ms["production_order"].delete_op == "d"
+
+
+def test_apply_cdc_keep_tombstones_blocks_resurrection(spark):
+    """Round-5 ADVICE (dedup.py:170): with the default read-optimized
+    mode, a later batch carrying a LOWER-version upsert for a deleted
+    key resurrects it (the tombstone it lost to was dropped with the
+    snapshot). keep_tombstones=True retains the tombstone in the stored
+    state, so batch-at-a-time equals all-at-once for any per-key total
+    version order — cross-batch monotonicity no longer required."""
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.operators.dedup import apply_cdc
+
+    base = spark.createDataFrame([(1, "a", 0, "U")], "id INT, v STRING, ver INT, op STRING")
+    b1 = spark.createDataFrame([(1, None, 9, "D")], "id INT, v STRING, ver INT, op STRING")
+    # out-of-order delivery: version 5 upsert arrives AFTER the v9 delete
+    b2 = spark.createDataFrame([(1, "zombie", 5, "U")], "id INT, v STRING, ver INT, op STRING")
+
+    # read-optimized mode resurrects (documented contract limitation)
+    leaky = apply_cdc(apply_cdc(base, b1, ["id"], ["ver"]), b2, ["id"], ["ver"])
+    assert {r["v"] for r in leaky.collect()} == {"zombie"}
+
+    # store-optimized mode composes exactly
+    s1 = apply_cdc(base, b1, ["id"], ["ver"], keep_tombstones=True)
+    s2 = apply_cdc(s1, b2, ["id"], ["ver"], keep_tombstones=True)
+    readable = s2.filter(F.col("op") != "D")
+    assert readable.count() == 0  # delete wins: key stays dead
+    at_once = apply_cdc(base, b1.unionByName(b2), ["id"], ["ver"])
+    assert at_once.count() == 0
