@@ -11,11 +11,12 @@ its type surface stops at timestamps, SURVEY §1.3):
   stages: Arrow ships binary batches to Python whole-partition at a
   time — the sanctioned Python extension surface (SURVEY §2.8), never
   row-at-a-time UDFs.
-- The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-  the codec call is isolated behind `Codec` with a deterministic fake
-  for tests and a NotImplementedError real-codec slot. The Spark-side
-  plumbing — schemas, batch iteration, partitioning — is real and
-  tested; swapping in a real codec changes one function.
+- The codec seam (`Codec`) has a REAL pure-stdlib path — uncompressed
+  BMP + PCM WAV via operators/media_codec.py (struct/wave/numpy only) —
+  and a deterministic sha256 fake kept for cross-engine oracle replay.
+  Compressed formats (png/jpeg/mp3/mp4) need PIL/ffmpeg, absent in this
+  container, and raise NotImplementedError; swapping them in changes
+  one dispatch function.
 
 Scale notes: binary payloads dominate partition size — repartition by
 `maxRecordsPerBatch`-compatible counts before mapInPandas (Arrow batch
@@ -72,22 +73,49 @@ FEATURE_SCHEMA = StructType(
 
 
 class Codec:
-    """Codec seam. `decode` returns a deterministic pseudo-decode in test
-    mode; the real-codec path raises until a codec library is installed
-    (clearly-marked stub per the build contract)."""
+    """Codec seam with two modes:
+
+    - fake=True (default, oracle mode): the "decoded" signal is the
+      sha256 digest stream of the payload — deterministic and
+      cross-engine replayable, so the DuckDB oracle can verify the full
+      mapInPandas path byte-for-byte (queries/llm.py multimodal_features).
+    - fake=False (real mode): pure-stdlib decode via
+      operators/media_codec.py — uncompressed BMP (struct + numpy) and
+      PCM WAV (wave). Perceptual hashing then runs on real pixels /
+      amplitude envelopes, so near-dup pairs are PERCEPTUAL neighbors
+      (same scene, different bytes), pinned by tests/test_media_codec.py.
+      Compressed formats (png/jpeg/mp3/mp4) still raise
+      NotImplementedError — they need PIL/ffmpeg, absent here.
+    """
 
     def __init__(self, fake: bool = True):
         self.fake = fake
 
-    def decode(self, content: bytes, fmt: str | None) -> bytes:
+    def decode(self, content: bytes, fmt: str | None):
+        """Fake mode: 32-byte digest stream. Real mode: a
+        media_codec.Decoded (2D intensity grid + dims/sample-rate)."""
         if self.fake:
-            # Deterministic fake: the "decoded" signal is the sha256
-            # digest stream of the payload — stable across runs/engines.
             return hashlib.sha256(content or b"").digest()
-        raise NotImplementedError(
-            "real codec not available in this environment; install PIL/ffmpeg "
-            "and implement Codec.decode"
-        )
+        from dod_etl_spark.operators import media_codec
+
+        return media_codec.decode(content, fmt)
+
+    def cells_fn(self) -> Callable[[bytes, str | None, int], list[float]]:
+        """The worker-side (content, fmt, n_cells) -> cells closure.
+        Fake mode inlines a stdlib-only lambda (workers need no package
+        import); real mode closes over media_codec.decode_cells, pickled
+        by reference — the session factory exports PYTHONPATH so Python
+        workers can import it (session.py)."""
+        if self.fake:
+
+            def fake_cells(c: bytes, fmt: str | None, n: int) -> list[float]:
+                d = hashlib.sha256(c or b"").digest()
+                return [d[i % 32] for i in range(n)]
+
+            return fake_cells
+        from dod_etl_spark.operators.media_codec import decode_cells
+
+        return decode_cells
 
 
 def extract_features(
@@ -107,28 +135,25 @@ def extract_features(
 
     media = spread(media)
     codec = codec or Codec()
-    # Keep the pickled closure free of references to this package: in
-    # fake mode the decode is inlined (stdlib only), so Python workers
-    # need no dod_etl_spark on their path (the driver harness may launch
-    # the session without our PYTHONPATH export). Real codecs require a
-    # worker-importable module by nature.
-    if codec.fake:
-        decode_fn = lambda c, fmt: hashlib.sha256(c or b"").digest()  # noqa: E731
-    else:
-        decode_fn = codec.decode
+    # In fake mode the closure is stdlib-only (no package references),
+    # so Python workers need no dod_etl_spark on their path (the driver
+    # harness may launch the session without our PYTHONPATH export).
+    # Real mode closes over media_codec by reference — session.py's
+    # PYTHONPATH export makes it worker-importable.
+    cells_fn = codec.cells_fn()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
         import math
 
         for pdf in batches:
-            decoded = [
-                decode_fn(c, m["format"] if isinstance(m, dict) else None)
+            feats = [
+                cells_fn(c, m["format"] if isinstance(m, dict) else None, feature_dim)
                 for c, m in zip(pdf["content"], pdf["meta"])
             ]
-            # Norm via exact integer sum of squared bytes, then one sqrt
-            # and one divide — engine-stable (no float accumulation).
-            feats = [[b[i % len(b)] for i in range(feature_dim)] for b in decoded]
+            # Norm via exact sum of squared cells, then one sqrt and one
+            # divide — engine-stable (no float accumulation in fake mode,
+            # where cells are integer digest bytes).
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -173,9 +198,9 @@ def content_fingerprint(media: DataFrame) -> DataFrame:
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize: metadata transform is real (width/height updated); the
-    pixel transform is the codec stub (fake mode passes content through
-    so plumbing is testable end-to-end)."""
+    """Metadata-only resize (fake-codec twin of resize_media): width/
+    height updated, content passed through — keeps the plumbing testable
+    where no decodable payload exists."""
     new_meta = F.struct(
         F.col("meta.modality").alias("modality"),
         F.col("meta.format").alias("format"),
@@ -185,6 +210,41 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
         F.col("meta.sample_rate").alias("sample_rate"),
     )
     return media.withColumn("meta", new_meta)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL pixel resize for decodable content via mapInPandas: BMP
+    payloads are decoded, box-resampled per RGB channel, and re-encoded
+    (media_codec.resize_bmp); non-image or non-BMP rows pass through
+    with metadata updated only. Same Arrow batch shape as
+    extract_features — pixels never leave the Python worker as anything
+    but the re-encoded binary."""
+    from dod_etl_spark.catalog import spread
+
+    out_schema = media.schema
+    meta_fields = [f.name for f in MEDIA_META.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dod_etl_spark.operators.media_codec import resize_bmp
+
+        for pdf in batches:
+            contents, metas = [], []
+            for c, m in zip(pdf["content"], pdf["meta"]):
+                meta = dict(m) if m is not None else {f: None for f in meta_fields}
+                fmt = (meta.get("format") or "").lower()
+                if fmt == "bmp" and c is not None:
+                    c = resize_bmp(bytes(c), width, height)
+                    meta["width"], meta["height"] = width, height
+                elif meta.get("modality") == "image":
+                    meta["width"], meta["height"] = width, height
+                contents.append(c)
+                metas.append(meta)
+            out = pdf.copy()
+            out["content"] = contents
+            out["meta"] = metas
+            yield out
+
+    return spread(media).mapInPandas(gen, schema=out_schema)
 
 
 PHASH_SCHEMA = StructType(
@@ -199,12 +259,18 @@ PHASH_BITS = 60  # <= 60 keeps every 1<<j in signed-64 range (simhash rule)
 
 def perceptual_hash(media: DataFrame, codec: Codec | None = None) -> DataFrame:
     """Average-hash perceptual fingerprint per media item: decode,
-    tile the signal into PHASH_BITS cells, threshold each cell against
-    the mean -> one 60-bit integer. Visually-near images differ in few
-    bits (with a REAL codec; the fake sha256 decode is avalanche, so
-    only identical payloads collide — the honest stub posture: the
-    Spark-side plumbing, schema, and pair machinery are real and
-    tested, hash QUALITY arrives with the codec).
+    box-average the signal into PHASH_BITS cells (a 10x6 raster for
+    images, 60 temporal windows for audio), threshold each cell against
+    the mean -> one 60-bit integer.
+
+    With the REAL codec (Codec(fake=False), operators/media_codec.py:
+    stdlib BMP + WAV), this is a true average hash: the fixed cell
+    raster makes it resize-robust, and the mean threshold makes it
+    brightness/volume-invariant, so visually/acoustically similar media
+    with entirely different bytes differ in few bits
+    (tests/test_media_codec.py pins near < far separation). The fake
+    sha256 mode remains for oracle replay — avalanche, so only
+    byte-identical payloads collide there.
 
     Same mapInPandas shape as extract_features: Arrow-batched binary
     in, (media_id, BIGINT) out — fingerprints are the only thing that
@@ -215,19 +281,14 @@ def perceptual_hash(media: DataFrame, codec: Codec | None = None) -> DataFrame:
 
     media = spread(media)
     codec = codec or Codec()
-    if codec.fake:
-        decode_fn = lambda c, fmt: hashlib.sha256(c or b"").digest()  # noqa: E731
-    else:
-        decode_fn = codec.decode
-
+    cells_fn = codec.cells_fn()
     n_bits = PHASH_BITS
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hashes = []
             for c, m in zip(pdf["content"], pdf["meta"]):
-                sig = decode_fn(c, m["format"] if isinstance(m, dict) else None)
-                cells = [sig[i % len(sig)] for i in range(n_bits)]
+                cells = cells_fn(c, m["format"] if isinstance(m, dict) else None, n_bits)
                 mean = sum(cells) / n_bits
                 h = 0
                 for j, px in enumerate(cells):

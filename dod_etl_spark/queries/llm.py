@@ -410,6 +410,80 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, Codec(fake=True), feature_dim=16)
 
 
+_PHASH_MEDIA_ORACLE = """
+WITH s AS (SELECT doc_id, doc_id % 8 AS cls FROM documents WHERE doc_id < 48)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2
+FROM s a JOIN s b ON a.cls = b.cls AND a.doc_id < b.doc_id
+"""
+
+
+@query("phash_near_dup_media", _PHASH_MEDIA_ORACLE)
+def phash_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec perceptual near-dup, cross-engine checked: 48 docs
+    render deterministic BMP scenes in 8 visual classes (gradient
+    direction x disc position x inversion; per-doc noise + brightness
+    shift makes every payload byte-unique), then
+    phash_near_pairs(Codec(fake=False)) — stdlib BMP decode, box-cell
+    average hash, banded blocking — must recover EXACTLY the
+    within-class pairs. The oracle predicts those pairs from class
+    arithmetic alone, so a hash-match proves the whole perceptual
+    pipeline (decode -> aHash -> LSH banding -> hamming cut) separates
+    near (<=2 bits, measured) from far (>=14 bits) media. max_hamming=5
+    with n_bands=6 keeps the pigeonhole completeness guarantee.
+    North-star binary-column family (SURVEY §1.3; no reference
+    counterpart — its type surface stops at timestamps)."""
+    from dod_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        Codec,
+        phash_near_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 48).select("doc_id")
+
+    def render(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dod_etl_spark.operators.media_codec import encode_bmp
+
+        def scene_cls(doc_id: int, w: int = 64, h: int = 48) -> bytes:
+            cls = doc_id % 8
+            vert, slot, inv = bool(cls & 1), bool(cls & 2), bool(cls & 4)
+            y, x = np.mgrid[0:h, 0:w]
+            g = (y / (h - 1)) if vert else (x / (w - 1))
+            img = 40 + 120 * g
+            cx, cy = (0.75 if slot else 0.25) * w, 0.35 * h
+            img[(x - cx) ** 2 + (y - cy) ** 2 < (min(w, h) * 0.22) ** 2] = 235
+            if inv:
+                img = 255 - img
+            rng = np.random.default_rng(doc_id)
+            img = img + rng.integers(-4, 5, img.shape) + (doc_id % 3) * 6
+            return encode_bmp(np.clip(img, 0, 255).astype(np.uint8))
+
+        meta = {
+            "modality": "image",
+            "format": "bmp",
+            "width": 64,
+            "height": 48,
+            "duration_ms": None,
+            "sample_rate": None,
+        }
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "content": [
+                        bytearray(scene_cls(int(d))) for d in pdf["doc_id"]
+                    ],
+                    "meta": [meta] * len(pdf),
+                }
+            )
+
+    media = docs.mapInPandas(render, schema=MEDIA_SCHEMA)
+    pairs = phash_near_pairs(media, Codec(fake=False), max_hamming=5, n_bands=6)
+    return pairs.select("id_1", "id_2")
+
+
 # --- Embedding-cosine near-dup pairs (dedup flavor) --------------------------
 
 _EMB_NEAR_DUP_ORACLE = f"""
