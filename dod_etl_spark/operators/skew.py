@@ -74,6 +74,7 @@ def salted_collect_agg(
     keys: Sequence[str],
     agg_col: str,
     n_salts: int = 16,
+    sort: bool = True,
 ) -> DataFrame:
     """collect_list per key when some keys are hot. collect_list has no
     map-side combine, so a plain groupBy ships every row of the hot key
@@ -81,19 +82,24 @@ def salted_collect_agg(
     group on (key, salt) to build bounded partial lists, then flatten
     the (at most n_salts) partials per key.
 
-    Order within the list is salt-order (deterministic given the salt),
-    not arrival order — callers needing a total order should sort the
-    array (cheap: per-key data, already assembled).
+    `sort=True` (default) totally orders each final list — deterministic
+    output, but the merge-side array_sort of a hot key's full list is
+    single-task O(n log n), which caps the wall-time win (the memory win
+    — bounded per-reducer list building — remains). `sort=False` skips
+    both sorts: element order is then partial-arrival order
+    (nondeterministic across runs), the right mode when the consumer
+    treats the list as a bag (re-aggregates, explodes, or sorts
+    downstream) and phase 2 reduces to a ~n_salts-record flatten.
     """
     keys = list(keys)
+    part = F.collect_list(agg_col)
+    merged = F.flatten(F.collect_list("_part"))
+    if sort:
+        part = F.sort_array(part)
+        merged = F.array_sort(merged)
     partial = (
         df.withColumn(_SALT, _content_salt(df, n_salts, None))
         .groupBy(*keys, _SALT)
-        .agg(F.sort_array(F.collect_list(agg_col)).alias("_part"))
+        .agg(part.alias("_part"))
     )
-    return (
-        partial.groupBy(*keys)
-        .agg(
-            F.array_sort(F.flatten(F.collect_list("_part"))).alias(f"{agg_col}_list")
-        )
-    )
+    return partial.groupBy(*keys).agg(merged.alias(f"{agg_col}_list"))

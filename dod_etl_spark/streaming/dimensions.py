@@ -79,6 +79,11 @@ class DimensionMaintainer:
     # isn't available in this environment, so retention depth is the
     # knob — each extra version costs one snapshot's worth of storage).
     keep_versions: int = 2
+    # Snapshot publish backend (streaming/lakehouse.py). None resolves
+    # to ParquetSnapshotBackend on first batch; pass
+    # DeltaSnapshotBackend() for lakehouse MERGE INTO (requires
+    # delta-spark — absent in this environment, import-gated).
+    backend: object | None = None
     high_water: dict[str, int] = field(default_factory=dict)
     _version: int = 0
 
@@ -126,11 +131,26 @@ class DimensionMaintainer:
                     now=F.timestamp_millis(F.lit(anchor_ms)),
                 )
 
+        # Publish through the snapshot backend: versioned parquet by
+        # default; a Delta MERGE INTO backend (streaming/lakehouse.py)
+        # where delta-spark is installed — the production analog of the
+        # reference's H2 MERGE (imtu/DatabaseManager.scala:52-62).
+        backend = self.backend
+        if backend is None:
+            from dod_etl_spark.streaming.lakehouse import ParquetSnapshotBackend
+
+            backend = self.backend = ParquetSnapshotBackend()
+        backend.apply(self, changes)
+
+    def _merge_full(self, changes: DataFrame) -> DataFrame:
+        """Merged full snapshot in DataFrame space (used by full-
+        snapshot backends; MERGE-capable backends skip this and move
+        only the change rows)."""
         current = self._snapshot()
         if self.op_col is not None and self.op_col in changes.columns:
             if current is None:
                 current = changes.limit(0).drop(self.op_col)
-            merged = apply_cdc(
+            return apply_cdc(
                 current,
                 changes,
                 self.key_cols,
@@ -138,21 +158,11 @@ class DimensionMaintainer:
                 op_col=self.op_col,
                 delete_op=self.delete_op,
             )
-        else:
-            merged = (
-                upsert_snapshot(current, changes, self.key_cols, self.version_cols)
-                if current is not None
-                else changes
-            )
-        # Executors-only materialization: write to a NEW versioned path
-        # (never the files a live plan may be reading), repoint the view,
-        # then GC versions older than the previous one.
-        version = self._version + 1
-        path = os.path.join(self._root(), f"v{version:010d}")
-        merged.write.mode("overwrite").parquet(path)
-        self.spark.read.parquet(path).createOrReplaceTempView(self.table_name)
-        self._version = version
-        self._gc_versions()
+        return (
+            upsert_snapshot(current, changes, self.key_cols, self.version_cols)
+            if current is not None
+            else changes
+        )
 
     def _gc_versions(self) -> None:
         root = self._root()

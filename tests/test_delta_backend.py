@@ -1,0 +1,117 @@
+"""Lakehouse MERGE backend (streaming/lakehouse.py).
+
+Two layers, matching the Derby/Kafka gating discipline:
+- MERGE clause construction + parquet-backend equivalence run
+  EVERYWHERE (no delta needed): the semantics the Delta path encodes
+  are pinned against apply_cdc/upsert_snapshot results.
+- The live Delta MERGE path importorskips on delta-spark (absent in
+  this environment, verified round 5) and exercises the identical
+  batch sequence when the package exists.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dod_etl_spark.streaming.lakehouse import (
+    ParquetSnapshotBackend,
+    merge_key_condition,
+    version_wins_condition,
+)
+
+
+def test_merge_clause_construction():
+    """The strings the Delta builder feeds to MERGE: null-safe key
+    equality (H2 MERGE KEY(pk) analog) and lexicographic version-tuple
+    tie-break with arriving-row-wins-at-equal (the reference overwrites
+    on replay, InMemoryTableUpdater.scala:152-157)."""
+    assert merge_key_condition(["id"]) == "t.`id` <=> s.`id`"
+    assert (
+        merge_key_condition(["a", "b"]) == "t.`a` <=> s.`a` AND t.`b` <=> s.`b`"
+    )
+    assert version_wins_condition(["ver"]) == "struct(s.`ver`) >= struct(t.`ver`)"
+    assert (
+        version_wins_condition(["ts", "offset"])
+        == "struct(s.`ts`, s.`offset`) >= struct(t.`ts`, t.`offset`)"
+    )
+
+
+def test_version_tuple_semantics_in_sql(spark):
+    """The struct >= comparison the MERGE gate relies on must order
+    version tuples lexicographically — pinned by evaluating the exact
+    generated SQL in Spark."""
+    cond = version_wins_condition(["v1", "v2"])
+    rows = spark.sql(
+        f"""
+        SELECT {cond.replace('s.`', 'src.').replace('t.`', 'tgt.').replace('`', '')} AS wins
+        FROM VALUES (2, 0, 1, 9), (1, 9, 2, 0), (2, 0, 2, 0)
+             AS x(srcv1, srcv2, tgtv1, tgtv2)
+        LATERAL VIEW OUTER explode(array(named_struct('v1', srcv1, 'v2', srcv2))) s AS src
+        LATERAL VIEW OUTER explode(array(named_struct('v1', tgtv1, 'v2', tgtv2))) t AS tgt
+        """
+    ).collect()
+    assert [r["wins"] for r in rows] == [True, False, True]
+
+
+def _run_batches(spark, backend, tmp_path, name):
+    from dod_etl_spark.streaming.dimensions import DimensionMaintainer
+
+    m = DimensionMaintainer(
+        spark=spark,
+        table_name=name,
+        key_cols=["id"],
+        version_cols=["ver"],
+        op_col="op",
+        snapshot_dir=str(tmp_path / name),
+        backend=backend,
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a", 1, "I"), (2, "b", 1, "I"), (3, "c", 1, "I")],
+        "id INT, v STRING, ver INT, op STRING",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "b2", 2, "U"), (3, None, 2, "D"), (4, "d", 2, "I"),
+         (1, "stale", 0, "U")],
+        "id INT, v STRING, ver INT, op STRING",
+    )
+    m.apply_batch(b1, 0)
+    m.apply_batch(b2, 1)
+    return {
+        r["id"]: r["v"] for r in spark.table(name).select("id", "v").collect()
+    }
+
+
+EXPECTED = {1: "a", 2: "b2", 4: "d"}  # 3 deleted; 1's stale change ignored
+
+
+def test_parquet_backend_cdc_sequence(spark, tmp_path):
+    """The default backend through the same batch sequence the Delta
+    test runs — the cross-backend equivalence anchor."""
+    got = _run_batches(spark, ParquetSnapshotBackend(), tmp_path, "dim_pq_backend")
+    assert got == EXPECTED
+
+
+def test_delta_backend_merge_sequence(spark, tmp_path):
+    """Live Delta MERGE INTO (skipped here: delta-spark not installed).
+    Same batches, same expected snapshot — upsert + versioned
+    tie-break + tombstone delete via one MERGE per micro-batch."""
+    pytest.importorskip("delta")
+    from dod_etl_spark.streaming.lakehouse import DeltaSnapshotBackend
+
+    got = _run_batches(spark, DeltaSnapshotBackend(), tmp_path, "dim_delta_backend")
+    assert got == EXPECTED
+
+
+def test_delta_backend_gates_on_import():
+    """Construction (not first batch) is the gate, mirroring the Kafka
+    classpath guard: absent delta-spark, the backend refuses to build."""
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark installed here; gate test is for absent case")
+    except ImportError:
+        pass
+    from dod_etl_spark.streaming.lakehouse import DeltaSnapshotBackend
+
+    with pytest.raises(ImportError):
+        DeltaSnapshotBackend()
