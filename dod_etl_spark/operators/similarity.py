@@ -57,9 +57,55 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
-    """Vector width from the first row (one tiny job); None on empty."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    return int(row["d"]) if row is not None else None
+    """Vector width from the first non-null row (one tiny job); None on
+    empty/all-null — a leading NULL vector must not poison the probe."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    return int(row["d"]) if row is not None and row["d"] is not None else None
+
+
+def validate_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(valid, quarantine) split for an embedding corpus — the vector
+    twin of quarantine.parse_with_quarantine, and the REQUIRED front
+    door for dirty feeds before any similarity/ANN/clustering operator.
+
+    Why a pre-filter rather than per-op guards: the similarity kernels
+    index `vec[i]` positionally inside codegen'd arithmetic, so under
+    ANSI mode ONE wrong-width vector on row four billion throws
+    INVALID_ARRAY_INDEX and kills the whole job; a NULL vector nulls
+    the probe; and a NaN/Inf component corrupts quietly — it
+    propagates through dot/norm into a NaN similarity, which
+    stable_round's floor() collapses to 0.0 in Spark (floor(NaN)=0)
+    but NOT in DuckDB (floor(NaN)=NaN), so the corrupt row both
+    surfaces as a fake 0-cosine neighbor burning a top-k slot AND
+    would break any cross-engine oracle it reached (pinned in
+    tests/test_dirty_corpus.py). Guarding every element access inside
+    the kernels would push null-branches into the hot codegen loop for
+    what is metadata-rate dirt; one vectorized scan-stage filter keeps
+    the kernels branch-free.
+
+    Quarantined: NULL vector, width != dim, any NaN/±Inf component.
+    `dim` defaults to the width of the first non-null row. Both outputs
+    are lazy filters of the input (one scan each; at 100 TB fold this
+    into the ingest projection). Empty/all-null corpus: everything
+    quarantines."""
+    v = F.col(vec_col)
+    if dim is None:
+        dim = _probe_dim(emb, vec_col)
+        if dim is None:
+            return emb.limit(0), emb
+    finite = F.forall(
+        v, lambda x: ~F.isnan(x) & (F.abs(x) != F.lit(float("inf")))
+    )
+    good = v.isNotNull() & (F.size(v) == dim) & finite
+    return emb.filter(good), emb.filter(~good | v.isNull())
 
 
 def auto_block_bits(n_rows: int, target_bucket_rows: int = 256, max_bits: int = 20) -> int:

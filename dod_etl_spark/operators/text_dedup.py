@@ -453,7 +453,14 @@ def winnow_fingerprints(
     hashes = F.transform(
         char_ngrams(F.col(text_col), k), lambda g: md5_prefix_long(g)
     )
-    step = spread(docs).select(F.col(id_col), hashes.alias("_hs"))
+    # NULL text yields a NULL hash array and would emit one junk
+    # (id, NULL) fingerprint row — drop dirt at the scan, not in
+    # every consumer (tests/test_dirty_corpus.py).
+    step = (
+        spread(docs)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), hashes.alias("_hs"))
+    )
     sel = F.transform(
         F.sequence(F.lit(1), F.size(F.col("_hs"))),
         lambda i: F.array_min(F.slice(F.col("_hs"), i, window)),
