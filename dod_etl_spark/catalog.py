@@ -88,8 +88,19 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     n_files = len(df.inputFiles())
     if n_files >= target:
         return df
-    if n_files == 0 and _plan_partitions(df) >= target:
-        return df
+    if n_files == 0:
+        # Non-file-backed frame. Repartition ONLY when the plan KNOWS
+        # it is under-parallel; unknown partitioning (LocalTableScan /
+        # RDD scans report UnknownPartitioning -> 0 here) means NO-OP:
+        # createDataFrame fixtures and foreachBatch micro-batch frames
+        # are built at session default parallelism already, and an
+        # unconditional repartition would tax every such call with a
+        # full exchange (r6 review finding — the old .rdd probe skipped
+        # these correctly; this keeps that behavior without the
+        # driver-side plan->RDD conversion).
+        p = _plan_partitions(df)
+        if p == 0 or p >= target:
+            return df
     return df.repartition(target)
 
 

@@ -39,7 +39,7 @@ from __future__ import annotations
 import json
 import os
 import posixpath
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,7 +53,11 @@ def _uri_path(uri_or_path: str) -> str:
     coordinate system for comparing input_file_name() against a
     destination across schemes."""
     parsed = urlparse(uri_or_path)
-    path = parsed.path if parsed.scheme else uri_or_path
+    # input_file_name() returns percent-encoded URIs ('%20' for a space
+    # in the destination); the bare-path dest side is raw — decode the
+    # URI side or the relpath join silently escapes the destination and
+    # every size lookup misses (r6 review finding).
+    path = unquote(parsed.path) if parsed.scheme else uri_or_path
     if not parsed.scheme:
         path = os.path.abspath(path)
     return path

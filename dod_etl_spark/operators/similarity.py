@@ -91,21 +91,40 @@ def validate_embeddings(
     what is metadata-rate dirt; one vectorized scan-stage filter keeps
     the kernels branch-free.
 
-    Quarantined: NULL vector, width != dim, any NaN/±Inf component.
-    `dim` defaults to the width of the first non-null row. Both outputs
-    are lazy filters of the input (one scan each; at 100 TB fold this
-    into the ingest projection). Empty/all-null corpus: everything
-    quarantines."""
+    Quarantined: NULL vector, NULL component, width != dim, any NaN/±Inf
+    component. `dim` defaults to the MAJORITY width over a bounded
+    sample of non-null rows (one tiny limit()-bounded job) — a
+    first-row probe would let one leading truncated vector quarantine
+    the entire clean corpus. Ties break toward the LARGER width:
+    corruption truncates (partial writes, clipped arrays), it does not
+    invent components, so the wider candidate is the honest corpus
+    width. The `good` predicate is coalesced to a
+    real boolean so the two filters are an exact partition of the
+    input: a NULL component makes the raw predicate NULL, which `good`/
+    `NOT good` filters would BOTH drop (rows vanishing from a
+    validator is the one unacceptable outcome). Both outputs are lazy
+    filters of the input (one scan each; at 100 TB fold this into the
+    ingest projection). Empty/all-null corpus: everything quarantines."""
     v = F.col(vec_col)
     if dim is None:
-        dim = _probe_dim(emb, vec_col)
-        if dim is None:
+        widths = (
+            emb.filter(v.isNotNull())
+            .select(F.size(v).alias("d"))
+            .limit(1024)
+            .groupBy("d")
+            .count()
+            .orderBy(F.col("count").desc(), F.col("d").desc())
+            .first()
+        )
+        if widths is None:
             return emb.limit(0), emb
+        dim = int(widths["d"])
     finite = F.forall(
-        v, lambda x: ~F.isnan(x) & (F.abs(x) != F.lit(float("inf")))
+        v,
+        lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(float("inf"))),
     )
-    good = v.isNotNull() & (F.size(v) == dim) & finite
-    return emb.filter(good), emb.filter(~good | v.isNull())
+    good = F.coalesce(v.isNotNull() & (F.size(v) == dim) & finite, F.lit(False))
+    return emb.filter(good), emb.filter(~good)
 
 
 def auto_block_bits(n_rows: int, target_bucket_rows: int = 256, max_bits: int = 20) -> int:

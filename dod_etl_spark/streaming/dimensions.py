@@ -93,6 +93,21 @@ class DimensionMaintainer:
         return self.snapshot_dir
 
     def _snapshot(self) -> DataFrame | None:
+        """The STORED state — tombstones retained when `op_col` is set.
+        Reads the latest version directory, NOT the serving view: the
+        view filters tombstones for consumers, and merging from it
+        would let a later batch carrying a lower-version upsert
+        resurrect a deleted key (the tombstone it lost to would be
+        gone — the r6 advisory's cross-batch CDC composability hole).
+        Falls back to the catalog view for externally-registered
+        seeds/tests (an upsert-only surface, where the two coincide)."""
+        root = self.snapshot_dir
+        if root is not None and os.path.isdir(root):
+            versions = sorted(
+                n for n in os.listdir(root) if n.startswith("v") and n[1:].isdigit()
+            )
+            if versions:
+                return self.spark.read.parquet(os.path.join(root, versions[-1]))
         if self.table_name in [t.name for t in self.spark.catalog.listTables()]:
             return self.spark.table(self.table_name)
         return None
@@ -143,9 +158,12 @@ class DimensionMaintainer:
         backend.apply(self, changes)
 
     def _merge_full(self, changes: DataFrame) -> DataFrame:
-        """Merged full snapshot in DataFrame space (used by full-
-        snapshot backends; MERGE-capable backends skip this and move
-        only the change rows)."""
+        """Merged full STORED snapshot in DataFrame space (used by
+        full-snapshot backends; MERGE-capable backends skip this and
+        move only the change rows). CDC mode keeps tombstones
+        (`keep_tombstones=True`) so batch-at-a-time application
+        composes exactly — the serving view filters them at publish
+        (streaming/lakehouse.py), never here."""
         current = self._snapshot()
         if self.op_col is not None and self.op_col in changes.columns:
             if current is None:
@@ -157,6 +175,7 @@ class DimensionMaintainer:
                 self.version_cols,
                 op_col=self.op_col,
                 delete_op=self.delete_op,
+                keep_tombstones=True,
             )
         return (
             upsert_snapshot(current, changes, self.key_cols, self.version_cols)

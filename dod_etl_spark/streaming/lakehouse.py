@@ -24,9 +24,19 @@ MERGE semantics mapped from the reference + apply_cdc
 (operators/dedup.py): per key the highest `version_cols` tuple wins,
 arriving changes beat the stored row at equal version (the reference
 overwrites on replay, InMemoryTableUpdater.scala:152-157), and a
-winning tombstone (op_col == delete_op) deletes the key. Change batches
-must be pre-deduped to one row per key (latest_per_key) — MERGE
-requires a unique source match, same as H2's MERGE KEY().
+winning tombstone (op_col == delete_op) removes the key from the
+SERVING view. Change batches must be pre-deduped to one row per key
+(latest_per_key) — MERGE requires a unique source match, same as H2's
+MERGE KEY().
+
+Tombstones are SOFT deletes in the stored state, hard deletes only in
+the serving view: both backends retain the tombstone row (with op_col)
+so a later batch carrying a lower-version upsert for a deleted key
+loses the version race instead of resurrecting the key — physical
+DELETE would discard the version that must win that race (the r6
+advisory's cross-batch composability hole). Tombstone GC (dropping
+markers older than any possible replay) is a compaction concern, same
+knob family as keep_versions.
 """
 
 from __future__ import annotations
@@ -57,8 +67,9 @@ def version_wins_condition(version_cols: Sequence[str]) -> str:
 
 
 class ParquetSnapshotBackend:
-    """Versioned-overwrite publish: write the FULL merged snapshot to a
-    new version directory, repoint the temp view, GC old versions.
+    """Versioned-overwrite publish: write the FULL merged snapshot
+    (tombstones retained) to a new version directory, repoint the
+    serving temp view at a tombstone-filtered read, GC old versions.
     Executors-only (no row touches the driver); the previous version is
     retained so a concurrently-executing plan never loses files."""
 
@@ -66,12 +77,14 @@ class ParquetSnapshotBackend:
         version = m._version + 1
         path = os.path.join(m._root(), f"v{version:010d}")
         merged.write.mode("overwrite").parquet(path)
-        m.spark.read.parquet(path).createOrReplaceTempView(m.table_name)
+        served = m.spark.read.parquet(path)
+        if m.op_col is not None and m.op_col in served.columns:
+            served = served.filter(
+                ~F.col(m.op_col).eqNullSafe(F.lit(m.delete_op))
+            ).drop(m.op_col)
+        served.createOrReplaceTempView(m.table_name)
         m._version = version
         m._gc_versions()
-
-    # Full-snapshot backends merge in DataFrame space first.
-    needs_full_merge = True
 
     def apply(self, m: "DimensionMaintainer", changes: DataFrame) -> None:
         self.publish(m, m._merge_full(changes))
@@ -83,9 +96,14 @@ class DeltaSnapshotBackend:
     Delta's own copy-on-write. Snapshot isolation and VACUUM-managed
     retention replace the keep_versions knob. Raises ImportError where
     delta-spark is absent (this environment), so callers/tests gate on
-    construction, not on first batch."""
+    construction, not on first batch.
 
-    needs_full_merge = False
+    Tombstones are stored rows (soft delete, module docstring): a
+    whenMatchedDelete would discard the winning version, letting a
+    stale out-of-order upsert re-enter through whenNotMatchedInsert —
+    which has no stored version left to gate on. One update clause +
+    one insert clause, both version-gated, cover upserts AND deletes;
+    the serving view filters op_col at read."""
 
     def __init__(self) -> None:
         from delta.tables import DeltaTable  # noqa: F401  (gate here)
@@ -97,34 +115,30 @@ class DeltaSnapshotBackend:
         spark = m.spark
         on = merge_key_condition(m.key_cols)
         newer = version_wins_condition(m.version_cols)
-        is_delete = (
-            f"s.`{m.op_col}` <=> '{m.delete_op}'" if m.op_col is not None else "false"
-        )
+        src = changes
+        if m.op_col is not None:
+            op = (
+                F.col(m.op_col).cast("string")
+                if m.op_col in src.columns
+                else F.lit(None).cast("string")
+            )
+            # Normalize like apply_cdc: absent/null op means upsert.
+            src = src.withColumn(m.op_col, F.coalesce(op, F.lit("U")))
+        cols = {c: f"s.`{c}`" for c in src.columns}
         if not self._delta_table.isDeltaTable(spark, path):
-            init = changes
-            if m.op_col is not None and m.op_col in changes.columns:
-                init = changes.filter(
-                    ~F.col(m.op_col).eqNullSafe(F.lit(m.delete_op))
-                ).drop(m.op_col)
-            init.write.format("delta").mode("overwrite").save(path)
+            src.write.format("delta").mode("overwrite").save(path)
         else:
             dt = self._delta_table.forPath(spark, path)
-            src = changes
-            if m.op_col is not None and m.op_col not in src.columns:
-                src = src.withColumn(m.op_col, F.lit(None).cast("string"))
-            builder = dt.alias("t").merge(src.alias("s"), on)
-            # Order matters: delete check first, then the versioned
-            # update; both gated on the arriving version winning. A
-            # stale change (older version) matches but fires no clause.
-            builder = builder.whenMatchedDelete(
-                condition=f"({newer}) AND ({is_delete})"
-            ).whenMatchedUpdate(
-                condition=f"({newer}) AND NOT ({is_delete})",
-                set={c: f"s.`{c}`" for c in changes.columns if c != m.op_col},
-            ).whenNotMatchedInsert(
-                condition=f"NOT ({is_delete})",
-                values={c: f"s.`{c}`" for c in changes.columns if c != m.op_col},
-            )
-            builder.execute()
-        spark.read.format("delta").load(path).createOrReplaceTempView(m.table_name)
+            # A stale change (older version) matches but fires no
+            # clause; a winning tombstone UPDATES the stored row to the
+            # marker instead of deleting it.
+            dt.alias("t").merge(src.alias("s"), on).whenMatchedUpdate(
+                condition=newer, set=cols
+            ).whenNotMatchedInsert(values=cols).execute()
+        served = spark.read.format("delta").load(path)
+        if m.op_col is not None and m.op_col in served.columns:
+            served = served.filter(
+                ~F.col(m.op_col).eqNullSafe(F.lit(m.delete_op))
+            ).drop(m.op_col)
+        served.createOrReplaceTempView(m.table_name)
         m._version += 1

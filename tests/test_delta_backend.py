@@ -102,6 +102,47 @@ def test_delta_backend_merge_sequence(spark, tmp_path):
     assert got == EXPECTED
 
 
+def _run_resurrection_batches(spark, backend, tmp_path, name):
+    """Out-of-order cross-batch CDC: delete at v9 lands BEFORE a
+    replayed stale upsert at v5. A backend that physically drops the
+    tombstone loses the version that must win that race and the deleted
+    key reappears (r6 advisory finding); soft-delete storage keeps it
+    dead."""
+    from dod_etl_spark.streaming.dimensions import DimensionMaintainer
+
+    m = DimensionMaintainer(
+        spark=spark,
+        table_name=name,
+        key_cols=["id"],
+        version_cols=["ver"],
+        op_col="op",
+        snapshot_dir=str(tmp_path / name),
+        backend=backend,
+    )
+    m.apply_batch(spark.createDataFrame([(1, "a", 1, "I")], _SCHEMA), 0)
+    m.apply_batch(spark.createDataFrame([(1, None, 9, "D")], _SCHEMA), 1)
+    m.apply_batch(spark.createDataFrame([(1, "ghost", 5, "U")], _SCHEMA), 2)
+    return [r["id"] for r in spark.table(name).collect()]
+
+
+_SCHEMA = "id INT, v STRING, ver INT, op STRING"
+
+
+def test_parquet_backend_no_tombstone_resurrection(spark, tmp_path):
+    assert _run_resurrection_batches(
+        spark, ParquetSnapshotBackend(), tmp_path, "dim_pq_resurrect"
+    ) == []
+
+
+def test_delta_backend_no_tombstone_resurrection(spark, tmp_path):
+    pytest.importorskip("delta")
+    from dod_etl_spark.streaming.lakehouse import DeltaSnapshotBackend
+
+    assert _run_resurrection_batches(
+        spark, DeltaSnapshotBackend(), tmp_path, "dim_delta_resurrect"
+    ) == []
+
+
 def test_delta_backend_gates_on_import():
     """Construction (not first batch) is the gate, mirroring the Kafka
     classpath guard: absent delta-spark, the backend refuses to build."""

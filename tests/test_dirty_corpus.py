@@ -182,8 +182,10 @@ def test_validate_embeddings_splits_and_restores_correctness(spark, dirty_emb):
 
 
 def test_validate_embeddings_probe_skips_leading_null(spark):
-    """dim inference must come from the first NON-NULL row — a null
-    vector at position 0 previously poisoned the width probe."""
+    """dim inference samples NON-NULL rows only (a null vector at
+    position 0 previously poisoned the width probe) and breaks width
+    ties toward the larger candidate — truncation is the dirt, so the
+    3-wide vector defines the corpus and the 1-wide one quarantines."""
     from dod_etl_spark.operators.similarity import validate_embeddings
 
     rows = [(0, None, 0), (1, [1.0, 2.0, 3.0], 0), (2, [1.0], 1)]

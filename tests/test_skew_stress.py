@@ -167,6 +167,8 @@ def test_salted_join_beats_unsalted_on_hot_key(spark):
     joined output."""
     from dod_etl_spark.operators.skew import salted_join
 
+    if spark.sparkContext.defaultParallelism < 4:
+        pytest.skip("wall-clock skew win needs >=4 cores to manifest")
     conf = spark.conf
     saved = {
         k: conf.get(k)
