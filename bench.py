@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     # fp-bucket pair join, and the bigram-LM train+score join family.
     "winnow_dup_pairs",
     "lm_score_docs",
+    # Round-6: DSIR importance resampling end to end (one-pass hashed
+    # bucket models + weighted priority sample).
+    "dsir_select_docs",
 ]
 
 

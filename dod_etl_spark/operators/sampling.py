@@ -172,3 +172,83 @@ def priority_sample(
     return df.sparkSession.createDataFrame(
         kept, f"{key_col} {key_type}, weight LONG, est_weight LONG"
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = 256,
+    seed: int = 7,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each
+    candidate document by how much its hashed-unigram distribution
+    looks like a small TARGET corpus relative to the raw pool.
+
+    Per token occurrence the bucket is a content hash (hash_bucket, so
+    engine/partition-invariant); two bag-of-buckets models are fit with
+    add-one smoothing — p over `is_target` rows, q over the candidate
+    rest — and a candidate's weight is the mean per-token likelihood
+    ratio carried in floor-microunits:
+
+        micro(b)  = (p_b+1)(Q+B) * 1e6  div  (q_b+1)(P+B)
+        weight(d) = sum over d's tokens of micro(bucket)  div  n_toks
+
+    Every step is exact BIGINT arithmetic (the paper's float log-ratio
+    sum is order-sensitive and would break cross-engine hashing; the
+    linear-ratio mean keeps the same "looks like the target" ordering
+    signal for ratios near 1, which smoothing enforces). Bound: needs
+    (P+B)(Q+B)*1e6 < 2^63 — fine to ~1e6-token targets against ~1e9
+    candidate tokens; at 100 TB drop micro to milli or move the ratio
+    to DECIMAL(38,0), no shape change.
+
+    Scale: tokenize/explode is scan-stage; BOTH bucket models come out
+    of ONE groupBy(bucket) pass (conditional sums — the target/pool
+    split is a column, not two scans), yielding a B-row model frame
+    (metadata-sized — broadcast, like IVF centroids); occurrences join
+    the ratio table broadcast-side and one groupBy(id) folds the doc
+    scores. Three exchanges total, all carrying bucket ids or doc
+    scalars, never text (pinned in tests/test_plan_shapes.py). An
+    empty target degrades to the smoothed uniform ratio (weights
+    ~constant), never an error. Returns (id_col, n_toks,
+    avg_microratio) for candidate (non-target) rows only.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    occ = df.select(
+        F.col(id_col),
+        is_target.alias("_is_t"),
+        F.explode(toks).alias("_tok"),
+    ).withColumn(
+        "_bucket", hash_bucket(F.col("_tok"), seed, n_buckets)
+    ).localCheckpoint(eager=True)
+    counts = occ.groupBy("_bucket").agg(
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_pb"),
+        F.sum(F.when(~F.col("_is_t"), 1).otherwise(0)).alias("_qb"),
+    )
+    totals = counts.agg(
+        F.coalesce(F.sum("_pb"), F.lit(0)).alias("_praw"),
+        F.coalesce(F.sum("_qb"), F.lit(0)).alias("_qraw"),
+    )
+    ratio = (
+        counts.filter(F.col("_qb") > 0)  # mirror: model over pool buckets only
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_bucket",
+            F.expr(
+                f"((_pb + 1) * (_qraw + {n_buckets}) * 1000000)"
+                f" div ((_qb + 1) * (_praw + {n_buckets}))"
+            ).alias("_micro"),
+        )
+    )
+    scored = (
+        occ.filter("NOT _is_t")
+        .join(F.broadcast(ratio), "_bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.expr("sum(_micro) div count(1)").cast("long").alias("avg_microratio"),
+        )
+    )
+    return scored

@@ -1276,3 +1276,104 @@ def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return priority_sample(docs, "doc_id", "n_chars", k=50, seed=5)
+
+
+# --- DSIR importance resampling ----------------------------------------------
+
+_DSIR_TARGET_SQL = "(lang = 'en' AND source = 'src1')"
+
+_DSIR_WEIGHTS_CTE = """
+toks AS (
+  SELECT doc_id, (lang = 'en' AND source = 'src1') AS is_t,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, is_t,
+         (('0x' || substr(md5(CAST(tok AS VARCHAR) || '_7'), 1, 8))::BIGINT
+          % 256) AS bucket
+  FROM toks
+),
+p AS (SELECT bucket, count(*) AS pb FROM occ WHERE is_t GROUP BY 1),
+q AS (SELECT bucket, count(*) AS qb FROM occ WHERE NOT is_t GROUP BY 1),
+pt AS (SELECT coalesce(sum(pb), 0) AS praw FROM p),
+qt AS (SELECT coalesce(sum(qb), 0) AS qraw FROM q),
+r AS (
+  SELECT q.bucket,
+         ((coalesce(p.pb, 0) + 1) * (qt.qraw + 256) * 1000000)
+         // ((q.qb + 1) * (pt.praw + 256)) AS micro
+  FROM q LEFT JOIN p USING (bucket) CROSS JOIN pt CROSS JOIN qt
+),
+w AS (
+  SELECT o.doc_id, count(*) AS n_toks,
+         CAST(sum(r.micro) // count(*) AS BIGINT) AS avg_microratio
+  FROM occ o JOIN r USING (bucket) WHERE NOT o.is_t GROUP BY 1
+)
+"""
+
+_DSIR_WEIGHTS_SQL = f"""
+WITH {_DSIR_WEIGHTS_CTE}
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, avg_microratio FROM w
+"""
+
+
+def _dsir_weights_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dod_etl_spark.operators.sampling import dsir_importance_weights
+
+    docs = t(spark, sf_dir, "documents")
+    is_target = (F.col("lang") == "en") & (F.col("source") == "src1")
+    return dsir_importance_weights(
+        docs, "doc_id", "text", is_target, n_buckets=256, seed=7
+    )
+
+
+@query("dsir_weights_docs", _DSIR_WEIGHTS_SQL)
+def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): per candidate doc,
+    the mean hashed-unigram likelihood ratio against a designated
+    target slice (en/src1 stands in for the paper's curated corpus),
+    in exact integer micro-units — see
+    operators.sampling.dsir_importance_weights for the arithmetic and
+    the 100 TB shape (two metadata-sized bucket models broadcast; one
+    groupBy(doc) fold)."""
+    return _dsir_weights_frame(spark, sf_dir)
+
+
+_DSIR_SELECT_SQL = f"""
+WITH {_DSIR_WEIGHTS_CTE},
+scored AS (
+  SELECT doc_id, CAST(greatest(avg_microratio, 1) AS BIGINT) AS weight,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_11'), 1, 8))::BIGINT
+          % 4294967296) + 1 AS h
+  FROM w
+),
+p2 AS (SELECT doc_id, weight, (weight * 4294967296) // h AS prio FROM scored),
+ranked AS (
+  SELECT doc_id, weight, prio,
+         row_number() OVER (ORDER BY prio DESC, doc_id) AS rn
+  FROM p2
+),
+tau AS (SELECT prio AS t FROM ranked WHERE rn = 51)
+SELECT r.doc_id, r.weight,
+       CAST(greatest(r.weight, tau.t) AS BIGINT) AS est_weight
+FROM ranked r CROSS JOIN tau WHERE r.rn <= 50
+"""
+
+
+@query("dsir_select_docs", _DSIR_SELECT_SQL)
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR end to end: importance weights (dsir_weights_docs) feed a
+    deterministic weighted priority sample of 50 documents — the
+    paper's Gumbel top-k resample swapped for Duffield-Lund-Thorup
+    priority sampling, which draws the same
+    probability-proportional-to-weight sample with exact integer
+    arithmetic AND yields unbiased subset-sum estimators (est_weight),
+    so the selected mixture's token mass is measurable without a
+    second pass. Selection hashes are content-derived: the same corpus
+    selects the same documents on any engine or partitioning."""
+    from dod_etl_spark.operators.sampling import priority_sample
+
+    weights = _dsir_weights_frame(spark, sf_dir).select(
+        "doc_id", F.greatest(F.col("avg_microratio"), F.lit(1)).alias("w")
+    )
+    return priority_sample(weights, "doc_id", "w", k=50, seed=11)

@@ -192,6 +192,12 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # Real-codec perceptual pairs: one band self-join exchange over
         # 60-bit fingerprints; pixels never cross an exchange.
         ("phash_near_dup_media", 1, 0, 0),
+        # DSIR importance weights: both hashed-unigram models fit in ONE
+        # bucket agg, totals are a scalar BNLJ broadcast (q11 pattern),
+        # ratio table broadcasts into the per-doc fold; the 4th
+        # exchange is the localCheckpoint read boundary. Text never
+        # crosses an exchange (buckets + doc scalars only).
+        ("dsir_weights_docs", 4, 0, 1),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):

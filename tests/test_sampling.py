@@ -148,3 +148,43 @@ def test_priority_sample_small_population_kept_exactly(spark):
     out = priority_sample(df, "doc_id", "w", k=10).collect()
     assert len(out) == 5
     assert all(r["est_weight"] == 7 for r in out)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """The importance signal: candidates written in the target's
+    vocabulary must out-weigh candidates from a disjoint vocabulary.
+    Two separated vocabularies, a clean target slice, and candidates
+    split between them — every in-vocab candidate beats every
+    out-of-vocab one."""
+    from dod_etl_spark.operators.sampling import dsir_importance_weights
+
+    target_text = "alpha beta gamma delta epsilon zeta"
+    other_text = "foo bar baz qux quux corge"
+    rows = (
+        [(i, target_text, True) for i in range(10)]
+        + [(100 + i, target_text, False) for i in range(5)]
+        + [(200 + i, other_text, False) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, is_t BOOLEAN")
+    w = dsir_importance_weights(df, "doc_id", "text", F.col("is_t"), n_buckets=64)
+    got = {r["doc_id"]: r["avg_microratio"] for r in w.collect()}
+    assert set(got) == {100 + i for i in range(5)} | {200 + i for i in range(5)}
+    in_vocab = [got[100 + i] for i in range(5)]
+    out_vocab = [got[200 + i] for i in range(5)]
+    assert min(in_vocab) > max(out_vocab), (in_vocab, out_vocab)
+
+
+def test_dsir_weights_empty_target_degrades_smoothly(spark):
+    """No target rows: every candidate still gets a finite positive
+    weight from the smoothed uniform model (never an error, never 0
+    rows)."""
+    from dod_etl_spark.operators.sampling import dsir_importance_weights
+
+    df = spark.createDataFrame(
+        [(1, "some words here"), (2, "other words there")],
+        "doc_id LONG, text STRING",
+    )
+    w = dsir_importance_weights(df, "doc_id", "text", F.lit(False), n_buckets=64)
+    rows = w.collect()
+    assert len(rows) == 2
+    assert all(r["avg_microratio"] > 0 for r in rows)
