@@ -65,8 +65,9 @@ BENCH_QUERIES = [
     "prep_pipeline_docs",
     "lsh_ann_multiprobe",
     "q21_sole_blame_supplier",
-    # md5 vs xxhash64 hash-mode twin of minhash_lsh_candidates: the
-    # production-throughput dividend, measured not claimed.
+    # Production-mode twin of minhash_lsh_candidates (xxhash64 hash +
+    # max_bucket_size cap): the production-throughput dividend,
+    # measured not claimed.
     "minhash_lsh_prod",
     # Round-5 corpus analytics: the explode-heavy map-only chunker and
     # the three-shuffle tf-idf top-k.

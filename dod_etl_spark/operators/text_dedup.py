@@ -185,10 +185,16 @@ def minhash_jaccard_est(
     shingle_len: int = 5,
     hash_fn: str = "md5",
     min_est: float = 0.0,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs WITH the MinHash Jaccard estimate: fraction
     of the K signature slots on which the two documents agree —
     E[agreement] = J(A,B), the property MinHash exists for.
+
+    `max_bucket_size` is the same production skew guard as
+    minhash_candidates (None = exhaustive oracle mode): candidate
+    output is quadratic in per-bucket duplication
+    (tools/scaling_probe.py), so production runs cap the bucket.
 
     This is the decision stage of a signature-only dedup pipeline:
     candidates come from the band join, the keep/drop call comes from
@@ -208,6 +214,15 @@ def minhash_jaccard_est(
         docs, id_col, text_col, num_hashes, shingle_len, hash_fn
     ).localCheckpoint(eager=True)
     bands = minhash_bands(sigs, id_col, band_size, num_hashes)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        n_in_bucket = F.count(F.lit(1)).over(
+            Window.partitionBy("band", "band_hash")
+        )
+        bands = bands.withColumn("_bn", n_in_bucket).filter(
+            F.col("_bn") <= max_bucket_size
+        ).drop("_bn")
     a = bands.select(F.col(id_col).alias("id_1"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("id_2"), "band", "band_hash")
     pairs = (

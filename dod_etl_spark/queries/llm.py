@@ -1280,14 +1280,28 @@ def ngram_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so there is no cross-engine replay; correctness comes from the md5 twin
 # (minhash_lsh_candidates, oracle-green) plus the mode-equality config test.
 def minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production-mode MinHash+LSH (hashFn=xxhash64, codegen'd JVM hash
-    instead of md5): the throughput configuration a real 100 TB dedup
-    run uses when cross-engine replay isn't needed. Benchmarked against
-    minhash_lsh_candidates (identical plan shape, md5 hash) to quantify
-    the hash-function dividend."""
+    """Production-mode MinHash+LSH with BOTH production knobs on:
+    hashFn=xxhash64 (codegen'd JVM hash instead of md5) and
+    max_bucket_size=64 (degenerate buckets dropped from candidate
+    generation). The md5 twin (minhash_lsh_candidates) stays exhaustive
+    because its DuckDB oracle pins the unguarded semantics.
+
+    The cap is not optional at scale: tools/scaling_probe.py measured
+    the UNGUARDED all-pairs surface at log-log slope 2.05 under 8x
+    near-duplicate corpus replication (2.3s -> 172.6s) — candidate
+    OUTPUT is inherently quadratic in per-bucket duplication, so the
+    production posture caps the bucket and leaves mega-clusters to
+    exact dedup + the star-edge cluster path (dedup_clusters, measured
+    slope 0.12 on the same fixture). Bench note: this entry's delta vs
+    the md5 twin now mixes the hash dividend AND the cap dividend."""
     docs = t(spark, sf_dir, "documents")
     return minhash_candidates(
-        docs, num_hashes=8, band_size=2, shingle_len=5, hash_fn="xxhash64"
+        docs,
+        num_hashes=8,
+        band_size=2,
+        shingle_len=5,
+        hash_fn="xxhash64",
+        max_bucket_size=64,
     )
 
 

@@ -173,6 +173,10 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # exchange each; a second would mean the signature frame
         # re-shuffles per band.
         ("minhash_lsh_candidates", 1, 0, 0),
+        # Production twin: xxhash64 + max_bucket_size cap; the cap's
+        # window exchange lands before the checkpoint boundary, so the
+        # visible budget matches the md5 twin.
+        ("minhash_lsh_prod", 1, 0, 0),
         ("simhash_near_pairs", 1, 0, 0),
         # One signature pass feeds band join + both pair-side lookups.
         ("minhash_jaccard_est", 1, 0, 0),
