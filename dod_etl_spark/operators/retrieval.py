@@ -1,0 +1,119 @@
+"""Lexical (sparse) retrieval: BM25 top-k over the document corpus.
+
+The missing sibling of the dense-ANN family (operators/similarity.py):
+training-data curation uses BM25 retrieval for eval-set
+decontamination sweeps (retrieve-then-audit), targeted corpus
+inspection ("show me what the corpus says about X"), and as the
+lexical arm of hybrid lexical+dense mining. Okapi BM25 (Robertson et
+al., TREC-3) — public formula.
+
+Plan shape (all JVM built-ins, no UDFs):
+
+  scan docs -> explode lowered tokens      (tokenize once, dl carried)
+  -> groupBy (doc_id, tok): tf             [shuffle 1, map-combined]
+  -> count() OVER (PARTITION BY tok): df   [shuffle 2] -- window on the
+     SAME frame, not a tf-vs-df self-join, so the tokenize lineage
+     runs once (same rationale as tfidf_top_terms)
+  -> broadcast-join the exploded query terms (tiny)     [no shuffle]
+  -> crossJoin(broadcast(corpus stats))    (scalar N, avgdl)
+  -> groupBy (query_id, doc_id): decimal-exact score    [shuffle 3]
+  -> per-query row_number top-k            [shuffle 4, WindowGroupLimit]
+
+At 100 TB the posting frame carries (doc_id, tok, tf, dl) scalars —
+never the text; the per-query candidate set after the terms join is
+sum of posting-list lengths for the query vocabulary, not the corpus.
+
+Determinism: `rational_idf=True` replaces ln((N-df+.5)/(df+.5)+1) with
+the rational (N-df+.5)/(df+.5) — integer-derived IEEE multiply/divide
+is bit-identical across engines while ln() is libm-dependent (same
+trade tfidf_top_terms documents). Scores aggregate as DECIMAL(27,6)
+(order-independent), and the top-k cut ranks on the EXACT decimal with
+doc_id tiebreak, so the returned set is total-order deterministic.
+
+Reference parity: none (no text surface in the reference) —
+LLM-pipeline extension per the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dod_etl_spark.functions.scalar import stable_round
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    rational_idf: bool = False,
+) -> DataFrame:
+    """Top-k documents per query by Okapi BM25.
+
+    Returns (query_id, doc_id, rank, score): rank 1..k per query over
+    documents sharing >=1 term with the query, score rounded to 4
+    digits (ranking happens on the exact decimal aggregate, before
+    rounding). Query terms are DISTINCT per query (set semantics —
+    standard for short keyword queries)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("tok"),
+    )
+    tf = exploded.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    posting = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+
+    q_toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(query_text_col)), " "), lambda x: x != "")
+    )
+    terms = queries.select(
+        F.col(query_id_col).alias("query_id"), F.explode(q_toks).alias("tok")
+    )
+
+    stats = docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(F.size(toks).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+
+    n = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    raw_idf = (n - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    idf = raw_idf if rational_idf else F.log(raw_idf + F.lit(1.0))
+    tf_sat = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dld / F.col("avgdl")))
+    )
+    contrib = idf * tf_sat
+
+    scored = (
+        posting.join(F.broadcast(terms), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib.cast("decimal(27,6)")).alias("_score_dec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score_dec").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            stable_round(F.col("_score_dec").cast("double"), 4).alias("score"),
+        )
+    )

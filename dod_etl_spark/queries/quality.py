@@ -1377,3 +1377,82 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.greatest(F.col("avg_microratio"), F.lit(1)).alias("w")
     )
     return priority_sample(weights, "doc_id", "w", k=50, seed=11)
+
+
+# --- BM25 lexical retrieval (Okapi, rational-idf deterministic mode) ----------
+
+_BM25_QUERIES = [
+    (1, "table scan filter"),
+    (2, "window agg stream"),
+    (3, "customer order join"),
+]
+
+_BM25_VALUES = ", ".join(
+    f"(CAST({qid} AS BIGINT), '{tok}')"
+    for qid, text in _BM25_QUERIES
+    for tok in text.split(" ")
+)
+
+_BM25_CONTRIB = """
+  ((CAST(s.n_docs AS DOUBLE) - CAST(p.df AS DOUBLE) + 0.5)
+     / (CAST(p.df AS DOUBLE) + 0.5))
+  * ((CAST(p.tf AS DOUBLE) * 2.2)
+     / (CAST(p.tf AS DOUBLE)
+        + 1.2 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE) / s.avgdl))))
+"""
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+  FROM documents
+),
+posting AS (
+  SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+  FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+withdf AS (SELECT *, count(*) OVER (PARTITION BY tok) AS df FROM posting),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl
+  FROM toks
+),
+q(query_id, tok) AS (VALUES {_BM25_VALUES}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(CAST(({_BM25_CONTRIB}) AS DECIMAL(27,6))) AS sdec
+  FROM withdf p JOIN q USING (tok) CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, sdec,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sdec DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, rank, {sround_sql('CAST(sdec AS DOUBLE)', 4)} AS score
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("bm25_topk_docs", _BM25_ORACLE)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per keyword query — the lexical arm of the
+    retrieval family (dense ANN: cosine_topk/lsh/ivf). Curation uses
+    this shape for retrieve-then-audit decontamination sweeps and
+    targeted corpus inspection. Rational-idf mode: ln() is
+    libm-dependent across engines (same trade tfidf_top_terms
+    documents), so the oracle-checked variant keeps the idf a rational
+    function of (N, df); scores aggregate as DECIMAL(27,6) and the
+    top-k cut ranks on the exact decimal with doc_id tiebreak — the
+    returned set is total-order deterministic, partition-invariant.
+    Plan: tokenize once -> (doc,tok) tf [1 shuffle] -> df as a window
+    on the same frame [1 shuffle] -> broadcast query terms + scalar
+    stats -> per-(query,doc) decimal sum [1 shuffle] -> WindowGroupLimit
+    top-k [1 shuffle]. Posting rows carry scalars only, never text."""
+    from dod_etl_spark.operators.retrieval import bm25_topk
+
+    docs = t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query_text string"
+    )
+    return bm25_topk(docs, queries, k=10, rational_idf=True)

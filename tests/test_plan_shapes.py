@@ -202,6 +202,12 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # exchange is the localCheckpoint read boundary. Text never
         # crosses an exchange (buckets + doc scalars only).
         ("dsir_weights_docs", 4, 0, 1),
+        # BM25: tf agg + df-as-window-on-the-same-frame (tok) + scalar
+        # (N, avgdl) agg + per-(query,doc) decimal score agg + top-k
+        # window; the BNLJ is the 1-row corpus-stats broadcast (q11
+        # pattern). Query terms broadcast-hash-join; posting rows carry
+        # scalars only. WindowGroupLimit is asserted separately below.
+        ("bm25_topk_docs", 5, 0, 1),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):
@@ -264,6 +270,14 @@ def test_domain_cap_window_group_limit(spark):
     """domain_cap_docs' literal cap must engage WindowGroupLimit so each
     map task prunes to <= cap rows per source before the shuffle."""
     plan = _plan(spark, "domain_cap_docs")
+    assert "WindowGroupLimit" in plan
+
+
+def test_bm25_group_limit(spark):
+    """bm25_topk_docs' per-query top-k must engage WindowGroupLimit so
+    each map task prunes to <= k candidate rows per query before the
+    final exchange."""
+    plan = _plan(spark, "bm25_topk_docs")
     assert "WindowGroupLimit" in plan
 
 

@@ -1,0 +1,87 @@
+"""BM25 lexical retrieval (operators/retrieval.py): ranking semantics,
+log-idf production mode, and partition invariance."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dod_etl_spark.operators.retrieval import bm25_topk
+
+
+def _docs(spark):
+    rows = [
+        # doc 1: both query terms, short -> best for q1
+        (1, "apple banana"),
+        # doc 2: both terms but diluted by length
+        (2, "apple banana kiwi kiwi kiwi kiwi kiwi kiwi kiwi kiwi"),
+        # doc 3: one term only
+        (3, "apple pear plum"),
+        # doc 4: no query terms
+        (4, "pear plum quince"),
+        # doc 5: term repetition (tf saturation, not linear reward)
+        (5, "apple apple apple apple"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        [(1, "apple banana")], "query_id long, query_text string"
+    )
+
+
+def test_bm25_ranking_semantics(spark):
+    out = bm25_topk(_docs(spark), _queries(spark), k=10, rational_idf=True)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 4 shares no term: absent entirely
+    assert 4 not in rows
+    # two-term short doc beats the long two-term doc and every one-term doc
+    assert rows[1]["rank"] == 1
+    # both-terms-diluted still beats single-term docs: 'banana' is rarer
+    # (df=2) than 'apple' (df=4), so its idf dominates
+    assert rows[2]["rank"] == 2
+    # tf saturation: 4x 'apple' must not overtake a doc containing the
+    # rare term
+    assert rows[5]["rank"] > rows[2]["rank"]
+    assert all(r["score"] > 0 for r in rows.values())
+
+
+def test_bm25_log_idf_mode(spark):
+    """Production (log-idf) mode: same candidate set, sane scores; the
+    Robertson ln(1 + (N-df+.5)/(df+.5)) form is strictly positive."""
+    out = bm25_topk(_docs(spark), _queries(spark), k=10, rational_idf=False)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 5}
+    assert rows[1]["rank"] == 1
+    assert all(r["score"] > 0 for r in rows.values())
+    # hand-check doc 3 ('apple' once, dl=3): one term, tf=1
+    n, df, tf, dl, avgdl = 5, 4, 1, 3, (2 + 10 + 3 + 3 + 4) / 5
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    expected = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert abs(rows[3]["score"] - expected) < 1e-3
+
+
+def test_bm25_partition_invariance(spark):
+    """Scores and ranks are identical under any input partitioning —
+    the decimal-exact aggregation contract."""
+    docs = _docs(spark)
+    q = _queries(spark)
+    a = bm25_topk(docs.repartition(7), q, k=10, rational_idf=True)
+    b = bm25_topk(docs.coalesce(1), q, k=10, rational_idf=True)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+
+
+def test_bm25_k_cut_and_tiebreak(spark):
+    """Identical documents tie exactly (decimal scores equal); the
+    doc_id ASC tiebreak makes the k-cut deterministic."""
+    rows = [(i, "apple banana") for i in range(1, 8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(docs, _queries(spark), k=3, rational_idf=True)
+    got = [(r["doc_id"], r["rank"]) for r in out.sort("rank").collect()]
+    assert got == [(1, 1), (2, 2), (3, 3)]
+    scores = {r["score"] for r in out.collect()}
+    assert len(scores) == 1
