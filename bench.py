@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     # Round-6: DSIR importance resampling end to end (one-pass hashed
     # bucket models + weighted priority sample).
     "dsir_select_docs",
+    # Round-6: BM25 lexical retrieval (posting build + df window +
+    # decimal-exact scoring + WindowGroupLimit top-k).
+    "bm25_topk_docs",
 ]
 
 
