@@ -53,6 +53,7 @@ def bm25_topk(
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     rational_idf: bool = False,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-k documents per query by Okapi BM25.
 
@@ -60,7 +61,10 @@ def bm25_topk(
     documents sharing >=1 term with the query, score rounded to 4
     digits (ranking happens on the exact decimal aggregate, before
     rounding). Query terms are DISTINCT per query (set semantics —
-    standard for short keyword queries)."""
+    standard for short keyword queries). `exclude_self` drops
+    doc_id == query_id before ranking — for probe-document queries
+    (similar-document retrieval), same convention as
+    similarity.brute_force_topk."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
     exploded = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -104,6 +108,8 @@ def bm25_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.sum(contrib.cast("decimal(27,6)")).alias("_score_dec"))
     )
+    if exclude_self:
+        scored = scored.where(F.col("doc_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("_score_dec").desc(), F.col("doc_id").asc()
     )
@@ -115,5 +121,54 @@ def bm25_topk(
             "doc_id",
             "rank",
             stable_round(F.col("_score_dec").cast("double"), 4).alias("score"),
+        )
+    )
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    dense: DataFrame,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of a
+    lexical and a dense ranked list — the standard hybrid-retrieval
+    combiner, and in curation the hybrid near-dup miner (BM25 arm
+    catches lexical overlap paraphrased embeddings miss; dense arm
+    catches paraphrase BM25 misses).
+
+    Inputs carry (query_id, doc_id, rank); a doc absent from one arm
+    contributes 0 from that arm (standard RRF). rrf = 1/(c+rank_lex) +
+    1/(c+rank_dense) — integer-derived IEEE division and one fixed-order
+    addition, bit-identical on any engine; the fused cut ranks on
+    (rrf DESC, doc_id ASC), total-order deterministic. Both arms are
+    top-k-pruned (tiny: n_queries x k rows), so the fusion join and
+    final window are metadata-sized at any corpus scale — the heavy
+    lifting happened inside each arm."""
+    lx = lexical.select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("_r_lex")
+    )
+    dn = dense.select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("_r_dense")
+    )
+    fused = lx.join(dn, ["query_id", "doc_id"], "full_outer")
+    cd = F.lit(float(c))
+    rrf = F.coalesce(
+        F.lit(1.0) / (cd + F.col("_r_lex").cast("double")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (cd + F.col("_r_dense").cast("double")), F.lit(0.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("_rrf", rrf)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.coalesce(F.col("_r_lex"), F.lit(-1).cast("long")).alias("lex_rank"),
+            F.coalesce(F.col("_r_dense"), F.lit(-1).cast("long")).alias("dense_rank"),
+            stable_round(F.col("_rrf"), 6).alias("rrf"),
         )
     )

@@ -1456,3 +1456,106 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_QUERIES, "query_id long, query_text string"
     )
     return bm25_topk(docs, queries, k=10, rational_idf=True)
+
+
+# --- Hybrid retrieval: RRF fusion of the BM25 and dense-cosine arms ----------
+
+_HYBRID_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+  FROM documents
+),
+posting AS (
+  SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+  FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+withdf AS (SELECT *, count(*) OVER (PARTITION BY tok) AS df FROM posting),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl
+  FROM toks
+),
+q AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(ts)) AS tok
+  FROM toks WHERE doc_id < 3
+),
+lex_scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(CAST(({_BM25_CONTRIB}) AS DECIMAL(27,6))) AS sdec
+  FROM withdf p JOIN q USING (tok) CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+lexk AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sdec DESC, doc_id ASC) AS r
+    FROM lex_scored WHERE doc_id <> query_id
+  ) WHERE r <= 10
+),
+dq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id < 3),
+dc AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv FROM embeddings),
+dense_scored AS (
+  SELECT query_id, doc_id,
+         {sround_sql('''CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0
+                    THEN list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                    ELSE 0.0 END''', 3)} AS cosine
+  FROM dq CROSS JOIN dc WHERE query_id <> doc_id
+),
+densek AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id) AS r
+    FROM dense_scored
+  ) WHERE r <= 10
+),
+fused AS (
+  SELECT query_id, doc_id, l.r AS r_lex, d.r AS r_dense,
+         coalesce(1.0 / (60.0 + CAST(l.r AS DOUBLE)), 0.0)
+           + coalesce(1.0 / (60.0 + CAST(d.r AS DOUBLE)), 0.0) AS rrf
+  FROM lexk l FULL OUTER JOIN densek d USING (query_id, doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, r_lex, r_dense, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rank,
+       coalesce(r_lex, -1) AS lex_rank, coalesce(r_dense, -1) AS dense_rank,
+       {sround_sql('rrf', 6)} AS rrf
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("hybrid_rrf_topk", _HYBRID_ORACLE)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid similar-document retrieval for 3 probe documents:
+    reciprocal-rank fusion (1/(60+r), SIGIR'09) of the BM25 lexical arm
+    (probe text as the query, self excluded) and the dense cosine arm
+    (probe embedding, vec_id <-> doc_id by the testdata convention) —
+    the hybrid near-dup miner: lexical overlap the embeddings miss,
+    paraphrase BM25 misses. Each arm top-k-prunes BEFORE fusion, so the
+    fusion join and final window see n_queries x k rows (metadata-sized
+    at any corpus scale); rrf is integer-derived IEEE arithmetic in one
+    fixed association order — bit-identical cross-engine; all ranking
+    is (score DESC, doc_id ASC) total-order deterministic. Docs absent
+    from an arm carry that arm's rank as -1 in the output."""
+    from dod_etl_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from dod_etl_spark.operators.similarity import brute_force_topk
+
+    docs = t(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    lex = bm25_topk(docs, probes, k=10, rational_idf=True, exclude_self=True)
+    emb = t(spark, sf_dir, "embeddings")
+    dense = brute_force_topk(emb.where(F.col("vec_id") < 3), emb, k=10).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rk").alias("rank"),
+    )
+    return rrf_fuse(lex, dense, k=10)

@@ -208,6 +208,12 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # pattern). Query terms broadcast-hash-join; posting rows carry
         # scalars only. WindowGroupLimit is asserted separately below.
         ("bm25_topk_docs", 5, 0, 1),
+        # Hybrid RRF: BM25 arm (5 ex + scalar BNLJ) + dense arm
+        # (broadcast probe crossJoin = 2nd BNLJ) + the full-outer
+        # fusion of two n_queries*k frames — the one SMJ, on
+        # metadata-sized inputs by construction (both arms top-k-pruned
+        # before fusion).
+        ("hybrid_rrf_topk", 10, 1, 2),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):

@@ -85,3 +85,39 @@ def test_bm25_k_cut_and_tiebreak(spark):
     assert got == [(1, 1), (2, 2), (3, 3)]
     scores = {r["score"] for r in out.collect()}
     assert len(scores) == 1
+
+
+def test_rrf_fusion_semantics(spark):
+    """A doc ranked by BOTH arms outranks a doc ranked first by only
+    one arm; absent-arm ranks surface as -1."""
+    from dod_etl_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], "query_id long, doc_id long, rank long"
+    )
+    dense = spark.createDataFrame(
+        [(1, 20, 1), (1, 30, 2)], "query_id long, doc_id long, rank long"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse(lex, dense, k=10).collect()}
+    # doc 20: 1/62 + 1/61 beats doc 10's 1/61 and doc 30's 1/62
+    assert out[20]["rank"] == 1
+    assert out[10]["rank"] == 2 and out[10]["dense_rank"] == -1
+    assert out[30]["rank"] == 3 and out[30]["lex_rank"] == -1
+    assert abs(out[20]["rrf"] - (1 / 62 + 1 / 61)) < 1e-6
+
+
+def test_rrf_tie_breaks_on_doc_id(spark):
+    """Symmetric single-arm firsts tie exactly; doc_id ASC decides."""
+    from dod_etl_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 50, 1)], "query_id long, doc_id long, rank long"
+    )
+    dense = spark.createDataFrame(
+        [(1, 40, 1)], "query_id long, doc_id long, rank long"
+    )
+    got = [
+        (r["doc_id"], r["rank"])
+        for r in rrf_fuse(lex, dense, k=10).sort("rank").collect()
+    ]
+    assert got == [(40, 1), (50, 2)]
