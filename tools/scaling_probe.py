@@ -10,10 +10,21 @@ bucket-star edge generation + max_bucket_size guard carry the load),
 runs a fixed query set at each scale on an otherwise-idle machine, and
 prints one JSON line per scale plus a fitted log-log slope per query.
 
-Slope ~1.0 = linear scaling; the pair-generating queries are allowed
-mild super-linearity from replica collisions (documented worst case);
-anything approaching 2.0 would mean a quadratic shape escaped the
-banding — the regression this tool exists to catch.
+Two slopes per query, because the replica fixture makes every replica
+group a near-duplicate CLIQUE and the exact pair-emitting queries
+(simhash/ngram-jaccard/PPJoin) therefore have output that is
+intrinsically quadratic in the factor — that is their semantics, not a
+regression. So:
+
+- time_vs_input  (log2 time vs log2 factor): ~1.0 means linear in
+  corpus size. The pass bar for scan/agg/capped queries.
+- time_vs_output (log2 time vs log2 emitted rows): ~<=1.0 means the
+  engine spends constant work per emitted pair — the correct
+  linearity bar for exact pair-emitters whose OUTPUT the fixture
+  inflates. A pair-emitter with time_vs_output well above 1 is doing
+  super-linear work beyond what it returns — the regression this tool
+  exists to catch (that is how the uncapped minhash_lsh_prod quadratic
+  surface was found in round 6).
 
 Usage: python tools/scaling_probe.py [max_factor] (default 8; factors
 are powers of two up to it). Writes parquet fixtures under
@@ -48,7 +59,21 @@ PROBE_QUERIES = [
     "winnow_dup_pairs",      # fingerprint-bucket pair join
     "dedup_clusters",        # LSH + connected components
     "dsir_select_docs",      # one-pass model fit + priority sample
+    "simhash_near_pairs",    # pigeonhole bands + hamming cut
+    "ngram_jaccard_pairs",   # gram-bucket pair join + verify
+    "jaccard_join_docs",     # PPJoin prefix filter
 ]
+
+# Exact pair-emitters: OUTPUT (and therefore time) is inherently
+# quadratic in the replication factor on the clique fixture, so cap the
+# factor to keep the probe's wall-time bounded — time_vs_output is the
+# metric that matters for them, and 2-3 scale points fit it. At x1 on
+# sf0.1 these emit 0.6M-3M pairs (measured); x8 would be hour-scale.
+QUERY_MAX_FACTOR = {
+    "simhash_near_pairs": 4,
+    "ngram_jaccard_pairs": 4,
+    "jaccard_join_docs": 2,
+}
 
 
 def build_fixture(spark, factor: int) -> str:
@@ -83,32 +108,59 @@ def main() -> None:
     factors = [f for f in (1, 2, 4, 8, 16, 32) if f <= max_factor]
     spark = get_spark("scaling_probe")
     results: dict[str, dict[int, float]] = {q: {} for q in PROBE_QUERIES}
+    rows_out: dict[str, dict[int, int]] = {q: {} for q in PROBE_QUERIES}
     for factor in factors:
         sf_dir = build_fixture(spark, factor)
-        for name in PROBE_QUERIES:
+        ran = [
+            q for q in PROBE_QUERIES if factor <= QUERY_MAX_FACTOR.get(q, max_factor)
+        ]
+        for name in ran:
             fn = QUERIES[name]
             fn(spark, sf_dir).count()  # warm (plan + shuffle files)
             t0 = time.monotonic()
-            fn(spark, sf_dir).count()
+            n_out = fn(spark, sf_dir).count()
             dt = round(time.monotonic() - t0, 3)
             results[name][factor] = dt
+            rows_out[name][factor] = n_out
         print(
             json.dumps(
-                {"factor": factor, "times": {q: results[q][factor] for q in PROBE_QUERIES}}
+                {
+                    "factor": factor,
+                    "times": {q: results[q][factor] for q in ran},
+                    "rows": {q: rows_out[q][factor] for q in ran},
+                }
             ),
             flush=True,
         )
-    slopes = {}
-    for q, times in results.items():
-        xs = [math.log2(f) for f in sorted(times)]
-        ys = [math.log2(times[f]) for f in sorted(times)]
+
+    def fit(xs: list[float], ys: list[float]):
         n = len(xs)
         mx, my = sum(xs) / n, sum(ys) / n
         denom = sum((x - mx) ** 2 for x in xs)
-        slopes[q] = round(
-            sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3
-        ) if denom else None
-    print(json.dumps({"loglog_slopes": slopes, "base_sf_dir": BASE_SF}))
+        if not denom:
+            return None
+        return round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3)
+
+    in_slopes, out_slopes = {}, {}
+    for q, times in results.items():
+        fs = sorted(times)
+        ts = [math.log2(times[f]) for f in fs]
+        in_slopes[q] = fit([math.log2(f) for f in fs], ts)
+        # time vs emitted rows: only meaningful when output actually grows
+        outs = [rows_out[q][f] for f in fs]
+        if min(outs) > 0 and max(outs) > min(outs):
+            out_slopes[q] = fit([math.log2(r) for r in outs], ts)
+        else:
+            out_slopes[q] = None
+    print(
+        json.dumps(
+            {
+                "time_vs_input_slopes": in_slopes,
+                "time_vs_output_slopes": out_slopes,
+                "base_sf_dir": BASE_SF,
+            }
+        )
+    )
     spark.stop()
     shutil.rmtree(ROOT, ignore_errors=True)
 
