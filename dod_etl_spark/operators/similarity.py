@@ -662,3 +662,110 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_pool: int = 15,
+    k_select: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 3,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    k_select diverse results per query from a k_pool-candidate cosine
+    pool — the diversified retrieval/exemplar-selection pass curation
+    runs AFTER dense top-k, so the selected set spans the neighborhood
+    instead of returning k_near-copies of the same document.
+
+    Greedy by definition: step i picks argmax over remaining candidates
+    of lam*rel(d) - (1-lam)*max_{s in selected} sim(d, s). The
+    sequential dependency lives in k_select UNROLLED dataframe stages
+    (knn_pagerank's fixed-iteration pattern) over per-query frames of
+    at most k_pool rows — metadata-sized at any corpus scale; the
+    corpus-scale work (the candidate pool) happened inside
+    brute_force_topk (swap in lsh_bucketed_topk/ivf_topk for the ANN
+    pool at 100 TB). Each step is eagerly checkpointed so step i's
+    plan does not re-derive steps 1..i-1.
+
+    Determinism: rel and pairwise sims are stable_round'ed doubles, the
+    MMR score is one fixed-association expression stable_round'ed to 6,
+    and every argmax breaks ties on doc_id ASC — total-order
+    deterministic, partition-invariant, exactly mirrorable in SQL
+    (oracle unrolls the same k_select steps).
+
+    Returns (query_id, doc_id, step 1..k_select, mmr_score); step 1's
+    score is lam*rel (empty selected set, no diversity term)."""
+    dim = _probe_dim(corpus, vec_col)
+    cand = brute_force_topk(queries, corpus, k_pool, id_col, vec_col, round_digits)
+    vecs = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_v"))
+    rel = (
+        cand.select("query_id", F.col("neighbor_id").alias("doc_id"), F.col("cosine").alias("rel"))
+        .join(vecs, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    a = rel.select("query_id", F.col("doc_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = rel.select("query_id", F.col("doc_id").alias("id_b"), F.col("_v").alias("_vb"))
+    pairsim = (
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            stable_round(cosine(F.col("_va"), F.col("_vb"), dim), round_digits).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    relk = rel.select("query_id", "doc_id", "rel")
+    lam_l, div_l = F.lit(lam), F.lit(1.0 - lam)
+
+    w1 = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("doc_id"))
+    first = (
+        relk.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            F.lit(1).cast("long").alias("step"),
+            stable_round(lam_l * F.col("rel"), 6).alias("mmr_score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    steps = [first]
+    sel_ids = first.select("query_id", "doc_id")
+    for i in range(2, k_select + 1):
+        rem = relk.join(sel_ids, ["query_id", "doc_id"], "left_anti").select(
+            "query_id", F.col("doc_id").alias("id_a"), "rel"
+        )
+        prev = sel_ids.select("query_id", F.col("doc_id").alias("id_b"))
+        scored = (
+            rem.join(prev, "query_id")
+            .join(pairsim, ["query_id", "id_a", "id_b"])
+            .groupBy("query_id", "id_a")
+            .agg(F.max("rel").alias("rel"), F.max("sim").alias("maxsim"))
+            .withColumn(
+                "_mmr",
+                stable_round(lam_l * F.col("rel") - div_l * F.col("maxsim"), 6),
+            )
+        )
+        wi = Window.partitionBy("query_id").orderBy(F.col("_mmr").desc(), F.col("id_a"))
+        step = (
+            scored.withColumn("rn", F.row_number().over(wi))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.col("id_a").alias("doc_id"),
+                F.lit(i).cast("long").alias("step"),
+                F.col("_mmr").alias("mmr_score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        steps.append(step)
+        sel_ids = sel_ids.unionByName(step.select("query_id", "doc_id"))
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out

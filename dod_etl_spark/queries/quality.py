@@ -1559,3 +1559,101 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").alias("rank"),
     )
     return rrf_fuse(lex, dense, k=10)
+
+
+# --- MMR diversified top-k (unrolled greedy, oracle-mirrored) -----------------
+
+_MMR_LAM = 0.7
+_MMR_POOL, _MMR_SELECT = 15, 5
+
+_MMR_COS = """CASE WHEN sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) > 0
+       THEN list_dot_product({a}, {b})
+            / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))
+       ELSE 0.0 END"""
+
+
+def _mmr_oracle() -> str:
+    # repr() keeps the double literals bit-identical to the Python
+    # floats the Spark plan uses (1.0 - 0.7 is NOT the double 0.3).
+    lam, div = repr(_MMR_LAM), repr(1.0 - _MMR_LAM)
+    mmr_expr = sround_sql(f"{lam} * rel - {div} * maxsim", 6)
+    parts = [
+        f"""WITH dq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id < 3),
+dc AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+cand AS (
+  SELECT query_id, neighbor_id, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM (
+      SELECT query_id, neighbor_id,
+             {sround_sql(_MMR_COS.format(a="qv", b="cv"), 3)} AS cosine
+      FROM dq CROSS JOIN dc WHERE query_id <> neighbor_id
+    )
+  ) WHERE rk <= {_MMR_POOL}
+),
+rel AS (SELECT query_id, neighbor_id AS doc_id, cosine AS rel FROM cand),
+pairsim AS (
+  SELECT r1.query_id, r1.doc_id AS id_a, r2.doc_id AS id_b,
+         {sround_sql(_MMR_COS.format(a="e1.embedding::DOUBLE[]", b="e2.embedding::DOUBLE[]"), 3)} AS sim
+  FROM rel r1
+  JOIN rel r2 ON r1.query_id = r2.query_id AND r1.doc_id <> r2.doc_id
+  JOIN embeddings e1 ON e1.vec_id = r1.doc_id
+  JOIN embeddings e2 ON e2.vec_id = r2.doc_id
+),
+s1 AS (
+  SELECT query_id, doc_id, CAST(1 AS BIGINT) AS step,
+         {sround_sql(f"{lam} * rel", 6)} AS mmr_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, doc_id) AS rn FROM rel)
+  WHERE rn = 1
+),
+sel1 AS (SELECT query_id, doc_id FROM s1)"""
+    ]
+    for i in range(2, _MMR_SELECT + 1):
+        parts.append(
+            f""",
+m{i} AS (
+  SELECT r.query_id, r.doc_id, max(r.rel) AS rel, max(p.sim) AS maxsim
+  FROM rel r
+  JOIN sel{i - 1} s ON s.query_id = r.query_id
+  JOIN pairsim p ON p.query_id = r.query_id AND p.id_a = r.doc_id
+                AND p.id_b = s.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} x
+                    WHERE x.query_id = r.query_id AND x.doc_id = r.doc_id)
+  GROUP BY 1, 2
+),
+s{i} AS (
+  SELECT query_id, doc_id, CAST({i} AS BIGINT) AS step, mmr AS mmr_score FROM (
+    SELECT query_id, doc_id, mmr,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY mmr DESC, doc_id) AS rn
+    FROM (SELECT query_id, doc_id, {mmr_expr} AS mmr FROM m{i})
+  ) WHERE rn = 1
+),
+sel{i} AS (SELECT * FROM sel{i - 1}
+           UNION ALL SELECT query_id, doc_id FROM s{i})"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, _MMR_SELECT + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+@query("mmr_diverse_topk", _mmr_oracle())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 per probe vector from a 15-candidate
+    cosine pool (operators/similarity.mmr_topk): greedy
+    lam*rel - (1-lam)*max-sim-to-selected, unrolled into 5 dataframe
+    stages over per-query metadata-sized frames; the oracle unrolls the
+    SAME 5 steps in SQL, so the greedy argmax sequence itself is
+    hash-checked cross-engine (rounded scores, doc_id tiebreaks,
+    repr()-exact lambda literals)."""
+    from dod_etl_spark.operators.similarity import mmr_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 3)
+    return mmr_topk(
+        probes, emb, k_pool=_MMR_POOL, k_select=_MMR_SELECT, lam=_MMR_LAM
+    )

@@ -237,3 +237,52 @@ def test_sq_int8_ranking_quality(spark, emb):
         for n in inter:
             assert abs(ex[qid][n] - qn[n]) < 0.05, (qid, n, ex[qid][n], qn[n])
     assert sum(overlaps) / len(overlaps) >= 0.6, overlaps
+
+
+def test_mmr_diversifies_vs_plain_topk(spark, emb):
+    """The MMR-selected set's total intra-set similarity must not
+    exceed the plain top-k set's (that trade is the operator's whole
+    point), step 1 must be the plain top-1, and selections are k
+    DISTINCT docs per query."""
+    import itertools
+
+    from dod_etl_spark.operators.similarity import mmr_topk
+
+    probes = emb.filter(F.col("vec_id") < 3)
+    plain = brute_force_topk(probes, emb, k=5)
+    mmr = mmr_topk(probes, emb, k_pool=15, k_select=5, lam=0.7)
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        da = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        na = sum(x * x for x in vecs[a]) ** 0.5
+        nb = sum(x * x for x in vecs[b]) ** 0.5
+        return da / (na * nb) if na * nb > 0 else 0.0
+
+    def intra(sel):
+        return sum(cos(a, b) for a, b in itertools.combinations(sorted(sel), 2))
+
+    plain_sets, mmr_sets, top1 = {}, {}, {}
+    for r in plain.collect():
+        plain_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        if r["rk"] == 1:
+            top1[r["query_id"]] = r["neighbor_id"]
+    mmr_rows = mmr.collect()
+    for r in mmr_rows:
+        mmr_sets.setdefault(r["query_id"], set()).add(r["doc_id"])
+        if r["step"] == 1:
+            assert r["doc_id"] == top1[r["query_id"]], "step 1 must be top-1"
+    assert set(mmr_sets) == set(plain_sets)
+    for q in mmr_sets:
+        assert len(mmr_sets[q]) == 5  # k distinct selections
+        assert intra(mmr_sets[q]) <= intra(plain_sets[q]) + 1e-9, q
+    # scores strictly decrease per query after step 1 (greedy argmax
+    # over a shrinking candidate set can never improve)
+    by_q = {}
+    for r in mmr_rows:
+        by_q.setdefault(r["query_id"], []).append((r["step"], r["mmr_score"]))
+    for q, sv in by_q.items():
+        sv.sort()
+        for (_, a), (_, b) in zip(sv[1:], sv[2:]):
+            assert b <= a + 1e-9, (q, sv)
