@@ -90,9 +90,12 @@ def _fs_write_text(spark: SparkSession, dest: str, name: str, text: str) -> None
         out.close()
 
 
-def _fs_parquet_sizes(spark: SparkSession, dest: str) -> dict[str, int]:
-    """{relative file path: bytes} for every parquet file under dest,
-    via FileSystem.listFiles — works on any supported scheme."""
+def _fs_file_sizes(
+    spark: SparkSession, dest: str, suffixes: tuple[str, ...] = (".parquet",)
+) -> dict[str, int]:
+    """{relative file path: bytes} for every data file under dest
+    matching one of `suffixes`, via FileSystem.listFiles — works on any
+    supported scheme."""
     fs, jpath, _jvm = _hadoop_fs(spark, dest)
     base = jpath.toUri().getPath()
     sizes: dict[str, int] = {}
@@ -100,7 +103,7 @@ def _fs_parquet_sizes(spark: SparkSession, dest: str) -> dict[str, int]:
     while it.hasNext():
         st = it.next()
         p = st.getPath().toUri().getPath()
-        if p.endswith(".parquet"):
+        if p.endswith(suffixes):
             sizes[posixpath.relpath(p, base)] = st.getLen()
     return sizes
 
@@ -170,7 +173,7 @@ def write_shards(
 
     back = spark.read.parquet(dest)
     stats = _file_stats(back, dest)
-    sizes = _fs_parquet_sizes(spark, dest)
+    sizes = _fs_file_sizes(spark, dest)
     for s in stats:
         s["bytes"] = sizes.get(s["file"], 0)
     manifest = {
@@ -187,12 +190,71 @@ def write_shards(
     return manifest
 
 
+def write_jsonl_shards(
+    df: DataFrame,
+    dest: str,
+    n_shards: int,
+    shard_key: str,
+    compression: str | None = "gzip",
+) -> dict:
+    """Export `df` as up to `n_shards` JSON-lines files plus the same
+    checksummed manifest as write_shards — the trainer-facing text
+    format (most LLM data loaders stream jsonl/jsonl.gz, not parquet).
+
+    Every row serializes as one `to_json(struct(<all columns>))` line
+    (field order = column order, so the byte stream is deterministic);
+    sharding, layout (`dest/shard=K/part-*.txt[.gz]`), manifest
+    semantics, and the content-hashed shard assignment contract are
+    identical to the parquet path. The manifest checksum hashes the
+    SERIALIZED line read back from disk, so verify_manifest detects a
+    single flipped byte in any shard after transfer. gzip by default:
+    text compresses ~5-10x and every loader streams it; pass
+    compression=None for raw .txt."""
+    spark = df.sparkSession
+    data_cols = [F.col(c) for c in df.columns]
+    out = df.withColumn("shard", shard_column(F.col(shard_key), n_shards))
+    out = out.repartition(n_shards, F.col("shard"))
+    writer = (
+        out.select(F.to_json(F.struct(*data_cols)).alias("value"), "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(dest)
+
+    back = spark.read.text(dest)
+    stats = _file_stats(back, dest)
+    sizes = _fs_file_sizes(spark, dest, (".txt", ".txt.gz", ".gz"))
+    for s in stats:
+        s["bytes"] = sizes.get(s["file"], 0)
+    manifest = {
+        "format": "jsonl",
+        "compression": compression,
+        "n_shards": len(stats),
+        "shard_key": shard_key,
+        "schema": df.schema.simpleString(),
+        "total_rows": sum(s["rows"] for s in stats),
+        "shards": stats,
+    }
+    _fs_write_text(
+        spark, dest, MANIFEST_NAME, json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    return manifest
+
+
 def verify_manifest(spark: SparkSession, dest: str) -> dict:
     """Re-derive per-file stats from the data and compare with the
     stored manifest. Returns {"ok": bool, "errors": [...]} — the check
-    a trainer runs after transferring shards to its filesystem."""
+    a trainer runs after transferring shards to its filesystem.
+    Format-aware: jsonl manifests re-read through the text reader (the
+    checksum hashes serialized lines), parquet through the parquet
+    reader."""
     manifest = json.loads(_fs_read_text(spark, dest, MANIFEST_NAME))
-    actual = {s["file"]: s for s in _file_stats(spark.read.parquet(dest), dest)}
+    reader = (
+        spark.read.text if manifest.get("format") == "jsonl" else spark.read.parquet
+    )
+    actual = {s["file"]: s for s in _file_stats(reader(dest), dest)}
     errors = []
     expected = {s["file"]: s for s in manifest["shards"]}
     for name in sorted(set(expected) | set(actual)):

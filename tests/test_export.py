@@ -111,3 +111,72 @@ def test_manifest_json_stable_shape(spark, docs, tmp_path):
         "shards",
     }
     assert all(set(s) == {"file", "rows", "bytes", "checksum"} for s in m["shards"])
+
+
+def test_write_jsonl_shards_roundtrip_gzip(spark, docs, tmp_path):
+    from dod_etl_spark.operators.export import write_jsonl_shards
+
+    dest = str(tmp_path / "jsonl")
+    manifest = write_jsonl_shards(docs, dest, n_shards=4, shard_key="doc_id")
+    assert manifest["format"] == "jsonl"
+    assert manifest["compression"] == "gzip"
+    assert manifest["n_shards"] == 4
+    assert manifest["total_rows"] == 500
+    assert all(s["bytes"] > 0 for s in manifest["shards"])
+    assert verify_manifest(spark, dest)["ok"]
+    # every line is valid JSON carrying the original row
+    import glob
+    import gzip
+
+    rows = []
+    for path in glob.glob(os.path.join(dest, "shard=*", "*.txt.gz")):
+        with gzip.open(path, "rt") as f:
+            rows += [json.loads(line) for line in f]
+    assert sorted(r["doc_id"] for r in rows) == list(range(500))
+    assert all(r["text"] == f"text-{r['doc_id']}" for r in rows)
+
+
+def test_jsonl_manifest_detects_tamper(spark, docs, tmp_path):
+    """One flipped byte in one line of one shard must fail verification
+    (raw .txt so the tamper reaches our checksum, not the gzip CRC)."""
+    from dod_etl_spark.operators.export import write_jsonl_shards
+
+    dest = str(tmp_path / "jsonl")
+    write_jsonl_shards(docs, dest, n_shards=3, shard_key="doc_id", compression=None)
+    assert verify_manifest(spark, dest)["ok"]
+
+    shard_dir = next(d for d in sorted(os.listdir(dest)) if d.startswith("shard="))
+    inner = os.path.join(dest, shard_dir)
+    victim_name = next(n for n in sorted(os.listdir(inner)) if n.endswith(".txt"))
+    victim = os.path.join(inner, victim_name)
+    with open(victim) as f:
+        lines = f.readlines()
+    lines[0] = lines[0].replace("text-", "texT-", 1)
+    crc = os.path.join(inner, f".{victim_name}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with open(victim, "w") as f:
+        f.writelines(lines)
+    result = verify_manifest(spark, dest)
+    assert not result["ok"]
+    assert any(victim_name in e for e in result["errors"])
+
+
+def test_jsonl_and_parquet_shard_identically(spark, docs, tmp_path):
+    """The doc->shard map is format-independent (same content hash), so
+    a trainer can switch formats without re-balancing readers."""
+    from dod_etl_spark.operators.export import write_jsonl_shards
+
+    pq_dest = str(tmp_path / "pq")
+    jl_dest = str(tmp_path / "jl")
+    write_shards(docs, pq_dest, n_shards=4, shard_key="doc_id")
+    write_jsonl_shards(docs, jl_dest, n_shards=4, shard_key="doc_id")
+    pq_rows = {
+        (r["doc_id"], r["shard"])
+        for r in spark.read.parquet(pq_dest).select("doc_id", "shard").collect()
+    }
+    jl = spark.read.text(jl_dest)
+    jl_rows = {
+        (json.loads(r["value"])["doc_id"], r["shard"]) for r in jl.collect()
+    }
+    assert pq_rows == jl_rows
