@@ -121,3 +121,19 @@ def test_rrf_tie_breaks_on_doc_id(spark):
         for r in rrf_fuse(lex, dense, k=10).sort("rank").collect()
     ]
     assert got == [(40, 1), (50, 2)]
+
+
+def test_bm25_empty_text_and_empty_query(spark):
+    """Empty documents contribute to corpus stats but never match;
+    empty queries return no rows; neither crashes the plan."""
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "apple"), (2, ""), (3, "   ")],
+        "query_id long, query_text string",
+    )
+    out = bm25_topk(docs, queries, k=5, rational_idf=True).collect()
+    assert {(r["query_id"], r["doc_id"]) for r in out} == {(1, 1)}
+    assert all(r["score"] > 0 for r in out)
