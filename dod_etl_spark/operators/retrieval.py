@@ -42,6 +42,73 @@ from pyspark.sql import functions as F
 from dod_etl_spark.functions.scalar import stable_round
 
 
+def doc_tokens(text_col: str):
+    """Non-empty lowered whitespace tokens — THE tokenization every
+    BM25 surface shares (batch operator, posting store, oracles)."""
+    return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+
+
+def query_terms(
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """(query_id, tok) — DISTINCT terms per query (set semantics)."""
+    q_toks = F.array_distinct(doc_tokens(query_text_col))
+    return queries.select(
+        F.col(query_id_col).alias("query_id"), F.explode(q_toks).alias("tok")
+    )
+
+
+def bm25_score_and_rank(
+    joined: DataFrame,
+    stats: DataFrame,
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    rational_idf: bool = False,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Shared BM25 scoring core: `joined` carries one row per
+    (query_id, doc_id, tok) hit with (tf, dl, df); `stats` is the
+    1-row (n_docs, avgdl) frame (broadcast). Aggregates contributions
+    as DECIMAL(27,6) (order-independent) and ranks the exact decimal
+    with doc_id tiebreak — total-order deterministic on any engine,
+    whatever built the posting rows (batch tokenize or the persistent
+    PostingStore)."""
+    n = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    raw_idf = (n - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    idf = raw_idf if rational_idf else F.log(raw_idf + F.lit(1.0))
+    tf_sat = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dld / F.col("avgdl")))
+    )
+    contrib = idf * tf_sat
+
+    scored = (
+        joined.crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib.cast("decimal(27,6)")).alias("_score_dec"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("doc_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score_dec").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            stable_round(F.col("_score_dec").cast("double"), 4).alias("score"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -65,7 +132,7 @@ def bm25_topk(
     doc_id == query_id before ranking — for probe-document queries
     (similar-document retrieval), same convention as
     similarity.brute_force_topk."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    toks = doc_tokens(text_col)
     exploded = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("dl"),
@@ -76,12 +143,7 @@ def bm25_topk(
     )
     posting = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
 
-    q_toks = F.array_distinct(
-        F.filter(F.split(F.lower(F.col(query_text_col)), " "), lambda x: x != "")
-    )
-    terms = queries.select(
-        F.col(query_id_col).alias("query_id"), F.explode(q_toks).alias("tok")
-    )
+    terms = query_terms(queries, query_id_col, query_text_col)
 
     stats = docs.select(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -91,37 +153,9 @@ def bm25_topk(
         ).alias("avgdl"),
     )
 
-    n = F.col("n_docs").cast("double")
-    dfd = F.col("df").cast("double")
-    tfd = F.col("tf").cast("double")
-    dld = F.col("dl").cast("double")
-    raw_idf = (n - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
-    idf = raw_idf if rational_idf else F.log(raw_idf + F.lit(1.0))
-    tf_sat = (tfd * F.lit(k1 + 1.0)) / (
-        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dld / F.col("avgdl")))
-    )
-    contrib = idf * tf_sat
-
-    scored = (
-        posting.join(F.broadcast(terms), "tok")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(contrib.cast("decimal(27,6)")).alias("_score_dec"))
-    )
-    if exclude_self:
-        scored = scored.where(F.col("doc_id") != F.col("query_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_score_dec").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "doc_id",
-            "rank",
-            stable_round(F.col("_score_dec").cast("double"), 4).alias("score"),
-        )
+    joined = posting.join(F.broadcast(terms), "tok")
+    return bm25_score_and_rank(
+        joined, stats, k, k1, b, rational_idf, exclude_self
     )
 
 

@@ -1,0 +1,187 @@
+"""Incremental lexical index: a persistent BM25 posting store
+maintained per micro-batch.
+
+The reference's dimension-maintenance loop (InMemoryTableUpdater,
+imtu/InMemoryTableUpdater.scala:106-127) treats durable storage as the
+state a stream keeps current; FingerprintStore applies that posture to
+the seen-fingerprint set. PostingStore applies it to the RETRIEVAL
+index: documents stream in, the (tok, doc_id, tf, dl) posting table
+and the doc-length table grow append-only, and BM25 search runs
+against storage at any moment — no full-corpus re-index per batch
+(re-tokenizing 100 TB to add a day's crawl is the anti-pattern this
+module exists to avoid).
+
+Storage layout (both append-only, never rewritten on the hot path):
+
+- `postings` bucketed by tok: search prunes to the query vocabulary's
+  posting lists and computes document frequency with a window ON the
+  bucket layout — the store side never shuffles at serve time;
+- `docs` (doc_id, dl) bucketed by doc_id: the replay guard (new-batch
+  anti-join, store side never shuffles — FingerprintStore's contract)
+  AND the corpus-stats source (n_docs, avgdl), AND the commit record.
+
+Exactly-once: a replayed batch anti-joins to empty against `docs`, so
+at-least-once sources cannot double-index (same mechanism as
+FingerprintStore). Within one batch, postings append BEFORE the docs
+commit record; a crash in between leaves orphan postings that a replay
+would duplicate — `repair()` reconciles (one semi-join rewrite) and
+belongs in the restart path after an unclean shutdown, mirroring how
+the retry buffer recovers via parquet generations.
+
+Search scores through operators/retrieval.bm25_score_and_rank — the
+SAME decimal-exact core the batch operator uses, so an incrementally
+built index returns bit-identical rankings to a from-scratch batch
+index over the same corpus (pinned in tests/test_posting_store.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dod_etl_spark.operators.retrieval import (
+    bm25_score_and_rank,
+    doc_tokens,
+    query_terms,
+)
+
+
+@dataclass
+class PostingStore:
+    """Append-only BM25 index backed by two bucketed tables."""
+
+    spark: SparkSession
+    table: str = "lexical_postings"
+    docs_table: str = "lexical_docs"
+    n_buckets: int = 64
+
+    def _ensure_tables(self, postings: DataFrame, docs: DataFrame) -> None:
+        if not self.spark.catalog.tableExists(self.table):
+            (
+                postings.limit(0)
+                .write.format("parquet")
+                .bucketBy(self.n_buckets, "tok")
+                .sortBy("tok")
+                .saveAsTable(self.table)
+            )
+        if not self.spark.catalog.tableExists(self.docs_table):
+            (
+                docs.limit(0)
+                .write.format("parquet")
+                .bucketBy(self.n_buckets, "doc_id")
+                .sortBy("doc_id")
+                .saveAsTable(self.docs_table)
+            )
+
+    def index_batch(
+        self,
+        batch: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> int:
+        """foreachBatch body: index the never-seen documents of `batch`
+        (within-batch duplicate ids collapse to min(text) — one
+        deterministic representative); returns how many documents were
+        added. Replays add zero."""
+        deduped = (
+            batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+            .groupBy("doc_id")
+            .agg(F.min("_t").alias("_t"))
+            .select(
+                "doc_id",
+                F.col("_t").alias("_text"),
+                F.size(doc_tokens("_t")).cast("long").alias("dl"),
+            )
+        )
+
+        self._ensure_tables(
+            self.spark.createDataFrame([], "tok string, doc_id long, tf long, dl long"),
+            deduped.select("doc_id", "dl").limit(0),
+        )
+        seen = self.spark.table(self.docs_table)
+        fresh = deduped.join(seen, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+        postings = (
+            fresh.select(
+                "doc_id",
+                "dl",
+                F.explode(doc_tokens("_text")).alias("tok"),
+            )
+            .groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+            .select("tok", "doc_id", "tf", "dl")
+        )
+        # postings first, docs commit record last: a replay after a
+        # crash in between re-runs the anti-join against the OLD docs
+        # table and would re-append — repair() reconciles that window.
+        postings.write.insertInto(self.table, overwrite=False)
+        fresh.select("doc_id", "dl").write.insertInto(self.docs_table, overwrite=False)
+        self.spark.catalog.refreshTable(self.table)
+        self.spark.catalog.refreshTable(self.docs_table)
+        return fresh.count()
+
+    def stats(self) -> DataFrame:
+        """1-row (n_docs, avgdl) over the committed corpus — identical
+        arithmetic to the batch operator's stats frame."""
+        return self.spark.table(self.docs_table).select(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.sum(F.col("dl")).cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avgdl"),
+        )
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        rational_idf: bool = False,
+        query_id_col: str = "query_id",
+        query_text_col: str = "query_text",
+    ) -> DataFrame:
+        """BM25 top-k against the stored index. Serve cost is bounded
+        by the query vocabulary's posting lists: the store prunes
+        through a broadcast semi-join on tok, document frequency is a
+        window ON the pruned frame (counting committed docs only —
+        orphan postings from an unrepaired crash are excluded by the
+        docs semi-join), and the bucket layout feeds the tok window
+        without a store-side exchange."""
+        terms = query_terms(queries, query_id_col, query_text_col)
+        toks_only = terms.select("tok").distinct()
+        committed = self.spark.table(self.docs_table).select("doc_id")
+        plists = (
+            self.spark.table(self.table)
+            .join(F.broadcast(toks_only), "tok", "left_semi")
+            .join(committed, "doc_id", "left_semi")
+            .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+        )
+        joined = plists.join(F.broadcast(terms), "tok")
+        return bm25_score_and_rank(joined, self.stats(), k, k1, b, rational_idf)
+
+    def repair(self) -> int:
+        """Remove orphan postings (doc_id absent from the commit
+        record) left by a crash between the two appends. One semi-join
+        rewrite of the posting table; returns rows removed. Run on
+        restart after an unclean shutdown, BEFORE new batches."""
+        if not self.spark.catalog.tableExists(self.table):
+            return 0
+        postings = self.spark.table(self.table)
+        docs = self.spark.table(self.docs_table).select("doc_id")
+        clean = postings.join(docs, "doc_id", "left_semi").select(
+            "tok", "doc_id", "tf", "dl"
+        )
+        before = postings.count()
+        after = clean.count()
+        if after != before:
+            clean = clean.localCheckpoint(eager=True)
+            clean.write.insertInto(self.table, overwrite=True)
+            self.spark.catalog.refreshTable(self.table)
+        return before - after
+
+    def n_docs(self) -> int:
+        if not self.spark.catalog.tableExists(self.docs_table):
+            return 0
+        return self.spark.table(self.docs_table).count()
