@@ -40,6 +40,103 @@ sys.path.insert(0, REPO)
 RPS = int(os.environ.get("SPARK_GRAFT_STREAM_RPS", "100000"))
 WINDOW_S = float(os.environ.get("SPARK_GRAFT_STREAM_SECS", "60"))
 WARMUP_S = float(os.environ.get("SPARK_GRAFT_STREAM_WARMUP", "10"))
+# "strict" (default, the driver-recorded number) or "index" (posting
+# store ingestion: docs/sec through PostingStore.index_batch).
+SCENARIO = os.environ.get("SPARK_GRAFT_STREAM_SCENARIO", "strict")
+
+
+def main_index() -> None:
+    """Posting-store indexing throughput: rate source -> synthetic
+    documents (~24 deterministic vocab tokens each) -> foreachBatch
+    PostingStore.index_batch (anti-join replay guard + tokenize +
+    tf agg + two bucketed appends). Same batch-boundary measurement
+    protocol as the strict scenario."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.session import get_spark
+    from dod_etl_spark.streaming.posting_store import PostingStore
+
+    spark = get_spark("dod_etl_spark_bench_indexing")
+    tag = uuid.uuid4().hex[:8]
+    store = PostingStore(
+        spark, table=f"bench_post_{tag}", docs_table=f"bench_postd_{tag}"
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_index_")
+
+    vocab = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+        "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    ]
+    varr = F.array(*[F.lit(w) for w in vocab])
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(RPS))
+        .option("numPartitions", str(spark.sparkContext.defaultParallelism))
+        .load()
+    )
+    v = F.col("value")
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda j: F.element_at(varr, ((v * 7 + j * (v % 5 + 1)) % 14 + 1).cast("int")),
+        ),
+        " ",
+    )
+    docs = rate.select(v.alias("doc_id"), text.alias("text"))
+
+    batches: list[tuple[float, int]] = []
+
+    def body(df, batch_id: int) -> None:
+        n = store.index_batch(df)
+        batches.append((time.perf_counter(), n))
+
+    q = (
+        docs.writeStream.foreachBatch(body)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    t0 = time.perf_counter()
+    deadline = t0 + WARMUP_S + WINDOW_S
+    while q.isActive and (time.perf_counter() < deadline or len(batches) < 3):
+        time.sleep(0.5)
+        if time.perf_counter() > t0 + 4 * (WARMUP_S + WINDOW_S):
+            break
+    snapshot = list(batches)
+    q.stop()
+    rows_total = sum(n for _, n in snapshot)
+    if len(snapshot) >= 2:
+        rows_window = sum(n for _, n in snapshot[1:])
+        window = max(snapshot[-1][0] - snapshot[0][0], 1e-9)
+    else:
+        rows_window = rows_total
+        window = max((snapshot[-1][0] - t0) if snapshot else 1e-9, 1e-9)
+    dps = rows_window / window
+    n_postings = spark.table(store.table).count()
+    spark.sql(f"DROP TABLE IF EXISTS {store.table}")
+    spark.sql(f"DROP TABLE IF EXISTS {store.docs_table}")
+    print(
+        json.dumps(
+            {
+                "metric": "posting_index_docs_per_sec",
+                "value": round(dps, 1),
+                "unit": "docs/sec",
+                "queries": {"posting_store_index": round(dps, 1)},
+                "sf": 0.0,
+                "rows_total": rows_total,
+                "postings_total": n_postings,
+                "micro_batches": len(snapshot),
+                "rows_per_sec_offered": RPS,
+                "window_s": round(window, 1),
+                "protocol": {
+                    "source": "rate (oversupplied), ~24-token synthetic docs",
+                    "sink": "PostingStore.index_batch (bucketed appends)",
+                    "measure": "docs after first batch / batch-boundary window",
+                },
+            }
+        )
+    )
 
 
 def main() -> None:
@@ -173,4 +270,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main_index() if SCENARIO == "index" else main()
