@@ -125,6 +125,8 @@ class PostingStore:
     def stats(self) -> DataFrame:
         """1-row (n_docs, avgdl) over the committed corpus — identical
         arithmetic to the batch operator's stats frame."""
+        if not self.spark.catalog.tableExists(self.docs_table):
+            return self.spark.createDataFrame([(0, None)], "n_docs long, avgdl double")
         return self.spark.table(self.docs_table).select(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             (
@@ -149,6 +151,11 @@ class PostingStore:
         orphan postings from an unrepaired crash are excluded by the
         docs semi-join), and the bucket layout feeds the tok window
         without a store-side exchange."""
+        if not self.spark.catalog.tableExists(self.table):
+            # Never-indexed store: no matches, stable schema.
+            return self.spark.createDataFrame(
+                [], "query_id long, doc_id long, rank long, score double"
+            )
         terms = query_terms(queries, query_id_col, query_text_col)
         toks_only = terms.select("tok").distinct()
         committed = self.spark.table(self.docs_table).select("doc_id")

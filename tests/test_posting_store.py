@@ -164,3 +164,17 @@ def test_store_side_join_has_no_exchange(spark, store):
     assert not re.search(
         r"Exchange hashpartitioning\(tok", scan_to_window
     ), scan_to_window
+
+
+def test_search_on_empty_store(spark, store):
+    """A never-indexed store answers with zero rows and the stable
+    output schema — not an AnalysisException."""
+    out = store.search(_q(spark), k=10)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id",
+        "doc_id",
+        "rank",
+        "score",
+    ]
+    assert store.n_docs() == 0
