@@ -1657,3 +1657,63 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(
         probes, emb, k_pool=_MMR_POOL, k_select=_MMR_SELECT, lam=_MMR_LAM
     )
+
+
+# --- BPE tokenizer training: the first N merge rules --------------------------
+
+_BPE_N = 6
+
+
+def _bpe_oracle(n_merges: int = _BPE_N) -> str:
+    head = """WITH v0 AS (
+  SELECT word, count(*) AS freq,
+         ' ' || array_to_string(
+           list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)),
+           ' ') || ' ' AS repr
+  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY word
+)"""
+    parts = [head]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""",
+p{k} AS (
+  SELECT syms[j + 1] AS left_sym, syms[j + 2] AS right_sym,
+         sum(freq) AS pair_count
+  FROM (SELECT freq, list_filter(string_split(repr, ' '), x -> x <> '') AS syms
+        FROM v{k - 1}) t,
+       unnest(range(greatest(len(syms) - 1, 0))) AS u(j)
+  GROUP BY 1, 2
+),
+m{k} AS (SELECT * FROM p{k}
+         ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+v{k} AS (
+  SELECT word, freq,
+         replace(repr, ' ' || m.left_sym || ' ' || m.right_sym || ' ',
+                       ' ' || m.left_sym || m.right_sym || ' ') AS repr
+  FROM v{k - 1} CROSS JOIN m{k} m
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, left_sym, right_sym, pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+@query("bpe_merges_docs", _bpe_oracle())
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 6 BPE merge rules learned over the corpus
+    (operators/tokenizer.bpe_merges, Sennrich et al. 2016): per round,
+    adjacent symbol-pair counts weighted by word frequency aggregate
+    over the VOCAB frame (corpus collapses to distinct words once),
+    the argmax is a 1-row TakeOrdered with lexicographic tiebreak, and
+    the merge applies as one replace() over the separator-delimited
+    symbol string — left-to-right non-overlapping in both engines, so
+    the oracle unrolls the same 6 rounds in SQL and the learned RULE
+    SEQUENCE itself is hash-checked."""
+    from dod_etl_spark.operators.tokenizer import bpe_merges
+
+    docs = t(spark, sf_dir, "documents")
+    return bpe_merges(docs, n_merges=_BPE_N)

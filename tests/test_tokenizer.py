@@ -1,0 +1,93 @@
+"""BPE merge training (operators/tokenizer.py): rule sequence vs an
+independent reference implementation, segmentation replay, early stop."""
+
+from __future__ import annotations
+
+import collections
+
+from dod_etl_spark.operators.tokenizer import bpe_merges, bpe_segment, word_vocab
+
+CORPUS = [
+    (1, "low low low low low"),
+    (2, "lower lower newest"),
+    (3, "newest newest newest widest"),
+    (4, "widest widest low"),
+]
+
+
+def _reference_bpe(word_freq: dict[str, int], n_merges: int):
+    """Sennrich-style reference: overlapping pair counts, ties broken
+    lexicographically, left-to-right non-overlapping merge."""
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    rules = []
+    for _ in range(n_merges):
+        counts = collections.Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((a, b, c))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return rules
+
+
+def _docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_bpe_rules_match_reference(spark):
+    docs = _docs(spark)
+    wf = collections.Counter(
+        w for _, t in CORPUS for w in t.split(" ") if w
+    )
+    expected = _reference_bpe(dict(wf), 8)
+    got = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges(docs, n_merges=8).sort("step").collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_segment_replays_rules(spark):
+    docs = _docs(spark)
+    rules = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_merges(docs, n_merges=6).sort("step").collect()
+    ]
+    seg = bpe_segment(docs, rules)
+    rows = seg.collect()
+    # losslessness: pieces re-concatenate to the word
+    assert all("".join(r["pieces"]) == r["word"] for r in rows)
+    # compression: frequent words fused into fewer symbols than chars
+    by_word = {r["word"]: r["pieces"] for r in rows}
+    assert len(by_word["low"]) < len("low") + 1
+    total_pieces = sum(len(r["pieces"]) for r in rows)
+    total_chars = sum(len(r["word"]) for r in rows)
+    assert total_pieces < total_chars
+
+
+def test_bpe_early_stop_on_fused_vocab(spark):
+    """Single-character words carry no adjacent pairs: zero rules, not
+    a crash or an infinite loop."""
+    docs = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    out = bpe_merges(docs, n_merges=4)
+    assert out.count() == 0
+
+
+def test_word_vocab_shape(spark):
+    v = {r["word"]: (r["freq"], r["repr"]) for r in word_vocab(_docs(spark)).collect()}
+    assert v["low"][0] == 6
+    assert v["low"][1] == " l o w "
