@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     # Round-6: BM25 lexical retrieval (posting build + df window +
     # decimal-exact scoring + WindowGroupLimit top-k).
     "bm25_topk_docs",
+    # Round-6: BPE merge training (6 vocab-frame aggregation rounds +
+    # 1-row argmax each — the driver-interactive iterative family).
+    "bpe_merges_docs",
 ]
 
 
