@@ -113,6 +113,24 @@ def shard_column(key, n_shards: int):
     return F.pmod(F.xxhash64(key), F.lit(n_shards)).cast("int")
 
 
+def _epoch_order(df: DataFrame, shard_key: str, epoch: int | None) -> DataFrame:
+    """Deterministic within-shard training-order shuffle: sort each
+    shard's partition by xxhash64(key, epoch) — a reproducible
+    permutation that changes completely per epoch, with NO global sort
+    (sortWithinPartitions; each shard is one task's partition here).
+    The manifest stays valid across epochs because its checksums are
+    order-insensitive — same bytes-of-data, different read order."""
+    if epoch is None:
+        return df
+    # Leading with `shard` matters: the partitioned file writer
+    # requires each task's rows ordered by the partition columns and
+    # inserts its OWN sort (destroying ours) unless the child's
+    # ordering already starts with them.
+    return df.sortWithinPartitions(
+        F.col("shard"), F.xxhash64(F.col(shard_key), F.lit(epoch)), F.col(shard_key)
+    )
+
+
 def _file_stats(df: DataFrame, dest: str) -> list[dict]:
     """Per-file (path, rows, checksum) by reading the written data back
     grouped on input_file_name() — executor-side, one scan. The
@@ -152,6 +170,7 @@ def write_shards(
     dest: str,
     n_shards: int,
     shard_key: str,
+    epoch: int | None = None,
 ) -> dict:
     """Export `df` as up to `n_shards` parquet files plus a manifest
     (shard ids that receive zero rows write no file; the manifest's
@@ -165,10 +184,12 @@ def write_shards(
     manifest dict: schema, shard count, total rows, and per-shard
     {file, rows, bytes, checksum}. The shard a row lands in is a pure
     function of its `shard_key` value — stable across runs,
-    partitionings, and cluster sizes."""
+    partitionings, and cluster sizes. `epoch` additionally applies the
+    deterministic within-shard training-order shuffle (_epoch_order)."""
     spark = df.sparkSession
     out = df.withColumn("shard", shard_column(F.col(shard_key), n_shards))
     out = out.repartition(n_shards, F.col("shard"))
+    out = _epoch_order(out, shard_key, epoch)
     out.write.mode("overwrite").partitionBy("shard").parquet(dest)
 
     back = spark.read.parquet(dest)
@@ -196,6 +217,7 @@ def write_jsonl_shards(
     n_shards: int,
     shard_key: str,
     compression: str | None = "gzip",
+    epoch: int | None = None,
 ) -> dict:
     """Export `df` as up to `n_shards` JSON-lines files plus the same
     checksummed manifest as write_shards — the trainer-facing text
@@ -214,6 +236,7 @@ def write_jsonl_shards(
     data_cols = [F.col(c) for c in df.columns]
     out = df.withColumn("shard", shard_column(F.col(shard_key), n_shards))
     out = out.repartition(n_shards, F.col("shard"))
+    out = _epoch_order(out, shard_key, epoch)
     writer = (
         out.select(F.to_json(F.struct(*data_cols)).alias("value"), "shard")
         .write.mode("overwrite")

@@ -180,3 +180,38 @@ def test_jsonl_and_parquet_shard_identically(spark, docs, tmp_path):
         (json.loads(r["value"])["doc_id"], r["shard"]) for r in jl.collect()
     }
     assert pq_rows == jl_rows
+
+
+def test_epoch_shuffle_deterministic_and_distinct(spark, docs, tmp_path):
+    """Within-shard training-order shuffle: same epoch -> identical
+    line order; different epoch -> different order, same content, and
+    the SAME manifest checksums (order-insensitive by design) — so an
+    epoch re-export never invalidates a verified transfer."""
+    import glob
+
+    from dod_etl_spark.operators.export import write_jsonl_shards
+
+    def export(dest, epoch):
+        m = write_jsonl_shards(
+            docs, dest, n_shards=3, shard_key="doc_id",
+            compression=None, epoch=epoch,
+        )
+        order = {}
+        for p in sorted(glob.glob(os.path.join(dest, "shard=*", "*.txt"))):
+            shard = p.split("shard=")[1].split("/")[0]
+            with open(p) as f:
+                order[shard] = [json.loads(line)["doc_id"] for line in f]
+        return m, order
+
+    m1, o1 = export(str(tmp_path / "e1"), epoch=1)
+    m1b, o1b = export(str(tmp_path / "e1b"), epoch=1)
+    m2, o2 = export(str(tmp_path / "e2"), epoch=2)
+
+    assert o1 == o1b  # reproducible per epoch
+    assert o1 != o2  # a real permutation change across epochs
+    for shard in o1:
+        assert sorted(o1[shard]) == sorted(o2[shard])  # same membership
+    assert [s["checksum"] for s in m1["shards"]] == [
+        s["checksum"] for s in m2["shards"]
+    ]
+    assert verify_manifest(spark, str(tmp_path / "e2"))["ok"]
