@@ -1717,3 +1717,48 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return bpe_merges(docs, n_merges=_BPE_N)
+
+
+# --- Leakage-safe split: near-dup clusters never straddle train/holdout -------
+
+_LS_SEED, _LS_CUT = 7, 1000  # holdout_fraction 0.10 of SAMPLE_BUCKETS
+
+
+def _ls_oracle() -> str:
+    # Reuse dedup_clusters' recursive-CTE oracle verbatim as the
+    # cluster source (one definition of the LSH signature convention),
+    # then hash the CLUSTER id with the sampling module's md5 bucket.
+    from dod_etl_spark.queries.llm import _CLUSTERS_ORACLE
+
+    return f"""
+WITH clusters AS ({_CLUSTERS_ORACLE})
+SELECT doc_id, cluster_id,
+       CASE WHEN (('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '_{_LS_SEED}'), 1, 8))::BIGINT
+                  % 10000) < {_LS_CUT}
+            THEN 'holdout' ELSE 'train' END AS split
+FROM clusters
+"""
+
+
+@query("leakage_safe_split_docs", _ls_oracle())
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout split that can never leak a near-duplicate across
+    the boundary: the split decision hashes the CLUSTER id (connected
+    components over the MinHash-LSH star edges, same machinery as
+    dedup_clusters), so every member of a near-dup cluster lands on
+    the same side — doc-keyed hash splits (split_train_holdout on
+    doc_id) keep exact dups together only when they share the key;
+    near-dups with different ids straddle, and the held-out eval set
+    silently overlaps training. One extra aggregation over the cluster
+    assignment frame; the split itself is a scan-stage hash filter."""
+    from dod_etl_spark.operators.graph import dedup_cluster_assignments
+    from dod_etl_spark.operators.sampling import SAMPLE_BUCKETS, hash_bucket
+    from dod_etl_spark.operators.text_dedup import minhash_cluster_edges
+
+    docs = t(spark, sf_dir, "documents")
+    edges = minhash_cluster_edges(docs, num_hashes=8, band_size=2, shingle_len=5)
+    clusters = dedup_cluster_assignments(docs, edges)
+    side = F.when(
+        hash_bucket(F.col("cluster_id"), _LS_SEED) < _LS_CUT, F.lit("holdout")
+    ).otherwise(F.lit("train"))
+    return clusters.select("doc_id", "cluster_id", side.alias("split"))

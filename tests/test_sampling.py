@@ -188,3 +188,42 @@ def test_dsir_weights_empty_target_degrades_smoothly(spark):
     rows = w.collect()
     assert len(rows) == 2
     assert all(r["avg_microratio"] > 0 for r in rows)
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    """Every near-dup cluster lands entirely on one side; the doc-keyed
+    split demonstrably straddles at least one cluster on the same
+    corpus — the leakage this operator exists to prevent."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.operators.sampling import hash_bucket
+    from dod_etl_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["leakage_safe_split_docs"](spark, SF_SMOKE).collect()
+    assert len(rows) == 500  # one verdict per document
+    members = collections.defaultdict(list)
+    sides = collections.defaultdict(set)
+    for r in rows:
+        members[r["cluster_id"]].append(r["doc_id"])
+        sides[r["cluster_id"]].add(r["split"])
+    multi = [c for c, m in members.items() if len(m) >= 2]
+    assert multi, "fixture must contain real near-dup clusters"
+    assert all(len(sides[c]) == 1 for c in members), "cluster straddles split"
+    assert {s for ss in sides.values() for s in ss} == {"train", "holdout"}
+
+    # Control: the naive doc-keyed split DOES straddle a cluster here.
+    doc_side = {
+        r["doc_id"]: r["s"]
+        for r in spark.createDataFrame(
+            [(d,) for m in members.values() for d in m], "doc_id long"
+        )
+        .select("doc_id", (hash_bucket(F.col("doc_id"), 7) < 1000).alias("s"))
+        .collect()
+    }
+    straddled = [
+        c for c in multi if len({doc_side[d] for d in members[c]}) > 1
+    ]
+    assert straddled, "expected the doc-keyed control to leak on this corpus"
