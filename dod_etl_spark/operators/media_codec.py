@@ -163,11 +163,10 @@ def encode_bmp(pixels) -> bytes:
 # --- WAV ---------------------------------------------------------------------
 
 
-def decode_wav(content: bytes) -> Decoded:
-    """Decode PCM WAV (8-bit unsigned / 16-bit signed, any channel
-    count) to a (1, n_samples) rectified-amplitude grid in [0, 1]
-    (mono mix). The envelope — not the waveform sign — is the signal
-    the perceptual hash thresholds."""
+def _wav_samples(content: bytes) -> tuple[np.ndarray, int]:
+    """SIGNED mono samples in [-1, 1] plus sample rate — the shared
+    PCM extraction under both the envelope decode (decode_wav) and the
+    spectral cells (spectral_cells)."""
     with wave.open(io.BytesIO(content), "rb") as w:
         sw, nch, sr = w.getsampwidth(), w.getnchannels(), w.getframerate()
         frames = w.readframes(w.getnframes())
@@ -181,8 +180,61 @@ def decode_wav(content: bytes) -> Decoded:
         raise NotImplementedError(f"WAV sample width {sw} unsupported (1/2 bytes only)")
     if nch > 1:
         samples = samples.reshape(-1, nch).mean(axis=1)
-    grid = np.abs(samples)[None, :] / full
+    return samples / full, sr
+
+
+def decode_wav(content: bytes) -> Decoded:
+    """Decode PCM WAV (8-bit unsigned / 16-bit signed, any channel
+    count) to a (1, n_samples) rectified-amplitude grid in [0, 1]
+    (mono mix). The envelope — not the waveform sign — is the signal
+    the perceptual hash thresholds."""
+    samples, sr = _wav_samples(content)
+    grid = np.abs(samples)[None, :]
     return Decoded("audio", grid, grid.shape[1], 1, sr)
+
+
+def spectral_cells(
+    content: bytes,
+    fmt: str | None = None,
+    n_windows: int = 12,
+    n_bands: int = 5,
+) -> list[float]:
+    """Spectral fingerprint cells for audio: frame the SIGNED waveform
+    into n_windows equal windows; per window take the rFFT magnitude,
+    drop DC, split the bins into n_bands geometrically-spaced bands,
+    and emit each band's energy normalized by the window's total —
+    n_windows*n_bands cells in [0, 1], row-major by window.
+
+    Volume invariance is exact (scaling cancels in the normalization);
+    tonal CONTENT moves energy between bands — the structure the
+    envelope average-hash is blind to (two constant-volume tones have
+    identical envelopes). A silent window emits all-zero cells."""
+    f = (fmt or "").lower()
+    if f and f not in ("wav", "wave"):
+        raise NotImplementedError("spectral_cells supports PCM WAV audio only")
+    samples, _sr = _wav_samples(content)
+    n = samples.shape[0]
+    ws, we = _block_edges(n, n_windows)
+    cells: list[float] = []
+    for s, e in zip(ws, we):
+        mag = np.abs(np.fft.rfft(samples[s:e]))
+        bins = mag[1:]  # drop DC: volume offset, not tone
+        m = bins.shape[0]
+        if m == 0:
+            cells.extend([0.0] * n_bands)
+            continue
+        # geometric band edges over [0, m], forced strictly increasing
+        edges = [0]
+        for k in range(1, n_bands + 1):
+            edges.append(max(edges[-1] + 1, int(round(m ** (k / n_bands)))))
+        edges[-1] = m
+        energies = [float(np.sum(bins[a:b] ** 2)) for a, b in zip(edges, edges[1:])]
+        tot = sum(energies)
+        if tot <= 0:
+            cells.extend([0.0] * n_bands)
+        else:
+            cells.extend(en / tot for en in energies)
+    return cells
 
 
 def encode_wav(samples, sample_rate: int = 16000) -> bytes:

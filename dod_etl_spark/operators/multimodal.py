@@ -117,6 +117,26 @@ class Codec:
 
         return decode_cells
 
+    def spectral_cells_fn(self) -> Callable[[bytes, str | None, int], list[float]]:
+        """Worker-side (content, fmt, n_cells) -> SPECTRAL cells (audio:
+        FFT log-band energies, media_codec.spectral_cells). Fake mode:
+        a differently-salted sha256 stream — same oracle-replay posture
+        as cells_fn, avalanche so only byte-identical payloads collide."""
+        if self.fake:
+
+            def fake_spectral(c: bytes, fmt: str | None, n: int) -> list[float]:
+                d = hashlib.sha256(b"spectral:" + (c or b"")).digest()
+                return [d[i % 32] for i in range(n)]
+
+            return fake_spectral
+        from dod_etl_spark.operators.media_codec import spectral_cells
+
+        def real_spectral(c: bytes, fmt: str | None, n: int) -> list[float]:
+            # n = n_windows * SPECTRAL_BANDS (60 -> 12 windows x 5 bands)
+            return spectral_cells(c, fmt, n_windows=n // SPECTRAL_BANDS)
+
+        return real_spectral
+
 
 def extract_features(
     media: DataFrame,
@@ -255,6 +275,7 @@ PHASH_SCHEMA = StructType(
 )
 
 PHASH_BITS = 60  # <= 60 keeps every 1<<j in signed-64 range (simhash rule)
+SPECTRAL_BANDS = 5  # bands per window; 12 windows x 5 bands = 60 bits
 
 
 def perceptual_hash(media: DataFrame, codec: Codec | None = None) -> DataFrame:
@@ -314,6 +335,67 @@ def phash_near_pairs(
     from dod_etl_spark.operators.text_dedup import simhash_near_pairs
 
     fps = perceptual_hash(media, codec)
+    return simhash_near_pairs(
+        fps,
+        id_col="media_id",
+        fp_col="phash",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        n_bits=PHASH_BITS,
+    )
+
+
+def audio_spectral_hash(media: DataFrame, codec: Codec | None = None) -> DataFrame:
+    """Spectral perceptual fingerprint for AUDIO: 12 time windows x 5
+    geometric frequency bands of rFFT energy (volume-normalized per
+    window, media_codec.spectral_cells), each band thresholded against
+    the window-uniform mean -> one 60-bit integer.
+
+    Complements perceptual_hash (envelope average-hash): the envelope
+    is blind to tonal content — two constant-volume tones at 440 Hz
+    and 2 kHz hash identically there — while the spectral bands are
+    exactly volume-invariant AND tone-discriminative (pinned in
+    tests/test_multimodal_spectral.py). Same mapInPandas shape; only
+    (media_id, BIGINT) ever shuffles; near-dup pairs come from the
+    same SimHash band machinery (spectral_near_pairs)."""
+    from dod_etl_spark.catalog import spread
+
+    media = spread(media)
+    codec = codec or Codec()
+    cells_fn = codec.spectral_cells_fn()
+    n_bits = PHASH_BITS
+    mean = 1.0 / SPECTRAL_BANDS  # cells are window-normalized
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for c, m in zip(pdf["content"], pdf["meta"]):
+                cells = cells_fn(c, m["format"] if isinstance(m, dict) else None, n_bits)
+                # fake mode emits byte-valued cells: fall back to the
+                # empirical mean so both modes threshold sensibly
+                thr = mean if max(cells, default=0.0) <= 1.0 else sum(cells) / n_bits
+                h = 0
+                for j, px in enumerate(cells):
+                    if px > thr:
+                        h |= 1 << j
+                hashes.append(h)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": hashes})
+
+    return media.mapInPandas(gen, schema=PHASH_SCHEMA)
+
+
+def spectral_near_pairs(
+    media: DataFrame,
+    codec: Codec | None = None,
+    max_hamming: int = 5,
+    n_bands: int = 6,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs over the spectral fingerprints —
+    simhash band blocking + exact hamming cut, identical machinery to
+    phash_near_pairs."""
+    from dod_etl_spark.operators.text_dedup import simhash_near_pairs
+
+    fps = audio_spectral_hash(media, codec)
     return simhash_near_pairs(
         fps,
         id_col="media_id",
