@@ -1,0 +1,77 @@
+"""Fuzzy string matching: exact edit-distance-1 self-join via
+deletion-neighborhood blocking (the SymSpell construction).
+
+Entity resolution needs "which strings are one typo apart" without an
+N^2 comparison. The deletion-neighborhood property: two strings u, v
+with levenshtein(u, v) <= 1 ALWAYS share a key in
+N(s) = {s} union {s with one character deleted} —
+  substitution at i: both sides' delete-at-i collide;
+  insertion/deletion: the longer side's deletion equals the shorter.
+So candidates come from an equi self-join on the exploded
+neighborhood (|s|+1 keys per string), and the exact levenshtein
+predicate verifies — never a cartesian product. Both engines implement
+levenshtein() with identical integer semantics, so the pair set is
+exactly oracle-checkable against the UNFILTERED all-pairs ground
+truth: a single pair missed by the blocking would hash-mismatch
+(the jaccard_similarity_join completeness-proof pattern).
+
+At 100 TB scale: neighborhood keys shuffle (short strings x (len+1)),
+buckets are tiny for natural name distributions; the verify runs on
+candidates only. Skew guard: a degenerate key (e.g. the deletion
+neighborhood of single-char strings) is bounded by alphabet size.
+
+Reference parity: none (no string-similarity surface in the
+reference) — entity-resolution extension per the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_keys(col: Column) -> Column:
+    """N(s): the string itself plus every 1-character deletion,
+    distinct (duplicate deletions from repeated chars collapse)."""
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col), F.lit(1))),
+        lambda i: F.concat(
+            col.substr(F.lit(1), i - 1),
+            col.substr(i + 1, F.length(col)),
+        ),
+    )
+    return F.array_distinct(F.array_union(F.array(col), deletions))
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    col: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """All DISTINCT value pairs of `col` within edit distance
+    `max_distance` (currently 1 — the deletion-neighborhood guarantee;
+    d=2 needs 2-deletion neighborhoods, the SymSpell generalization).
+
+    Returns (name_1 < name_2, dist). Complete by construction —
+    parity against an unfiltered all-pairs oracle proves it."""
+    if max_distance != 1:
+        raise ValueError(
+            "fuzzy_pairs implements max_distance=1 (deletion-neighborhood "
+            "guarantee); d>=2 needs k-deletion neighborhoods"
+        )
+    names = df.select(F.col(col).alias("name")).distinct()
+    keyed = names.select(
+        "name", F.explode(deletion_keys(F.col("name"))).alias("k")
+    )
+    a = keyed.select(F.col("name").alias("name_1"), "k")
+    b = keyed.select(F.col("name").alias("name_2"), "k")
+    return (
+        a.join(b, "k")
+        .filter(F.col("name_1") < F.col("name_2"))
+        .select("name_1", "name_2")
+        .distinct()
+        .withColumn(
+            "dist", F.levenshtein(F.col("name_1"), F.col("name_2")).cast("long")
+        )
+        .filter(F.col("dist") <= max_distance)
+    )

@@ -1762,3 +1762,29 @@ def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_bucket(F.col("cluster_id"), _LS_SEED) < _LS_CUT, F.lit("holdout")
     ).otherwise(F.lit("train"))
     return clusters.select("doc_id", "cluster_id", side.alias("split"))
+
+
+# --- Fuzzy entity matching: exact edit-distance-1 pairs ------------------------
+
+_FUZZY_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_1, b.name AS name_2,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
+@query("fuzzy_name_pairs", _FUZZY_ORACLE)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance-1 name pairs via deletion-neighborhood
+    blocking (operators/fuzzy.py, the SymSpell construction): the
+    oracle is the UNFILTERED all-pairs levenshtein join, so this parity
+    row is a completeness PROOF for the blocking — one pair missed by
+    the neighborhood join would hash-mismatch (the
+    jaccard_join_docs pattern). Both engines' levenshtein() agree on
+    integers, so no rounding machinery is needed."""
+    from dod_etl_spark.operators.fuzzy import fuzzy_pairs
+
+    part = t(spark, sf_dir, "part")
+    return fuzzy_pairs(part, "p_name", max_distance=1)
