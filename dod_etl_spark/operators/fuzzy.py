@@ -60,9 +60,13 @@ def fuzzy_pairs(
             "guarantee); d>=2 needs k-deletion neighborhoods"
         )
     names = df.select(F.col(col).alias("name")).distinct()
+    # Materialized once before the self-join: Spark plans each join
+    # input independently and would run the distinct + neighborhood
+    # explode TWICE otherwise (the measured minhash_candidates
+    # rationale).
     keyed = names.select(
         "name", F.explode(deletion_keys(F.col("name"))).alias("k")
-    )
+    ).localCheckpoint(eager=True)
     a = keyed.select(F.col("name").alias("name_1"), "k")
     b = keyed.select(F.col("name").alias("name_2"), "k")
     return (

@@ -214,6 +214,10 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # metadata-sized inputs by construction (both arms top-k-pruned
         # before fusion).
         ("hybrid_rrf_topk", 10, 1, 2),
+        # Deletion-neighborhood fuzzy join: equi self-join on the
+        # checkpointed keyed frame; the one exchange is the pair
+        # distinct. A cartesian levenshtein would show up here.
+        ("fuzzy_name_pairs", 1, 0, 0),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):
