@@ -30,17 +30,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def deletion_keys(col: Column) -> Column:
-    """N(s): the string itself plus every 1-character deletion,
-    distinct (duplicate deletions from repeated chars collapse)."""
-    deletions = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(col), F.lit(1))),
+def deletion_keys(col: Column, d: int = 1) -> Column:
+    """N_d(s): the string itself plus every deletion of up to `d`
+    characters (d in {1, 2}), distinct (duplicate deletions from
+    repeated characters collapse). The SymSpell completeness property:
+    levenshtein(u, v) <= d implies N_d(u) and N_d(v) intersect."""
+    positions = F.sequence(F.lit(1), F.greatest(F.length(col), F.lit(1)))
+    del1 = F.transform(
+        positions,
         lambda i: F.concat(
             col.substr(F.lit(1), i - 1),
             col.substr(i + 1, F.length(col)),
         ),
     )
-    return F.array_distinct(F.array_union(F.array(col), deletions))
+    keys = F.array_union(F.array(col), del1)
+    if d >= 2:
+        del2 = F.flatten(
+            F.transform(
+                positions,
+                lambda i: F.transform(
+                    F.filter(positions, lambda j: j > i),
+                    lambda j: F.concat(
+                        col.substr(F.lit(1), i - 1),
+                        col.substr(i + 1, j - i - 1),
+                        col.substr(j + 1, F.length(col)),
+                    ),
+                ),
+            )
+        )
+        keys = F.array_union(keys, del2)
+    return F.array_distinct(keys)
 
 
 def fuzzy_pairs(
@@ -53,11 +72,13 @@ def fuzzy_pairs(
     d=2 needs 2-deletion neighborhoods, the SymSpell generalization).
 
     Returns (name_1 < name_2, dist). Complete by construction —
-    parity against an unfiltered all-pairs oracle proves it."""
-    if max_distance != 1:
+    parity against an unfiltered all-pairs oracle proves it.
+    Neighborhood size is |s|+1 keys at d=1 and O(|s|^2) at d=2 — the
+    standard SymSpell cost curve; d>2 is out of scope."""
+    if max_distance not in (1, 2):
         raise ValueError(
-            "fuzzy_pairs implements max_distance=1 (deletion-neighborhood "
-            "guarantee); d>=2 needs k-deletion neighborhoods"
+            "fuzzy_pairs implements max_distance in {1, 2} "
+            "(k-deletion neighborhoods)"
         )
     names = df.select(F.col(col).alias("name")).distinct()
     # Materialized once before the self-join: Spark plans each join
@@ -65,7 +86,7 @@ def fuzzy_pairs(
     # explode TWICE otherwise (the measured minhash_candidates
     # rationale).
     keyed = names.select(
-        "name", F.explode(deletion_keys(F.col("name"))).alias("k")
+        "name", F.explode(deletion_keys(F.col("name"), max_distance)).alias("k")
     ).localCheckpoint(eager=True)
     a = keyed.select(F.col("name").alias("name_1"), "k")
     b = keyed.select(F.col("name").alias("name_2"), "k")

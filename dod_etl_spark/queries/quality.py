@@ -1788,3 +1788,23 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = t(spark, sf_dir, "part")
     return fuzzy_pairs(part, "p_name", max_distance=1)
+
+
+_FUZZY2_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_1, b.name AS name_2,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+"""
+
+
+@query("fuzzy_name_pairs_d2", _FUZZY2_ORACLE)
+def fuzzy_name_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d=2 SymSpell generalization: 2-deletion neighborhoods (keys
+    = self + 1- and 2-char deletions), same unfiltered-oracle
+    completeness proof at the wider radius."""
+    from dod_etl_spark.operators.fuzzy import fuzzy_pairs
+
+    part = t(spark, sf_dir, "part")
+    return fuzzy_pairs(part, "p_name", max_distance=2)

@@ -58,4 +58,27 @@ def test_fuzzy_pairs_complete_on_random_strings(spark, names):
 def test_fuzzy_pairs_rejects_unsupported_distance(spark):
     df = spark.createDataFrame([("x",)], "p_name string")
     with pytest.raises(ValueError):
-        fuzzy_pairs(df, "p_name", max_distance=2)
+        fuzzy_pairs(df, "p_name", max_distance=3)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=4), min_size=2, max_size=8
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_fuzzy_pairs_d2_complete_on_random_strings(spark, names):
+    """d=2: 2-deletion neighborhoods return exactly the brute-force
+    distance<=2 pairs on the dense alphabet."""
+    distinct = sorted(set(names))
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(distinct, 2)
+        if _lev(a, b) <= 2
+    }
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    got = {
+        (r["name_1"], r["name_2"])
+        for r in fuzzy_pairs(df, "p_name", max_distance=2).collect()
+    }
+    assert got == expected
