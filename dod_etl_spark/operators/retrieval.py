@@ -109,6 +109,37 @@ def bm25_score_and_rank(
     )
 
 
+def build_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """(posting, stats): the BM25 index frames. posting = one row per
+    (doc_id, tok) with (tf, dl, df) — df computed as a window over the
+    SAME tf frame so the tokenize lineage runs once; stats = the 1-row
+    (n_docs, avgdl) frame. Shared by the one-shot operator (bm25_topk)
+    and the PRF expansion (prf_expand_topk), and mirrored by the
+    PostingStore's bucketed tables."""
+    toks = doc_tokens(text_col)
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("tok"),
+    )
+    tf = exploded.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    posting = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+    stats = docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(F.size(toks).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    return posting, stats
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -132,30 +163,65 @@ def bm25_topk(
     doc_id == query_id before ranking — for probe-document queries
     (similar-document retrieval), same convention as
     similarity.brute_force_topk."""
-    toks = doc_tokens(text_col)
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).cast("long").alias("dl"),
-        F.explode(toks).alias("tok"),
-    )
-    tf = exploded.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
-    )
-    posting = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
-
+    posting, stats = build_postings(docs, id_col, text_col)
     terms = query_terms(queries, query_id_col, query_text_col)
-
-    stats = docs.select(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        (
-            F.sum(F.size(toks).cast("long")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("avgdl"),
-    )
-
     joined = posting.join(F.broadcast(terms), "tok")
     return bm25_score_and_rank(
         joined, stats, k, k1, b, rational_idf, exclude_self
+    )
+
+
+def prf_expand_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_fb: int = 3,
+    m_expand: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    rational_idf: bool = False,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the RM3 shape,
+    Lavrenko & Croft relevance models): round 1 retrieves the k_fb
+    BM25-best documents per query, the m_expand most frequent NEW terms
+    across that feedback set join the query vocabulary (sum-tf weight,
+    lexicographic tiebreak — integer arithmetic, no rounding needed),
+    and round 2 re-scores with the expanded term set. Recall machinery:
+    a query missing the corpus's phrasing still retrieves documents
+    sharing vocabulary with its top results.
+
+    The posting frame is built ONCE and eagerly checkpointed — it feeds
+    the round-1 join, the feedback tf lookup, and the round-2 join, and
+    Spark would otherwise re-run the tokenize+aggregate lineage for
+    each consumer. Everything downstream of the index is
+    metadata-sized: feedback is n_queries x k_fb rows, term selection
+    is one aggregation over the feedback docs' postings."""
+    posting, stats = build_postings(docs)
+    posting = posting.localCheckpoint(eager=True)
+    terms0 = query_terms(queries)
+
+    r1 = bm25_score_and_rank(
+        posting.join(F.broadcast(terms0), "tok"), stats, k_fb, k1, b, rational_idf
+    ).select("query_id", "doc_id")
+
+    fb = (
+        r1.join(posting, "doc_id")
+        .join(terms0, ["query_id", "tok"], "left_anti")
+        .groupBy("query_id", "tok")
+        .agg(F.sum("tf").alias("_fb_w"))
+    )
+    wfb = Window.partitionBy("query_id").orderBy(
+        F.col("_fb_w").desc(), F.col("tok").asc()
+    )
+    fb_terms = (
+        fb.withColumn("_rn", F.row_number().over(wfb))
+        .where(F.col("_rn") <= m_expand)
+        .select("query_id", "tok")
+    )
+    expanded = terms0.unionByName(fb_terms).distinct()
+
+    return bm25_score_and_rank(
+        posting.join(F.broadcast(expanded), "tok"), stats, k, k1, b, rational_idf
     )
 
 

@@ -1808,3 +1808,86 @@ def fuzzy_name_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = t(spark, sf_dir, "part")
     return fuzzy_pairs(part, "p_name", max_distance=2)
+
+
+# --- PRF query expansion (RM3-lite, two chained BM25 rounds) -------------------
+
+_PRF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+  FROM documents
+),
+posting AS (
+  SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+  FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+withdf AS (SELECT *, count(*) OVER (PARTITION BY tok) AS df FROM posting),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl
+  FROM toks
+),
+q0(query_id, tok) AS (VALUES {_BM25_VALUES}),
+s1 AS (
+  SELECT q.query_id, p.doc_id,
+         sum(CAST(({_BM25_CONTRIB}) AS DECIMAL(27,6))) AS sdec
+  FROM withdf p JOIN q0 q USING (tok) CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+r1 AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sdec DESC, doc_id ASC) AS rk
+    FROM s1
+  ) WHERE rk <= 3
+),
+fb AS (
+  SELECT r.query_id, p.tok, sum(p.tf) AS w
+  FROM r1 r JOIN posting p ON p.doc_id = r.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM q0
+                    WHERE q0.query_id = r.query_id AND q0.tok = p.tok)
+  GROUP BY 1, 2
+),
+fbtop AS (
+  SELECT query_id, tok FROM (
+    SELECT query_id, tok,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY w DESC, tok ASC) AS rn
+    FROM fb
+  ) WHERE rn <= 3
+),
+q1 AS (SELECT query_id, tok FROM q0 UNION SELECT query_id, tok FROM fbtop),
+s2 AS (
+  SELECT q.query_id, p.doc_id,
+         sum(CAST(({_BM25_CONTRIB}) AS DECIMAL(27,6))) AS sdec
+  FROM withdf p JOIN q1 q USING (tok) CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, sdec,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sdec DESC, doc_id ASC) AS rank
+  FROM s2
+)
+SELECT query_id, doc_id, rank, {sround_sql('CAST(sdec AS DOUBLE)', 4)} AS score
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("prf_expand_topk", _PRF_ORACLE)
+def prf_expand_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion (RM3 shape): round-1 BM25
+    top-3 per query feed the 3 most frequent NEW terms (sum-tf weight,
+    integer-exact) into the query vocabulary; round 2 re-scores with
+    the expanded set. Both rounds, the feedback aggregation, and the
+    term cut are mirrored in one chained SQL oracle — the full PRF
+    pipeline is hash-checked, not just its pieces. The posting frame
+    is built once and checkpointed (it feeds three consumers)."""
+    from dod_etl_spark.operators.retrieval import prf_expand_topk
+
+    docs = t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query_text string"
+    )
+    return prf_expand_topk(docs, queries, k=10, k_fb=3, m_expand=3, rational_idf=True)

@@ -137,3 +137,34 @@ def test_bm25_empty_text_and_empty_query(spark):
     out = bm25_topk(docs, queries, k=5, rational_idf=True).collect()
     assert {(r["query_id"], r["doc_id"]) for r in out} == {(1, 1)}
     assert all(r["score"] > 0 for r in out)
+
+
+def test_prf_expansion_recalls_vocabulary_neighbors(spark):
+    """The PRF contract: a document sharing NO term with the query but
+    sharing vocabulary with the query's top results becomes
+    retrievable after expansion (and stays unreachable without it)."""
+    from dod_etl_spark.operators.retrieval import prf_expand_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana"),
+            (2, "apple banana cherry"),
+            (3, "cherry durian"),  # no 'apple' — unreachable round 1
+            (4, "fig grape"),  # unrelated — must stay out
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "apple")], "query_id long, query_text string")
+
+    plain = {r["doc_id"] for r in bm25_topk(docs, q, k=10, rational_idf=True).collect()}
+    assert plain == {1, 2}
+
+    expanded = {
+        r["doc_id"]
+        for r in prf_expand_topk(
+            docs, q, k=10, k_fb=2, m_expand=2, rational_idf=True
+        ).collect()
+    }
+    assert 3 in expanded  # reached through feedback term 'cherry'/'banana'
+    assert 4 not in expanded
+    assert {1, 2} <= expanded
