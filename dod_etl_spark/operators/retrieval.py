@@ -205,8 +205,9 @@ def prf_expand_topk(
     ).select("query_id", "doc_id")
 
     fb = (
-        r1.join(posting, "doc_id")
-        .join(terms0, ["query_id", "tok"], "left_anti")
+        F.broadcast(r1)  # n_queries x k_fb rows vs the corpus-sized index
+        .join(posting, "doc_id")
+        .join(F.broadcast(terms0), ["query_id", "tok"], "left_anti")
         .groupBy("query_id", "tok")
         .agg(F.sum("tf").alias("_fb_w"))
     )

@@ -218,6 +218,11 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # checkpointed keyed frame; the one exchange is the pair
         # distinct. A cartesian levenshtein would show up here.
         ("fuzzy_name_pairs", 1, 0, 0),
+        # PRF expansion: two BM25 rounds over the ONE checkpointed
+        # posting frame; feedback set and both term frames broadcast
+        # (the tiny-side left-anti would otherwise SMJ); the two BNLJ
+        # are the per-round corpus-stats scalars.
+        ("prf_expand_topk", 9, 0, 2),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):
