@@ -62,6 +62,9 @@ PROBE_QUERIES = [
     "simhash_near_pairs",    # pigeonhole bands + hamming cut
     "ngram_jaccard_pairs",   # gram-bucket pair join + verify
     "jaccard_join_docs",     # PPJoin prefix filter
+    "bm25_topk_docs",        # posting build + df window + top-k
+    "prf_expand_topk",       # two chained BM25 rounds
+    "bpe_merges_docs",       # vocab-frame merge rounds (vocab fixed!)
 ]
 
 # Exact pair-emitters: OUTPUT (and therefore time) is inherently
