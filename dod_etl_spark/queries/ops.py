@@ -776,3 +776,64 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --- Interval coverage (gaps-and-islands merge) -------------------------------
+
+_COVERAGE_ORACLE = """
+WITH iv AS (
+  SELECT user_id, epoch_ms(ts) AS s,
+         epoch_ms(ts) + CAST(floor(value * 1000) AS BIGINT) AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT user_id, min(s) AS span_start_ms, max(e) AS span_end_ms,
+       count(*) AS n_events
+FROM isl GROUP BY user_id, island
+"""
+
+
+@query("interval_coverage_events", _COVERAGE_ORACLE)
+def interval_coverage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands coverage merge: each event claims the closed
+    span [ts, ts + value seconds]; overlapping/touching spans per user
+    collapse into maximal busy islands (operators/intervals.py
+    merge_intervals — the running-max construction). This is the
+    coverage algebra the reference's ES timeline implies but never
+    computes (machine busy-time union, downtime coverage; the
+    EventEnricher tiles against intervals, it cannot union them).
+    Scale: ONE hash exchange on user_id — both window passes and the
+    island aggregation reuse the same partitioning; nothing is global
+    or quadratic. value >= 0 in this dataset, so closed spans always
+    have span_end >= span_start and island flags are deterministic
+    under sort-tie permutations."""
+    from dod_etl_spark.operators.intervals import merge_intervals
+
+    events = t(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        F.unix_millis("ts").alias("s"),
+        (
+            F.unix_millis("ts")
+            + F.floor(F.col("value") * F.lit(1000)).cast("bigint")
+        ).alias("e"),
+    )
+    return merge_intervals(iv, "user_id", "s", "e").select(
+        "user_id",
+        F.col("span_start").alias("span_start_ms"),
+        F.col("span_end").alias("span_end_ms"),
+        F.col("n_rows").alias("n_events"),
+    )

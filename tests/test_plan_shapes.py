@@ -223,6 +223,10 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # (the tiny-side left-anti would otherwise SMJ); the two BNLJ
         # are the per-round corpus-stats scalars.
         ("prf_expand_topk", 9, 0, 2),
+        # Gaps-and-islands coverage merge: ONE hash exchange on
+        # user_id — both window passes and the island aggregation
+        # reuse the same partitioning.
+        ("interval_coverage_events", 1, 0, 0),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):
