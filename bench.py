@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     # Round-6: BPE merge training (6 vocab-frame aggregation rounds +
     # 1-row argmax each — the driver-interactive iterative family).
     "bpe_merges_docs",
+    # Round-6 third session: ExactSubstr scrub end to end (gram
+    # explode -> dup-count window -> island merge -> gap complement ->
+    # kept-text rebuild).
+    "exact_substring_scrub_docs",
 ]
 
 

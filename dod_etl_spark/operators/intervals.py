@@ -83,6 +83,7 @@ def complement_spans(
     hi: Column,
     span_start: str = "span_start",
     span_end: str = "span_end",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Invert merged (disjoint, per-key) spans against the enclosing
     closed range ``[lo, hi]``: emit the gaps.
@@ -92,7 +93,10 @@ def complement_spans(
     DISJOINT spans (merge_intervals output); emits one row per gap:
     ``key, gap_start, gap_end``.  Keys whose spans tile the whole
     range emit nothing; callers needing full-range gaps for absent
-    keys handle that side (a left anti join) themselves.
+    keys handle that side (a left anti join) themselves.  ``carry``
+    names extra columns of the spans frame to pass through onto every
+    gap row (e.g. the text a character-gap will be sliced from,
+    saving a re-join).
 
     Same scale shape as merge_intervals: one window over the key
     partitioning (lead + row_number), then a per-row gap construction
@@ -109,12 +113,14 @@ def complement_spans(
         F.col(span_end),
         lo.alias("_lo"),
         hi.alias("_hi"),
+        *[F.col(c) for c in carry],
     ).select(
         key,
         span_start,
         span_end,
         "_lo",
         "_hi",
+        *carry,
         F.lead(span_start).over(w).alias("_next_start"),
         F.row_number().over(w).alias("_rk"),
     )
@@ -132,8 +138,9 @@ def complement_spans(
         ),
         lambda g: g.gap_start <= g.gap_end,
     )
-    return enriched.select(key, F.explode(gaps).alias("_g")).select(
+    return enriched.select(key, *carry, F.explode(gaps).alias("_g")).select(
         key,
+        *carry,
         F.col("_g.gap_start").alias("gap_start"),
         F.col("_g.gap_end").alias("gap_end"),
     )

@@ -1,0 +1,184 @@
+"""ExactSubstr-style repeated-substring scrubbing (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better").
+
+The suffix-array formulation of ExactSubstr doesn't distribute; the
+standard Spark-friendly equivalent is the fixed-length gram scan this
+module implements: every length-L character window is hashed, windows
+whose hash occurs more than once in the corpus mark their [pos,
+pos+L-1] span as duplicated, per-document spans are merged into
+maximal regions (operators/intervals.py, merge_gap=1 so runs of
+overlapping/adjacent duplicated windows collapse into ONE region —
+exactly the contiguous repeated substring of length >= L), and the
+kept text is rebuilt from the complement gaps.  A substring of length
+>= L repeated anywhere in the corpus (across documents or within one)
+is covered by at least one duplicated window, so every such region is
+found; the granularity cost vs a suffix array is only that removal
+boundaries snap to window extents.
+
+Reference scope note: the reference engine (stp/EventEnricher.scala)
+has no text-dedup surface at all — this operator exists for the
+LLM-training-data pillar, alongside MinHash/SimHash/winnowing in
+operators/text_dedup.py (winnowing *detects* shared spans between
+pairs; this operator *removes* corpus-wide verbatim repetition from
+each document).
+
+Scale shape: gram rows are (hash, doc_id, pos) — the text itself
+never crosses the duplicate-counting exchange.  Total gram rows =
+total corpus chars (linear); the count-per-hash is one window (or the
+groupBy-join variant at extreme skew); span merge + gap complement +
+kept-text rebuild are all keyed by doc_id and reuse one partitioning.
+The only rows carrying text are the per-gap slices joined once
+against the document table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dod_etl_spark.operators.intervals import complement_spans, merge_intervals
+
+HASH_PREFIX = 16  # md5 hex chars kept in oracle-replayable mode
+
+
+def _gram_hash(gram: Column, hash_mode: str) -> Column:
+    if hash_mode == "md5":
+        return F.substring(F.md5(gram.cast("binary")), 1, HASH_PREFIX)
+    if hash_mode == "xxhash64":
+        return F.xxhash64(gram)
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
+def repeated_gram_spans(
+    docs: DataFrame,
+    *,
+    gram_len: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Closed character spans ``[s, e]`` (1-based) of every length-L
+    window whose hash occurs more than once in the corpus.
+
+    One projection explodes each document into (id, pos, gram_hash)
+    rows — the gram text reduces to its hash BEFORE the exchange — and
+    one window over the hash partitioning counts occurrences.
+    Within-document repetition counts (Lee et al. scrub self-repeats
+    too)."""
+    # sequence(1, 0) counts DOWN in Spark (auto step -1) — guard short
+    # docs to an explicit empty array (posexplode then drops the row).
+    n = F.length(F.col(text_col)) - F.lit(gram_len - 1)
+    positions = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                positions,
+                lambda p: _gram_hash(
+                    F.substring(F.col(text_col), p, F.lit(gram_len)), hash_mode
+                ),
+            )
+        ).alias("_i", "gh"),
+    ).select(id_col, (F.col("_i") + 1).alias("pos"), "gh")
+    counted = grams.withColumn(
+        "_c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    )
+    return counted.where(F.col("_c") > 1).select(
+        id_col,
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.lit(gram_len - 1)).alias("e"),
+    )
+
+
+def scrub_repeated_substrings(
+    docs: DataFrame,
+    *,
+    gram_len: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Per-document scrub summary after removing every maximal region
+    of corpus-repeated text (window length ``gram_len``).
+
+    Output: ``id_col, n_dup_spans, removed_chars, kept_chars,
+    kept_hash`` — kept_hash is md5[:16] of the post-scrub text (md5 of
+    the ORIGINAL text for untouched documents, md5('') for documents
+    that are repetition end-to-end), so a downstream exact-dedup pass
+    over scrubbed text needs no re-read."""
+    spans = repeated_gram_spans(
+        docs,
+        gram_len=gram_len,
+        text_col=text_col,
+        id_col=id_col,
+        hash_mode=hash_mode,
+    )
+    # merged feeds BOTH the span-stats branch and the gap/rebuild
+    # branch: materialize once or the gram explode + dup-count
+    # exchange (the heaviest stage) replays per consumer.
+    merged = merge_intervals(spans, id_col, "s", "e", merge_gap=1).localCheckpoint(
+        eager=True
+    )
+    per_doc_spans = merged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("removed_chars"),
+    )
+    with_text = merged.join(
+        docs.select(id_col, text_col), on=id_col, how="inner"
+    )
+    gaps = complement_spans(
+        with_text,
+        id_col,
+        lo=F.lit(1),
+        hi=F.length(F.col(text_col)),
+        carry=(text_col,),
+    )
+    segs = gaps.select(
+        id_col,
+        "gap_start",
+        F.expr(
+            f"substring({text_col}, gap_start, gap_end - gap_start + 1)"
+        ).alias("seg"),
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("seg_len"),
+    )
+    kept = segs.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gap_start", "seg"))),
+                lambda s: s["seg"],
+            ),
+            "",
+        ).alias("_kept_text"),
+        F.sum("seg_len").alias("_kept_chars"),
+    )
+    base = docs.select(id_col, F.col(text_col).alias("_orig"))
+    out = (
+        base.join(per_doc_spans, on=id_col, how="left")
+        .join(kept, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+            F.coalesce(F.col("removed_chars"), F.lit(0)).alias("removed_chars"),
+            F.coalesce(
+                F.col("_kept_chars"),
+                F.when(F.col("n_dup_spans").isNull(), F.length("_orig")).otherwise(
+                    F.lit(0)
+                ),
+            ).alias("kept_chars"),
+            F.substring(
+                F.md5(
+                    F.coalesce(
+                        F.col("_kept_text"),
+                        F.when(F.col("n_dup_spans").isNull(), F.col("_orig")).otherwise(
+                            F.lit("")
+                        ),
+                    ).cast("binary")
+                ),
+                1,
+                HASH_PREFIX,
+            ).alias("kept_hash"),
+        )
+    )
+    return out

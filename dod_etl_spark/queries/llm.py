@@ -3407,3 +3407,95 @@ def hybrid_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("semantic")
         .alias("via"),
     )
+
+
+# --- ExactSubstr-style repeated-substring scrub (Lee et al. 2022) -------------
+
+_SUBSTR_L = 30
+
+_SUBSTR_SCRUB_ORACLE = f"""
+WITH g0 AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'gh': substr(md5(substr(text, i, {_SUBSTR_L})), 1, 16)}}
+                 for i in range(1, greatest(length(text) - {_SUBSTR_L - 2}, 1))]) AS u
+  FROM documents
+),
+g AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM g0),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS c FROM g
+  ) WHERE c > 1
+),
+sp AS (SELECT doc_id, pos AS s, pos + {_SUBSTR_L - 1} AS e FROM dup),
+fl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM sp
+  WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM fl
+),
+merged AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, island),
+gaps0 AS (
+  SELECT m.doc_id, m.s, m.e, d.text,
+         lead(m.s) OVER (PARTITION BY m.doc_id ORDER BY m.s) AS ns,
+         row_number() OVER (PARTITION BY m.doc_id ORDER BY m.s) AS rk
+  FROM merged m JOIN documents d USING (doc_id)
+),
+gaps AS (
+  SELECT doc_id, text, 1 AS gap_start, s - 1 AS gap_end
+  FROM gaps0 WHERE rk = 1 AND s > 1
+  UNION ALL
+  SELECT doc_id, text, e + 1, coalesce(ns - 1, length(text))
+  FROM gaps0 WHERE e + 1 <= coalesce(ns - 1, length(text))
+),
+kept AS (
+  SELECT doc_id,
+         string_agg(substr(text, gap_start, gap_end - gap_start + 1), ''
+                    ORDER BY gap_start) AS kt,
+         CAST(sum(gap_end - gap_start + 1) AS BIGINT) AS kc
+  FROM gaps GROUP BY doc_id
+),
+ps AS (
+  SELECT doc_id, count(*) AS n_dup_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+  FROM merged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(ps.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(ps.removed_chars, 0) AS removed_chars,
+       coalesce(k.kc, CASE WHEN ps.doc_id IS NULL
+                           THEN length(d.text) ELSE 0 END) AS kept_chars,
+       substr(md5(coalesce(k.kt, CASE WHEN ps.doc_id IS NULL
+                                      THEN d.text ELSE '' END)), 1, 16) AS kept_hash
+FROM documents d
+LEFT JOIN ps USING (doc_id)
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+"""
+
+
+@query("exact_substring_scrub_docs", _SUBSTR_SCRUB_ORACLE)
+def exact_substring_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup, the Spark-distributable formulation (Lee et
+    al. 2022 use a suffix array; operators/substring.py scans length-L
+    windows instead): every maximal region of corpus-repeated text
+    (window L=30, within- OR cross-document) is removed from each
+    document, and the output summarizes the scrub — span count,
+    removed/kept chars, and md5[:16] of the REBUILT kept text, which
+    the oracle reconstructs independently via string_agg over the
+    complement gaps, so the hash check proves the whole span-merge +
+    complement + rebuild chain end to end. Complements winnowing
+    (detects shared spans between pairs) by actually excising
+    corpus-wide verbatim repetition. Scale: gram rows carry (hash16,
+    doc_id, pos) only — text never crosses the duplicate-counting
+    exchange; everything after is keyed by doc_id."""
+    from dod_etl_spark.operators.substring import scrub_repeated_substrings
+
+    docs = t(spark, sf_dir, "documents")
+    return scrub_repeated_substrings(docs, gram_len=_SUBSTR_L, hash_mode="md5")

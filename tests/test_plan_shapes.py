@@ -227,6 +227,13 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # user_id — both window passes and the island aggregation
         # reuse the same partitioning.
         ("interval_coverage_events", 1, 0, 0),
+        # ExactSubstr scrub: gh dup-count exchange + doc_id span merge
+        # (merged spans checkpointed so the gram explode runs ONCE) +
+        # base-vs-kept alignment; the one SMJ is the doc-keyed
+        # big-big join of the document table against its rebuilt
+        # kept-text — the correct shape (kept text is corpus-sized at
+        # scale, never broadcastable).
+        ("exact_substring_scrub_docs", 3, 1, 0),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):

@@ -1,0 +1,113 @@
+"""ExactSubstr-style scrub semantics (operators/substring.py): maximal
+repeated regions are excised exactly, untouched docs pass through with
+their original hash, hash_mode is output-invariant, and the scrub is
+idempotent on the corpus it produced."""
+
+from __future__ import annotations
+
+import hashlib
+
+from dod_etl_spark.operators.substring import (
+    repeated_gram_spans,
+    scrub_repeated_substrings,
+)
+
+L = 10
+UNIQ1 = "abcdefghijklmnopqrstuvwxyz"  # no internal repeats at L=10
+UNIQ2 = "zyxwvutsrqponmlkjihgfedcba"
+SHARED = "0123456789!@#$%^&*()"  # 20 chars >= L, repeated across docs
+
+
+def _md5_16(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()[:16]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _scrub(spark, rows, **kw):
+    out = scrub_repeated_substrings(_docs(spark, rows), gram_len=L, **kw)
+    return {r.doc_id: r.asDict() for r in out.collect()}
+
+
+def test_cross_doc_repetition_removed(spark):
+    rows = [(1, UNIQ1 + SHARED + UNIQ2), (2, "AAAA" + SHARED + "BBBB")]
+    got = _scrub(spark, rows)
+    # Doc 1: exactly the SHARED region is removed; kept = UNIQ1+UNIQ2.
+    assert got[1]["n_dup_spans"] == 1
+    assert got[1]["removed_chars"] == len(SHARED)
+    assert got[1]["kept_chars"] == len(UNIQ1) + len(UNIQ2)
+    assert got[1]["kept_hash"] == _md5_16(UNIQ1 + UNIQ2)
+    assert got[2]["kept_hash"] == _md5_16("AAAA" + "BBBB")
+
+
+def test_untouched_doc_keeps_original_hash(spark):
+    rows = [(1, UNIQ1), (2, UNIQ2)]
+    got = _scrub(spark, rows)
+    for doc_id, text in rows:
+        assert got[doc_id]["n_dup_spans"] == 0
+        assert got[doc_id]["removed_chars"] == 0
+        assert got[doc_id]["kept_chars"] == len(text)
+        assert got[doc_id]["kept_hash"] == _md5_16(text)
+
+
+def test_fully_duplicated_doc_scrubs_to_empty(spark):
+    rows = [(1, SHARED), (2, SHARED), (3, UNIQ1)]
+    got = _scrub(spark, rows)
+    for d in (1, 2):
+        assert got[d]["kept_chars"] == 0
+        assert got[d]["removed_chars"] == len(SHARED)
+        assert got[d]["kept_hash"] == _md5_16("")
+
+
+def test_within_doc_repeat_counts(spark):
+    # Lee et al. scrub self-repeats: one doc containing SHARED twice.
+    rows = [(1, SHARED + UNIQ1 + SHARED)]
+    got = _scrub(spark, rows)
+    assert got[1]["n_dup_spans"] == 2
+    assert got[1]["removed_chars"] == 2 * len(SHARED)
+    # Kept text is the unique middle MINUS its flanks? No: flanking
+    # windows straddling the boundary are unique, so the middle
+    # survives intact.
+    assert got[1]["kept_hash"] == _md5_16(UNIQ1)
+
+
+def test_short_docs_have_no_grams(spark):
+    rows = [(1, "tiny"), (2, "tiny")]  # < L chars: identical but unscanned
+    got = _scrub(spark, rows)
+    assert got[1]["n_dup_spans"] == 0
+    assert got[1]["kept_hash"] == _md5_16("tiny")
+
+
+def test_hash_mode_is_output_invariant(spark):
+    rows = [(1, UNIQ1 + SHARED + UNIQ2), (2, "AAAA" + SHARED + "BBBB"), (3, UNIQ2)]
+    a = _scrub(spark, rows, hash_mode="md5")
+    b = _scrub(spark, rows, hash_mode="xxhash64")
+    assert a == b
+
+
+def test_scrub_is_idempotent(spark):
+    """Scrubbing a corpus whose repeated regions were already removed
+    finds nothing new (window extents guarantee removed regions can't
+    re-create length-L repeats out of kept fragments here)."""
+    rows = [(1, UNIQ1 + SHARED + UNIQ2), (2, "AAAA" + SHARED + "BBBB")]
+    first = _scrub(spark, rows)
+    kept_rows = [(1, UNIQ1 + UNIQ2), (2, "AAAA" + "BBBB")]
+    second = _scrub(spark, kept_rows)
+    for d, r in second.items():
+        assert r["n_dup_spans"] == 0
+        assert r["kept_hash"] == first[d]["kept_hash"]
+
+
+def test_adjacent_windows_merge_to_one_span(spark):
+    # A 2L-long shared region = L+1 duplicated windows -> ONE span.
+    long_shared = SHARED + SHARED[::-1]  # 40 chars, unique internally
+    rows = [(1, UNIQ1 + long_shared), (2, long_shared + UNIQ2)]
+    spans = repeated_gram_spans(
+        _docs(spark, rows), gram_len=L, hash_mode="md5"
+    )
+    assert spans.count() > 2  # many raw windows...
+    got = _scrub(spark, rows)
+    assert got[1]["n_dup_spans"] == 1  # ...one merged region
+    assert got[1]["removed_chars"] == len(long_shared)
