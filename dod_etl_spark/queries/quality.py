@@ -1891,3 +1891,75 @@ def prf_expand_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_QUERIES, "query_id long, query_text string"
     )
     return prf_expand_topk(docs, queries, k=10, k_fb=3, m_expand=3, rational_idf=True)
+
+
+# --- Two-sample Kolmogorov–Smirnov across event types --------------------------
+
+
+def _ks_oracle() -> str:
+    """Global-window ECDF formulation (the oracle may serialize; the
+    engine side uses the bucketed parallel-prefix construction)."""
+    from itertools import combinations
+
+    n = len(_EVENT_TYPES)
+    csel = ",\n         ".join(
+        f"sum(CASE WHEN event_type = '{g}' THEN c ELSE 0 END) AS c{i}"
+        for i, g in enumerate(_EVENT_TYPES)
+    )
+    ksel = ",\n         ".join(
+        f"sum(c{i}) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING"
+        f" AND CURRENT ROW) AS k{i}"
+        for i in range(n)
+    )
+    tsel = ", ".join(f"sum(c{i}) AS t{i}" for i in range(n))
+    arms = "\n  UNION ALL ".join(
+        f"""SELECT '{_EVENT_TYPES[a]}' AS group_a, '{_EVENT_TYPES[b]}' AS group_b,
+         t.t{a} AS n_a, t.t{b} AS n_b,
+         coalesce((SELECT max(abs(k{a} * t.t{b} - k{b} * t.t{a})) FROM cum), 0) AS d_num
+  FROM tot t"""
+        for a, b in combinations(range(n), 2)
+    )
+    return f"""
+WITH c AS (
+  SELECT value, event_type, count(*) AS c FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT value,
+         {csel}
+  FROM c GROUP BY value
+),
+cum AS (
+  SELECT value,
+         {ksel}
+  FROM p
+),
+tot AS (SELECT {tsel} FROM p),
+pairs AS (
+  {arms}
+)
+SELECT group_a, group_b, n_a, n_b, d_num,
+       {sround_sql('''CASE WHEN n_a > 0 AND n_b > 0
+            THEN CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+            ELSE 0.0 END''', 6)} AS ks_d
+FROM pairs
+"""
+
+
+@query("source_ks_test", _ks_oracle())
+def source_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs two-sample Kolmogorov–Smirnov over the value
+    distributions of the five event types (operators/stats.py
+    ks_matrix): the drift detector source_drift_tvd can't provide —
+    TVD over fixed histogram bins is resolution-limited, KS compares
+    the FULL empirical CDFs. Integer-exact: the per-value gap is
+    cross-multiplied (|C_a·n_b − C_b·n_a|) so the only float op is the
+    final division. Scale: NO global sort/window — per-value counts
+    (one exchange), a broadcast scalar, a metadata-sized per-bucket
+    offset frame, and a bucket-partitioned parallel window build the
+    exact global ECDF (the parallel-prefix pattern); the oracle uses
+    the serial global-window formulation, so parity also proves the
+    bucketed decomposition correct."""
+    from dod_etl_spark.operators.stats import ks_matrix
+
+    events = t(spark, sf_dir, "events")
+    return ks_matrix(events, "event_type", "value", _EVENT_TYPES)

@@ -234,6 +234,11 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # kept-text — the correct shape (kept text is corpus-sized at
         # scale, never broadcastable).
         ("exact_substring_scrub_docs", 3, 1, 0),
+        # All-pairs KS: per-value counts + metadata-sized bucket
+        # offsets + bucket-partitioned parallel prefix window + final
+        # map-combined max — no global sort; the two BNLJ are the
+        # scalar bounds/totals broadcasts (q11 pattern).
+        ("source_ks_test", 8, 0, 2),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):
