@@ -277,3 +277,66 @@ def triangle_counts(
         "degree",
         F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top-N predicted missing links over an undirected graph, scored
+    by common-neighbor count with a resource-allocation (Zhou et al.
+    2009) tiebreak: RA = Σ_z 1/deg(z) over shared neighbors z, carried
+    as exact integer micro-units (10¹² div deg — the DSIR convention;
+    float 1/deg sums are order-sensitive and engines disagree), so
+    ranking is bit-stable cross-engine.
+
+    Output: (id_1, id_2, common_neighbors, ra_micro) for the top_n
+    non-edges under the total order (cn DESC, ra DESC, id_1, id_2).
+
+    Shape: canonicalize + checkpoint the edge set once (one lineage
+    for the wedge self-join, the degree agg and the non-edge
+    anti-join); wedges come from ONE equi self-join on the center
+    vertex; the global top-N is TakeOrderedAndProject (per-partition
+    partial top-N, no single-partition window). Candidate volume is
+    Σ_z deg(z)² — bounded for bounded-degree graphs; for power-law
+    graphs cap hub degree upstream (the minhash max_bucket_size
+    posture) before wedging."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    left = adj.select("node", F.col("nbr").alias("id_1"))
+    right = adj.select("node", F.col("nbr").alias("id_2"))
+    wedge = left.join(right, "node").where(F.col("id_1") < F.col("id_2"))
+    cand = (
+        wedge.join(deg, "node")
+        .select("id_1", "id_2", F.expr("1000000000000L div deg").alias("ra_c"))
+        .groupBy("id_1", "id_2")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum("ra_c").alias("ra_micro"),
+        )
+    )
+    new_links = cand.join(
+        und,
+        (cand.id_1 == und.u) & (cand.id_2 == und.v),
+        "left_anti",
+    )
+    return new_links.orderBy(
+        F.col("common_neighbors").desc(),
+        F.col("ra_micro").desc(),
+        "id_1",
+        "id_2",
+    ).limit(top_n)

@@ -3499,3 +3499,60 @@ def exact_substring_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return scrub_repeated_substrings(docs, gram_len=_SUBSTR_L, hash_mode="md5")
+
+
+# --- Link prediction over the kNN graph -----------------------------------------
+
+_LINKPRED_ORACLE = f"""
+WITH graph AS ({_KNN_GRAPH_ORACLE}),
+und AS (
+  SELECT DISTINCT least(vec_id, neighbor_id) AS u,
+         greatest(vec_id, neighbor_id) AS v
+  FROM graph WHERE vec_id <> neighbor_id
+),
+adj AS (
+  SELECT u AS node, v AS nbr FROM und
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM und
+),
+deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+wedge AS (
+  SELECT a.nbr AS id_1, b.nbr AS id_2, a.node AS node
+  FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+),
+cand AS (
+  SELECT id_1, id_2, count(*) AS common_neighbors,
+         CAST(sum(1000000000000 // d.deg) AS BIGINT) AS ra_micro
+  FROM wedge w JOIN deg d USING (node)
+  GROUP BY id_1, id_2
+)
+SELECT c.id_1, c.id_2, c.common_neighbors, c.ra_micro
+FROM cand c
+LEFT JOIN und e ON c.id_1 = e.u AND c.id_2 = e.v
+WHERE e.u IS NULL
+ORDER BY c.common_neighbors DESC, c.ra_micro DESC, c.id_1, c.id_2
+LIMIT 50
+"""
+
+
+@query("knn_link_prediction", _LINKPRED_ORACLE)
+def knn_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 predicted missing links in the approximate kNN graph
+    (operators/graph.py link_prediction): common-neighbor count with a
+    resource-allocation tiebreak in exact integer micro-units
+    (Σ 10¹² div deg(z) — float 1/deg sums are order-sensitive, the
+    DSIR/ra convention keeps ranking bit-stable cross-engine). The
+    semantic-dedup companion: a high-scoring non-edge is a near-dup
+    pair the sign-bucket blocking missed — link prediction IS the
+    recall-repair pass over the blocked ANN graph. Scale: one wedge
+    self-join on the center vertex (Σ deg² bounded for degree-bounded
+    kNN graphs), anti-join against the checkpointed edge set, and a
+    TakeOrderedAndProject top-N — no single-partition window."""
+    from dod_etl_spark.operators.graph import link_prediction
+    from dod_etl_spark.operators.similarity import knn_graph
+
+    emb = t(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb, k=3, sign_dims=4).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return link_prediction(edges, top_n=50)

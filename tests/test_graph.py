@@ -131,3 +131,49 @@ def test_triangle_counts_k4_and_no_cartesian(spark):
     assert {r["n_triangles"] for r in out.collect()} == {3}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# --- link_prediction ---------------------------------------------------------
+
+
+def _lp(spark, edge_list, top_n=50):
+    from dod_etl_spark.operators.graph import link_prediction
+
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    return [
+        (r.id_1, r.id_2, r.common_neighbors, r.ra_micro)
+        for r in link_prediction(df, top_n=top_n).collect()
+    ]
+
+
+def test_link_prediction_path_graph(spark):
+    # Path 1-2-3: the only non-edge wedge is (1,3) through center 2
+    # (deg 2) -> cn=1, ra = 10^12 div 2.
+    got = _lp(spark, [(1, 2), (2, 3)])
+    assert got == [(1, 3, 1, 10**12 // 2)]
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    # Triangle: every wedge closes an existing edge -> nothing predicted.
+    assert _lp(spark, [(1, 2), (2, 3), (1, 3)]) == []
+
+
+def test_link_prediction_ranking_and_ra_tiebreak(spark):
+    # Star center 0 with leaves 1..4, plus extra edges (1,5) and (2,5).
+    # Two cn=2 pairs: (0,5) through centers 1 and 2 (deg 2 each, RA =
+    # 10^12) and (1,2) through centers 0 (deg 4) and 5 (deg 2, RA =
+    # 0.75*10^12) -> RA breaks the cn tie in favor of (0,5).
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 5), (2, 5)]
+    got = _lp(spark, edges)
+    assert got[0] == (0, 5, 2, 2 * (10**12 // 2))
+    assert got[1] == (1, 2, 2, 10**12 // 4 + 10**12 // 2)
+    cn1 = [g for g in got[2:]]
+    assert all(g[2] == 1 for g in cn1)
+    assert cn1 == sorted(cn1, key=lambda g: (-g[2], -g[3], g[0], g[1]))
+
+
+def test_link_prediction_direction_and_duplicate_invariant(spark):
+    # Same undirected graph given as reversed/duplicated directed edges.
+    a = _lp(spark, [(1, 2), (2, 3)])
+    b = _lp(spark, [(2, 1), (3, 2), (2, 3), (1, 2)])
+    assert a == b

@@ -239,6 +239,12 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # map-combined max — no global sort; the two BNLJ are the
         # scalar bounds/totals broadcasts (q11 pattern).
         ("source_ks_test", 8, 0, 2),
+        # Link prediction: wedge self-join + degree attach + non-edge
+        # anti-join over the CHECKPOINTED canonical edge set (graph
+        # lineage never replays); global top-N is
+        # TakeOrderedAndProject, not a single-partition window. The
+        # SMJ are the edge-keyed big-big joins — correct at scale.
+        ("knn_link_prediction", 5, 3, 0),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):
