@@ -340,3 +340,56 @@ def link_prediction(
         "id_1",
         "id_2",
     ).limit(top_n)
+
+
+def k_core(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    k: int = 3,
+    rounds: int = 6,
+) -> DataFrame:
+    """Bounded-round k-core peeling: repeatedly drop nodes of degree
+    < k (degrees recomputed among survivors each round), ``rounds``
+    times, over the undirected canonical edge set.
+
+    Returns (node, core_degree) for the nodes still alive after the
+    last round, with their degree in the surviving subgraph.  A fixed
+    round count keeps the computation identical (and oracle-pairable)
+    in any engine — the PageRank/MMR unrolling convention; peeling is
+    monotone, so once a round removes nothing the result IS the exact
+    k-core, and tests assert convergence on the target data (bump
+    ``rounds`` if a dataset needs deeper peeling — each extra round on
+    a converged graph is a no-op).
+
+    Shape: each round is one symmetric-degree aggregation + two
+    semi-joins, on an edge frame checkpointed per round (the
+    connected-components posture: no lineage growth, 100 TB rounds
+    are bounded-size shuffles keyed by node id)."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = None
+    for _ in range(rounds):
+        sym = e.select(F.col("u").alias("node")).unionAll(
+            e.select(F.col("v").alias("node"))
+        )
+        deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("core_degree"))
+        keep = deg.where(F.col("core_degree") >= k)
+        e = (
+            e.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    sym = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    final_deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("core_degree"))
+    return final_deg.where(F.col("core_degree") >= k)

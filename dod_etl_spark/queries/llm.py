@@ -3556,3 +3556,72 @@ def knn_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return link_prediction(edges, top_n=50)
+
+
+# --- k-core decomposition over the kNN graph -------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    steps = []
+    prev = "e0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        # MATERIALIZED: each round references the previous one three
+        # times — inlined CTEs would replay the knn-graph subtree
+        # 3^rounds times (DuckDB actually exhausts file handles).
+        steps.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev}
+  ) GROUP BY node
+),
+s{i} AS (SELECT node FROM d{i} WHERE deg >= {_KCORE_K}),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT node FROM s{i}) AND v IN (SELECT node FROM s{i})
+)"""
+        )
+        prev = f"e{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH graph AS ({_KNN_GRAPH_ORACLE}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(vec_id, neighbor_id) AS u,
+         greatest(vec_id, neighbor_id) AS v
+  FROM graph WHERE vec_id <> neighbor_id
+),
+{chain}
+SELECT node, CAST(deg AS BIGINT) AS core_degree FROM (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev}
+  ) GROUP BY node
+) WHERE deg >= {_KCORE_K}
+"""
+
+
+@query("knn_kcore", _kcore_oracle())
+def knn_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the approximate kNN graph via bounded-round peeling
+    (operators/graph.py k_core, 6 unrolled rounds — the PageRank/MMR
+    fixed-iteration convention, so the oracle replays the EXACT same
+    computation in chained CTEs and the hash check covers every
+    round's removal decisions). The k-core isolates the densely
+    connected region of the near-dup graph — the redundancy hotspot a
+    curation pass should downsample hardest, one level stronger than
+    a degree cut (which a single hub survives) — and converges on
+    this data (pinned in tests/test_graph.py: one extra round removes
+    nothing). Scale: each round is one symmetric degree agg + two
+    semi-joins on a per-round checkpointed edge frame — bounded
+    shuffles keyed by node id, no lineage growth."""
+    from dod_etl_spark.operators.graph import k_core
+    from dod_etl_spark.operators.similarity import knn_graph
+
+    emb = t(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb, k=3, sign_dims=4).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return k_core(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).select(
+        F.col("node").alias("node"), F.col("core_degree")
+    )

@@ -177,3 +177,61 @@ def test_link_prediction_direction_and_duplicate_invariant(spark):
     a = _lp(spark, [(1, 2), (2, 3)])
     b = _lp(spark, [(2, 1), (3, 2), (2, 3), (1, 2)])
     assert a == b
+
+
+# --- k_core ------------------------------------------------------------------
+
+
+def _kc(spark, edge_list, k, rounds=6):
+    from dod_etl_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    return sorted(
+        (r.node, r.core_degree) for r in k_core(df, k=k, rounds=rounds).collect()
+    )
+
+
+def test_kcore_clique_survives_tail_peels(spark):
+    # Triangle 1-2-3 with pendant chain 3-4-5: 2-core = the triangle
+    # (4 and 5 peel off in two rounds).
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert _kc(spark, edges, k=2) == [(1, 2), (2, 2), (3, 2)]
+
+
+def test_kcore_cascade_requires_multiple_rounds(spark):
+    # Path 1-2-3-4-5: every node peels eventually under k=2, but only
+    # via cascading rounds (endpoints first).
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    assert _kc(spark, edges, k=2) == []
+    # Bounded rounds honest check: 1 round only strips the endpoints'
+    # edges; interior still looks 2-ish -> nonempty, not yet the core.
+    assert _kc(spark, edges, k=2, rounds=1) != []
+
+
+def test_kcore_k3_on_k4_minus_edge(spark):
+    # K4 = 3-core; remove one edge and the 3-core dissolves entirely.
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert _kc(spark, k4, k=3) == [(1, 3), (2, 3), (3, 3), (4, 3)]
+    assert _kc(spark, k4[:-1], k=3) == []
+
+
+def test_kcore_registry_rounds_converged(spark):
+    """The registered knn_kcore uses 6 rounds — prove that is PAST the
+    fixpoint on the current testdata (one more round changes nothing),
+    so the bounded-round output IS the exact 3-core. Bump
+    _KCORE_ROUNDS if a testdata regeneration ever trips this."""
+    from dod_etl_spark.operators.graph import k_core
+    from dod_etl_spark.operators.similarity import knn_graph
+    from dod_etl_spark.queries.llm import _KCORE_K, _KCORE_ROUNDS
+    from dod_etl_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    edges = knn_graph(emb, k=3, sign_dims=4).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    ).localCheckpoint(eager=True)
+    a = sorted(map(tuple, k_core(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).collect()))
+    b = sorted(map(tuple, k_core(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS + 1).collect()))
+    assert a == b
+    assert len(a) > 0  # the fixture graph actually has a 3-core

@@ -245,6 +245,10 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # TakeOrderedAndProject, not a single-partition window. The
         # SMJ are the edge-keyed big-big joins — correct at scale.
         ("knn_link_prediction", 5, 3, 0),
+        # k-core tail plan (rounds are checkpointed; this pins the
+        # final degree agg only — per-round shapes are the operator's
+        # own semi-join + agg, lineage never grows).
+        ("knn_kcore", 1, 0, 0),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):
