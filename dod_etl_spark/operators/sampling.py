@@ -252,3 +252,75 @@ def dsir_importance_weights(
         )
     )
     return scored
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """2D Pareto frontier (skyline): keep rows no other row dominates,
+    where "r' dominates r" means x' >= x, y' >= y and strictly greater
+    in at least one.  The multi-objective curation cut — e.g. keep
+    documents on the (length, vocabulary-richness) frontier — that a
+    pair of independent top-k cuts can't express (a doc can be
+    dominated yet pass both marginal cuts).
+
+    Both metric columns must be integers (ties are real dominance
+    cases, not float noise).
+
+    Scale shape — NO global sort: the classic skyline window
+    formulation (max(y) over a full ORDER BY x) serializes everything
+    through one partition.  Instead, the KS parallel-prefix pattern
+    with MAX as the monoid: range-bucket x (broadcast bounds), take
+    per-bucket max(y) on a metadata-sized frame, prefix-max the
+    strictly-higher buckets into per-bucket offsets (any row in a
+    higher bucket has strictly greater x — range buckets are
+    monotone), broadcast back, and finish with a bucket-partitioned
+    window for the strictly-greater-x-within-bucket max plus an
+    x-partitioned window for the equal-x tie rule.  Output is
+    bucket-count invariant (pinned in tests)."""
+    src = df.withColumn("_x", F.col(x_col).cast("long")).withColumn(
+        "_y", F.col(y_col).cast("long")
+    )
+    scalars = src.agg(F.min("_x").alias("_minx"), F.max("_x").alias("_maxx"))
+    b = src.crossJoin(F.broadcast(scalars))
+    width = (F.col("_maxx") - F.col("_minx") + 1).cast("double") / F.lit(
+        float(n_buckets)
+    )
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("_x") - F.col("_minx")).cast("double") / width),
+    ).cast("int")
+    b = b.withColumn("_b", bucket)
+
+    per_bucket = b.groupBy("_b").agg(F.max("_y").alias("_by"))
+    w_above = Window.orderBy(F.col("_b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "_b", F.max("_by").over(w_above).alias("_above_max")
+    )
+    j = b.join(F.broadcast(offsets), "_b")
+
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_x").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    strict_in_bucket = F.max("_y").over(w_in)
+    w_eq = Window.partitionBy("_x")
+    same_x_max = F.max("_y").over(w_eq)
+    # greatest() ignores nulls: empty frames (frontier candidates with
+    # nothing strictly above) stay null and the >= comparison stays
+    # null -> coalesced to not-dominated below.
+    dominated = (
+        F.greatest(strict_in_bucket, F.col("_above_max")) >= F.col("_y")
+    ) | (same_x_max > F.col("_y"))
+    return (
+        j.withColumn("_dom", F.coalesce(dominated, F.lit(False)))
+        .where(~F.col("_dom"))
+        .drop("_x", "_y", "_b", "_minx", "_maxx", "_above_max", "_dom")
+    )

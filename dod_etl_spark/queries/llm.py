@@ -3625,3 +3625,46 @@ def knn_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).select(
         F.col("node").alias("node"), F.col("core_degree")
     )
+
+
+# --- Pareto-frontier curation cut ------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(list_filter(string_split(lower(text), ' '),
+                                            x -> x <> ''))) AS BIGINT)
+           AS distinct_tokens
+  FROM documents
+)
+SELECT a.doc_id, a.n_tokens, a.distinct_tokens FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.n_tokens >= a.n_tokens AND b.distinct_tokens >= a.distinct_tokens
+    AND (b.n_tokens > a.n_tokens OR b.distinct_tokens > a.distinct_tokens)
+)
+"""
+
+
+@query("pareto_frontier_docs", _PARETO_ORACLE)
+def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents on the (token count, distinct-token count) Pareto
+    frontier (operators/sampling.py pareto_frontier) — the
+    multi-objective curation cut two marginal top-k filters can't
+    express: a doc can clear both marginal thresholds yet be dominated
+    on BOTH axes by one better doc. The oracle is the textbook NOT
+    EXISTS dominance definition, so parity proves the windowed skyline
+    decomposition (bucketed parallel-prefix MAX, no global sort)
+    implements exactly it."""
+    from dod_etl_spark.operators.sampling import pareto_frontier
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_tokens"),
+    )
+    return pareto_frontier(m, "n_tokens", "distinct_tokens")

@@ -249,6 +249,10 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # final degree agg only — per-round shapes are the operator's
         # own semi-join + agg, lineage never grows).
         ("knn_kcore", 1, 0, 0),
+        # Skyline: bucketed parallel-prefix MAX — the two BNLJ are the
+        # scalar bounds + metadata offset broadcasts; the only
+        # unpartitioned window runs on the B-row bucket frame.
+        ("pareto_frontier_docs", 6, 0, 2),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):

@@ -1,5 +1,7 @@
 """Deterministic-curation operator properties (operators/sampling.py)."""
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from dod_etl_spark.catalog import load_table
@@ -227,3 +229,65 @@ def test_leakage_safe_split_keeps_clusters_whole(spark):
         c for c in multi if len({doc_side[d] for d in members[c]}) > 1
     ]
     assert straddled, "expected the doc-keyed control to leak on this corpus"
+
+
+# --- pareto_frontier ----------------------------------------------------------
+
+
+def _ref_skyline(pts):
+    out = []
+    for i, (x, y) in enumerate(pts):
+        dominated = any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+            for j, (x2, y2) in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            out.append((x, y))
+    return sorted(set(out))
+
+
+def _sky(spark, pts, n_buckets=16):
+    from dod_etl_spark.operators.sampling import pareto_frontier
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "id long, x long, y long"
+    )
+    out = pareto_frontier(df, "x", "y", n_buckets=n_buckets)
+    return sorted({(r.x, r.y) for r in out.collect()})
+
+
+def test_skyline_staircase(spark):
+    # Staircase plus interior points: frontier = the staircase corners.
+    pts = [(1, 9), (3, 7), (5, 5), (7, 3), (9, 1), (2, 2), (4, 4), (1, 1)]
+    assert _sky(spark, pts) == [(1, 9), (3, 7), (5, 5), (7, 3), (9, 1)]
+
+
+def test_skyline_duplicates_both_kept(spark):
+    # Equal points don't dominate each other; both copies stay.
+    from dod_etl_spark.operators.sampling import pareto_frontier
+
+    df = spark.createDataFrame(
+        [(1, 5, 5), (2, 5, 5), (3, 1, 1)], "id long, x long, y long"
+    )
+    out = pareto_frontier(df, "x", "y")
+    assert sorted(r.id for r in out.collect()) == [1, 2]
+
+
+def test_skyline_equal_x_tie_rule(spark):
+    # Same x: only the max-y row survives (the other is dominated).
+    pts = [(5, 9), (5, 3), (2, 1)]
+    assert _sky(spark, pts) == [(5, 9)]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=40,
+    ),
+    n_buckets=st.sampled_from([1, 4, 32]),
+)
+def test_skyline_matches_bruteforce(spark, pts, n_buckets):
+    assert _sky(spark, pts, n_buckets=n_buckets) == _ref_skyline(pts)
