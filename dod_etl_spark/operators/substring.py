@@ -24,16 +24,28 @@ each document).
 
 Scale shape: gram rows are (hash, doc_id, pos) — the text itself
 never crosses the duplicate-counting exchange.  Total gram rows =
-total corpus chars (linear); the count-per-hash is one window (or the
-groupBy-join variant at extreme skew); span merge + gap complement +
-kept-text rebuild are all keyed by doc_id and reuse one partitioning.
-The only rows carrying text are the per-gap slices joined once
-against the document table.
+total corpus chars (linear).  The dup-hash derivation is a
+``groupBy(gh).count()`` — map-side combinable, so a gram repeated
+10^9 times (whitespace runs, license boilerplate: exactly what this
+operator exists to find) collapses to ONE row per map partition
+before the exchange, never an occurrence list on one reducer.  The
+count>1 hash set is checkpointed once and its TRUE cardinality picks
+the probe strategy: below ``broadcast_limit`` the whole set broadcasts
+and gram rows never shuffle; above it the set splits at
+``max_occurrences``: the HOT side (count > cap) has at most
+total_grams / max_occurrences distinct hashes by the counting bound
+and is broadcast (gram rows never shuffle for it); the COLD side
+(count <= cap) may be large, but in its shuffle semi-join no key can
+contribute more than ``max_occurrences`` gram rows, so reducer skew
+is bounded by construction.  Span merge + gap complement + kept-text
+rebuild are all keyed by doc_id and reuse one partitioning.  The only
+rows carrying text are the per-gap slices joined once against the
+document table.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dod_etl_spark.operators.intervals import complement_spans, merge_intervals
@@ -49,7 +61,7 @@ def _gram_hash(gram: Column, hash_mode: str) -> Column:
     raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
 
-def repeated_gram_spans(
+def gram_rows(
     docs: DataFrame,
     *,
     gram_len: int = 30,
@@ -57,21 +69,15 @@ def repeated_gram_spans(
     id_col: str = "doc_id",
     hash_mode: str = "md5",
 ) -> DataFrame:
-    """Closed character spans ``[s, e]`` (1-based) of every length-L
-    window whose hash occurs more than once in the corpus.
-
-    One projection explodes each document into (id, pos, gram_hash)
-    rows — the gram text reduces to its hash BEFORE the exchange — and
-    one window over the hash partitioning counts occurrences.
-    Within-document repetition counts (Lee et al. scrub self-repeats
-    too)."""
+    """(id, pos, gh) — every length-L window reduced to its hash in the
+    scan stage; the gram text never leaves the projection."""
     # sequence(1, 0) counts DOWN in Spark (auto step -1) — guard short
     # docs to an explicit empty array (posexplode then drops the row).
     n = F.length(F.col(text_col)) - F.lit(gram_len - 1)
     positions = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>")
     )
-    grams = docs.select(
+    return docs.select(
         id_col,
         F.posexplode(
             F.transform(
@@ -82,10 +88,77 @@ def repeated_gram_spans(
             )
         ).alias("_i", "gh"),
     ).select(id_col, (F.col("_i") + 1).alias("pos"), "gh")
-    counted = grams.withColumn(
-        "_c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+
+
+def gram_hash_counts(grams: DataFrame) -> DataFrame:
+    """Corpus occurrence count per gram hash as a groupBy aggregate —
+    map-side combinable, so a degenerate gram collapses to one partial
+    row per map partition before the exchange (a count-over-window
+    would ship its whole occurrence list to one reducer)."""
+    return grams.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
+
+
+def repeated_gram_spans(
+    docs: DataFrame,
+    *,
+    gram_len: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "md5",
+    max_occurrences: int = 1024,
+    broadcast_limit: int = 2_000_000,
+) -> DataFrame:
+    """Closed character spans ``[s, e]`` (1-based) of every length-L
+    window whose hash occurs more than once in the corpus.
+
+    NOTE: eagerly materializes the dup-hash set (a localCheckpoint) to
+    pick the join strategy from its true cardinality — callers get a
+    frame whose heavy gram stage has already been planned skew-safe.
+
+    One projection explodes each document into (id, pos, gram_hash)
+    rows — the gram text reduces to its hash BEFORE the exchange.
+    Duplicate hashes come from a map-side-combinable
+    ``groupBy(gh).count()`` (NOT a window over the gram stream: window
+    functions get no partial aggregation, so a degenerate gram would
+    land its whole occurrence list on one reducer).  Gram rows are
+    then semi-joined against the ``count > 1`` set, split at
+    ``max_occurrences``: hashes hotter than the cap are broadcast
+    (their distinct count is bounded by total_grams / cap), the rest
+    go through a shuffle semi-join where per-key fan-in is capped at
+    ``max_occurrences`` by construction.  Semantics are exact — both
+    halves are plain membership tests and they partition the dup-hash
+    space.  Within-document repetition counts (Lee et al. scrub
+    self-repeats too)."""
+    grams = gram_rows(
+        docs,
+        gram_len=gram_len,
+        text_col=text_col,
+        id_col=id_col,
+        hash_mode=hash_mode,
     )
-    return counted.where(F.col("_c") > 1).select(
+    counts = gram_hash_counts(grams)
+    # Materialize the dup-hash set ONCE (it is the distinct duplicated
+    # grams — orders of magnitude smaller than the gram stream, and the
+    # broadcast-vs-bucketed decision below needs its cardinality).  The
+    # count shuffle moves map-side-combined partials, never occurrence
+    # lists.
+    dup = counts.where(F.col("_c") > 1).localCheckpoint(eager=True)
+    if dup.count() <= broadcast_limit:
+        # Common case: the dup-hash set broadcasts and gram rows never
+        # shuffle at all — strictly cheaper than any windowed count.
+        dup_grams = grams.join(F.broadcast(dup.select("gh")), "gh", "left_semi")
+    else:
+        # Guarded case: split at max_occurrences.  Hot hashes (few by
+        # the counting bound) broadcast; cold hashes go through a
+        # shuffle semi-join whose per-key fan-in is <= max_occurrences
+        # by construction, so no reducer can inherit a degenerate
+        # gram's occurrence list.
+        hot = dup.where(F.col("_c") > max_occurrences).select("gh")
+        cold = dup.where(F.col("_c") <= max_occurrences).select("gh")
+        dup_grams = grams.join(F.broadcast(hot), "gh", "left_semi").unionByName(
+            grams.join(cold, "gh", "left_semi")
+        )
+    return dup_grams.select(
         id_col,
         F.col("pos").alias("s"),
         (F.col("pos") + F.lit(gram_len - 1)).alias("e"),
@@ -99,6 +172,8 @@ def scrub_repeated_substrings(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_mode: str = "md5",
+    max_occurrences: int = 1024,
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """Per-document scrub summary after removing every maximal region
     of corpus-repeated text (window length ``gram_len``).
@@ -114,6 +189,8 @@ def scrub_repeated_substrings(
         text_col=text_col,
         id_col=id_col,
         hash_mode=hash_mode,
+        max_occurrences=max_occurrences,
+        broadcast_limit=broadcast_limit,
     )
     # merged feeds BOTH the span-stats branch and the gap/rebuild
     # branch: materialize once or the gram explode + dup-count

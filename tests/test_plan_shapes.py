@@ -227,12 +227,15 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # user_id — both window passes and the island aggregation
         # reuse the same partitioning.
         ("interval_coverage_events", 1, 0, 0),
-        # ExactSubstr scrub: gh dup-count exchange + doc_id span merge
-        # (merged spans checkpointed so the gram explode runs ONCE) +
-        # base-vs-kept alignment; the one SMJ is the doc-keyed
-        # big-big join of the document table against its rebuilt
-        # kept-text — the correct shape (kept text is corpus-sized at
-        # scale, never broadcastable).
+        # ExactSubstr scrub: dup grams are a map-side-combined
+        # groupBy(gh).count() + broadcast/hot-cold semi-join (r7
+        # de-skew; the gram-stage shape itself is pinned in
+        # test_substring.py since the dup-set checkpoint hides it
+        # here); visible budget = doc_id span merge + base-vs-kept
+        # alignment; the one SMJ is the doc-keyed big-big join of the
+        # document table against its rebuilt kept-text — the correct
+        # shape (kept text is corpus-sized at scale, never
+        # broadcastable).
         ("exact_substring_scrub_docs", 3, 1, 0),
         # All-pairs KS: per-value counts + metadata-sized bucket
         # offsets + bucket-partitioned parallel prefix window + final

@@ -18,14 +18,12 @@ from __future__ import annotations
 
 import uuid
 
-import pytest
 from pyspark.sql import functions as F
 
 from dod_etl_spark.operators.chunking import chunk_tokens
 from dod_etl_spark.streaming.dedup_store import FingerprintStore
 
 
-@pytest.mark.timeout(300)
 def test_streaming_curation_pipeline(spark, tmp_path):
     src = tmp_path / "src"
     out = str(tmp_path / "out")

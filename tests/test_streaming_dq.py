@@ -6,13 +6,11 @@ per-row quarantine split, at micro-batch granularity.
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from dod_etl_spark.operators import dq
 
 
-@pytest.mark.timeout(300)
 def test_streaming_dq_gate(spark, tmp_path):
     src = tmp_path / "src"
     out = str(tmp_path / "out")

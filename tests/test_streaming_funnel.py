@@ -18,7 +18,6 @@ import pytest
 from dod_etl_spark.streaming.funnel import funnel_stream
 
 
-@pytest.mark.timeout(300)
 def test_streaming_funnel_stage_advances(spark, tmp_path):
     src = tmp_path / "src"
     out = str(tmp_path / "out")
@@ -94,7 +93,6 @@ def test_streaming_funnel_stage_advances(spark, tmp_path):
     assert rows[(2, 1)]["click_ms"] is None
 
 
-@pytest.mark.timeout(300)
 def test_streaming_funnel_checkpoint_recovery(spark, tmp_path):
     """Funnel GroupState must survive a query restart: a stage-1 user
     whose click+purchase arrive AFTER the restart still completes the
@@ -154,7 +152,6 @@ def test_streaming_funnel_checkpoint_recovery(spark, tmp_path):
     )
 
 
-@pytest.mark.timeout(300)
 def test_streaming_funnel_v2_transform_with_state(spark, tmp_path):
     """The transformWithStateInPandas variant must produce the same
     stage-advance log as the applyInPandasWithState one on the same

@@ -106,7 +106,126 @@ def build_fixture(spark, factor: int) -> str:
     return path
 
 
+# --- ExactSubstr guard probe (judge r6 item 1) -------------------------------
+#
+# Boilerplate-skewed fixture: every doc gets a header containing a long
+# whitespace run, so ONE gram hash (30 spaces) occurs ~70x per doc x
+# n_docs x factor — the degenerate-gram case the groupBy+semi-join
+# rewrite exists for. Probes BOTH probe strategies (broadcast fast path
+# and the forced hot/cold split with max_occurrences=1024) and checks
+# they agree; linear time_vs_input slopes show the guard holding.
+
+BOILER = (" " * 100) + ("Licensed under the Apache License, Version 2.0. " * 4)
+
+
+def build_boiler_fixture(spark, factor: int) -> str:
+    path = os.path.join(ROOT, f"boiler_x{factor}")
+    out = os.path.join(path, "documents.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(path, exist_ok=True)
+    base = load_table(spark, BASE_SF, "documents")
+    n = base.count()
+    reps = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+            F.concat(F.lit(BOILER), F.col("text"), F.lit(f" r{i}" if i else "")).alias(
+                "text"
+            ),
+        )
+        for i in range(factor)
+    ]
+    df = reps[0]
+    for r in reps[1:]:
+        df = df.unionByName(r)
+    df.repartition(32).write.mode("overwrite").parquet(out)
+    return out
+
+
+def substr_guard_probe(max_factor: int = 8) -> None:
+    from dod_etl_spark.operators.substring import (
+        gram_hash_counts,
+        gram_rows,
+        scrub_repeated_substrings,
+    )
+
+    spark = get_spark("substr_guard_probe")
+    factors = [f for f in (1, 2, 4, 8) if f <= max_factor]
+    modes = {
+        "broadcast": {},
+        "guarded": {"broadcast_limit": 0, "max_occurrences": 1024},
+    }
+    times: dict[str, dict[int, float]] = {m: {} for m in modes}
+    checks: dict[int, dict[str, int]] = {}
+    for factor in factors:
+        out = build_boiler_fixture(spark, factor)
+        docs = spark.read.parquet(out)
+        hot = (
+            gram_hash_counts(gram_rows(docs, gram_len=30, hash_mode="xxhash64"))
+            .agg(F.max("_c").alias("m"))
+            .collect()[0]["m"]
+        )
+        sums = {}
+        for mode, kw in modes.items():
+            def run():
+                return scrub_repeated_substrings(
+                    docs, gram_len=30, hash_mode="xxhash64", **kw
+                )
+
+            run().count()  # warm
+            t0 = time.monotonic()
+            row = run().agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("removed_chars").alias("rm"),
+                F.sum("n_dup_spans").alias("sp"),
+            ).collect()[0]
+            times[mode][factor] = round(time.monotonic() - t0, 3)
+            sums[mode] = (row["n"], row["rm"], row["sp"])
+        assert sums["broadcast"] == sums["guarded"], (factor, sums)
+        checks[factor] = {"hottest_gram_count": hot, "rows": sums["broadcast"][0]}
+        print(
+            json.dumps(
+                {
+                    "fixture": "boiler",
+                    "factor": factor,
+                    "times": {m: times[m][factor] for m in modes},
+                    "hottest_gram_count": hot,
+                    "paths_agree": True,
+                }
+            ),
+            flush=True,
+        )
+
+    def fit(xs, ys):
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        denom = sum((x - mx) ** 2 for x in xs)
+        return (
+            round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3)
+            if denom
+            else None
+        )
+
+    lx = [math.log2(f) for f in factors]
+    print(
+        json.dumps(
+            {
+                "substr_time_vs_input_slopes": {
+                    m: fit(lx, [math.log2(times[m][f]) for f in factors])
+                    for m in modes
+                },
+                "base_sf_dir": BASE_SF,
+            }
+        )
+    )
+    spark.stop()
+    shutil.rmtree(ROOT, ignore_errors=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--substr":
+        substr_guard_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+        return
     max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     factors = [f for f in (1, 2, 4, 8, 16, 32) if f <= max_factor]
     spark = get_spark("scaling_probe")
