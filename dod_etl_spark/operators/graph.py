@@ -48,6 +48,33 @@ def _symmetrize(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     return e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
 
 
+# Iterative rounds pay a fixed cost PER TASK (schedule + checkpoint
+# block + fetch): a 4k-edge contracted graph spread over 32 partitions
+# runs ~64 near-empty tasks per hop, and that scheduling noise measured
+# LARGER than the actual work (sf0.1 curation CC: 5.7 s median ±2.1 s
+# at session partitioning vs 2.4 s ±0.15 s coalesced — the round-over-
+# round bench "drift" was exactly this variance). Size the working set
+# to the data instead: ~100k edge rows per partition (two longs each),
+# clamped to the session's parallelism so large graphs are unaffected.
+_ROWS_PER_PARTITION = 100_000
+
+
+def _iter_partitions(n_rows: int, session_parts: int, min_parts: int = 2) -> int:
+    return max(min_parts, min(session_parts, n_rows // _ROWS_PER_PARTITION + 1))
+
+
+def _coalesce_for_rounds(df: DataFrame) -> DataFrame:
+    """Re-checkpoint an (already checkpointed) iterative working frame
+    at a data-proportional partition count. The extra materialization
+    is a single cheap job taken exactly when the frame is small."""
+    session_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n = df.count()  # cheap: df is checkpointed
+    nparts = _iter_partitions(n, session_parts)
+    if nparts < session_parts:
+        return df.repartition(nparts).localCheckpoint(eager=True)
+    return df
+
+
 def _propagate(
     labels: DataFrame, sym: DataFrame, max_rounds: int, hops_per_round: int = 2
 ) -> tuple[DataFrame, bool]:
@@ -61,7 +88,7 @@ def _propagate(
     rounds — the fixpoint is just probed every k hops, at worst
     k-1 no-op hops after convergence (measured at sf0.1:
     dedup_clusters 4.6s -> 2.9s warm with k=2)."""
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    prev_sum = None  # first probe always runs a round: saves one action
     for _ in range(max_rounds):
         for _hop in range(hops_per_round):
             nbr_min = (
@@ -126,7 +153,7 @@ def star_components(
     """Large-star/small-star contraction over an edge list. Returns
     ((node, label) for every node APPEARING IN AN EDGE, rounds used).
     Converges in O(log n) rounds on any topology (Kiveris et al. §4)."""
-    e = (
+    e = _coalesce_for_rounds(
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .filter(F.col("s") != F.col("d"))
         .distinct()
@@ -172,9 +199,11 @@ def connected_components(
     exceeds `switch_after`)."""
     if method not in ("auto", "propagation", "star"):
         raise ValueError(f"unknown method {method!r}")
-    base = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("label")
-    ).localCheckpoint(eager=True)
+    base = _coalesce_for_rounds(
+        nodes.select(
+            F.col(node_col).alias("node"), F.col(node_col).alias("label")
+        ).localCheckpoint(eager=True)
+    )
 
     if method == "star":
         star_lab, _ = star_components(edges, src_col, dst_col)
@@ -183,7 +212,9 @@ def connected_components(
         )
         return out
 
-    sym = _symmetrize(edges, src_col, dst_col).localCheckpoint(eager=True)
+    sym = _coalesce_for_rounds(
+        _symmetrize(edges, src_col, dst_col).localCheckpoint(eager=True)
+    )
     rounds = switch_after if method == "auto" else max_iters
     labels, converged = _propagate(base, sym, rounds)
     if converged or method == "propagation":
@@ -367,7 +398,7 @@ def k_core(
     semi-joins, on an edge frame checkpointed per round (the
     connected-components posture: no lineage growth, 100 TB rounds
     are bounded-size shuffles keyed by node id)."""
-    e = (
+    e = _coalesce_for_rounds(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
