@@ -40,8 +40,10 @@ sys.path.insert(0, REPO)
 RPS = int(os.environ.get("SPARK_GRAFT_STREAM_RPS", "100000"))
 WINDOW_S = float(os.environ.get("SPARK_GRAFT_STREAM_SECS", "60"))
 WARMUP_S = float(os.environ.get("SPARK_GRAFT_STREAM_WARMUP", "10"))
-# "strict" (default, the driver-recorded number) or "index" (posting
-# store ingestion: docs/sec through PostingStore.index_batch).
+# "strict" (default, the driver-recorded number), "index" (posting
+# store ingestion: docs/sec through PostingStore.index_batch), or
+# "vector" (ANN store ingestion: vecs/sec through
+# VectorIndexStore.index_batch).
 SCENARIO = os.environ.get("SPARK_GRAFT_STREAM_SCENARIO", "strict")
 
 
@@ -133,6 +135,96 @@ def main_index() -> None:
                     "source": "rate (oversupplied), ~24-token synthetic docs",
                     "sink": "PostingStore.index_batch (bucketed appends)",
                     "measure": "docs after first batch / batch-boundary window",
+                },
+            }
+        )
+    )
+
+
+def main_vector() -> None:
+    """Dense-index ingestion throughput: rate source -> synthetic
+    16-dim embeddings (deterministic per row id) -> foreachBatch
+    VectorIndexStore.index_batch (anti-join replay guard + hyperplane
+    bucket + norm + two bucketed appends). Same batch-boundary
+    measurement protocol as the other scenarios."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.session import get_spark
+    from dod_etl_spark.streaming.vector_store import VectorIndexStore
+
+    spark = get_spark("dod_etl_spark_bench_vecindex")
+    tag = uuid.uuid4().hex[:8]
+    store = VectorIndexStore(
+        spark, table=f"bench_vec_{tag}", vecs_table=f"bench_vecd_{tag}"
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_vecindex_")
+
+    dim = 16
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(RPS))
+        .option("numPartitions", str(spark.sparkContext.defaultParallelism))
+        .load()
+    )
+    v = F.col("value")
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (((v * 31 + j * 17) % 2001 - 1000).cast("double") / 1000.0).cast(
+            "float"
+        ),
+    )
+    vecs = rate.select(v.alias("vec_id"), emb.alias("embedding"))
+
+    batches: list[tuple[float, int]] = []
+
+    def body(df, batch_id: int) -> None:
+        n = store.index_batch(df)
+        batches.append((time.perf_counter(), n))
+
+    q = (
+        vecs.writeStream.foreachBatch(body)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    t0 = time.perf_counter()
+    deadline = t0 + WARMUP_S + WINDOW_S
+    while q.isActive and (time.perf_counter() < deadline or len(batches) < 3):
+        time.sleep(0.5)
+        if time.perf_counter() > t0 + 4 * (WARMUP_S + WINDOW_S):
+            break
+    snapshot = list(batches)
+    q.stop()
+    rows_total = sum(n for _, n in snapshot)
+    if len(snapshot) >= 2:
+        rows_window = sum(n for _, n in snapshot[1:])
+        window = max(snapshot[-1][0] - snapshot[0][0], 1e-9)
+    else:
+        rows_window = rows_total
+        window = max((snapshot[-1][0] - t0) if snapshot else 1e-9, 1e-9)
+    vps = rows_window / window
+    n_rows = spark.table(store.table).count()
+    spark.sql(f"DROP TABLE IF EXISTS {store.table}")
+    spark.sql(f"DROP TABLE IF EXISTS {store.vecs_table}")
+    print(
+        json.dumps(
+            {
+                "metric": "vector_index_vecs_per_sec",
+                "value": round(vps, 1),
+                "unit": "vecs/sec",
+                "queries": {"vector_store_index": round(vps, 1)},
+                "sf": 0.0,
+                "rows_total": rows_total,
+                "bucket_rows_total": n_rows,
+                "micro_batches": len(snapshot),
+                "rows_per_sec_offered": RPS,
+                "window_s": round(window, 1),
+                "dim": dim,
+                "protocol": {
+                    "source": "rate (oversupplied), deterministic 16-dim vectors",
+                    "sink": "VectorIndexStore.index_batch (bucketed appends)",
+                    "measure": "vecs after first batch / batch-boundary window",
                 },
             }
         )
@@ -270,4 +362,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main_index() if SCENARIO == "index" else main()
+    if SCENARIO == "index":
+        main_index()
+    elif SCENARIO == "vector":
+        main_vector()
+    else:
+        main()
