@@ -1,0 +1,188 @@
+"""Streaming NEAR-dup suppression (streaming/dedup_store.NearDupStore,
+judge r6 item 4): a paraphrased (band-colliding, md5-distinct) document
+is suppressed across micro-batches; semantics match the batch twin
+incremental_dedup_docs; the store side never shuffles."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from urllib.parse import urlparse
+
+import pytest
+from pyspark.sql import functions as F
+
+from dod_etl_spark.catalog import load_table
+from dod_etl_spark.operators.text_dedup import minhash_bands, minhash_signatures
+from dod_etl_spark.streaming.dedup_store import NearDupStore
+from tests.conftest import SF_SMOKE
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain in "
+    "spain falls mainly on the plain and every good boy deserves "
+    "fudge as the sun also rises over the river and into the trees"
+)
+PARAPHRASE = BASE + " indeed"  # distinct md5; min-shingles survive
+NOVEL = (
+    "completely different content about spark physical plans and "
+    "bucketed storage layouts that shares no shingles with the base "
+    "document whatsoever because every token here is new material"
+)
+
+
+@pytest.fixture()
+def store(spark):
+    tag = uuid.uuid4().hex[:8]
+    s = NearDupStore(
+        spark,
+        fp_table=f"nd_fp_{tag}",
+        band_table=f"nd_band_{tag}",
+        n_buckets=4,
+    )
+    yield s
+    for t in (s.fp_table, s.band_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+
+def _bands_of(spark, rows, store):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        (r["band"], r["band_hash"])
+        for r in minhash_bands(
+            minhash_signatures(
+                df,
+                num_hashes=store.num_hashes,
+                shingle_len=store.shingle_len,
+            ),
+            band_size=store.band_size,
+            num_hashes=store.num_hashes,
+        ).collect()
+    }
+
+
+def test_fixture_is_a_true_paraphrase(spark, store):
+    """Precondition the suite rests on: PARAPHRASE has a different md5
+    but shares >= 1 LSH band with BASE, and NOVEL shares none."""
+    b_base = _bands_of(spark, [(1, BASE)], store)
+    b_para = _bands_of(spark, [(2, PARAPHRASE)], store)
+    b_novel = _bands_of(spark, [(3, NOVEL)], store)
+    assert BASE != PARAPHRASE
+    assert b_base & b_para, "paraphrase must collide on a band"
+    assert not (b_base & b_novel), "novel doc must not collide"
+
+
+def test_paraphrase_suppressed_across_batches(spark, store):
+    """The headline contract: batch 1 emits BASE; batch 2's PARAPHRASE
+    (different md5!) is suppressed against history while a novel doc
+    passes; batch 3's exact replay of the paraphrase stays suppressed."""
+    b1 = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    out1 = {r["doc_id"] for r in store.dedup_batch(b1).collect()}
+    assert out1 == {1}
+
+    b2 = spark.createDataFrame(
+        [(2, PARAPHRASE), (3, NOVEL)], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"] for r in store.dedup_batch(b2).collect()}
+    assert out2 == {3}
+
+    b3 = spark.createDataFrame([(4, PARAPHRASE)], "doc_id long, text string")
+    assert store.dedup_batch(b3).count() == 0
+    assert store.seen_count() == 2  # BASE + NOVEL only
+
+
+def test_streaming_drive_suppresses_paraphrase(spark, store, tmp_path):
+    """File-stream wiring (maxFilesPerTrigger=1 so the two files are
+    separate micro-batches): the paraphrase in the SECOND micro-batch
+    is dropped against the band history the FIRST one recorded."""
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    out = tmp_path / "nd_out"
+    spark.createDataFrame([(1, BASE)], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(2, PARAPHRASE), (3, NOVEL)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    emitted = []
+
+    def body(df, bid):
+        emitted.extend(r["doc_id"] for r in store.dedup_batch(df).collect())
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert sorted(emitted) == [1, 3]
+
+
+def test_matches_batch_incremental_dedup(spark, store):
+    """Semantics pin against the batch twin: ingest the corpus carve
+    (doc_id%5==0) as micro-batch 1 and the incoming carve as
+    micro-batch 2 — the second batch's emissions must be exactly
+    incremental_dedup_docs' survivors (same minhash parameters, same
+    exact+band anti-join logic)."""
+    from dod_etl_spark.queries import QUERIES
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 5 == 0)
+    incoming = docs.where(F.col("doc_id") % 5 != 0)
+
+    emitted_corpus = store.dedup_batch(corpus)
+    assert emitted_corpus.count() == corpus.count()  # no within-corpus dups
+
+    got = {r["doc_id"] for r in store.dedup_batch(incoming).collect()}
+    want = {
+        r["doc_id"] for r in QUERIES["incremental_dedup_docs"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_store_side_scans_are_bucketed(spark, store):
+    """Both membership probes read the store through its bucket layout
+    (Bucketed: true under a disabled broadcast threshold) — the
+    corpus-sized seen-set never shuffles per micro-batch."""
+    store.dedup_batch(
+        spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = spark.createDataFrame(
+            [(9, NOVEL)], "doc_id long, text string"
+        ).withColumn("fp", F.md5(F.col("text").cast("binary")))
+        fp_plan = (
+            batch.join(spark.table(store.fp_table), "fp", "left_anti")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in fp_plan
+
+        bands = minhash_bands(
+            minhash_signatures(
+                batch.drop("fp"),
+                num_hashes=store.num_hashes,
+                shingle_len=store.shingle_len,
+            ),
+            band_size=store.band_size,
+            num_hashes=store.num_hashes,
+        ).select(F.concat_ws(":", F.col("band"), F.col("band_hash")).alias("bh"))
+        band_plan = (
+            bands.join(spark.table(store.band_table), "bh", "left_semi")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in band_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
