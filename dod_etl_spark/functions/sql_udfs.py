@@ -23,6 +23,10 @@ SQL_UDFS: dict[str, tuple[str, str]] = {
     "epoch_ms_to_ts": ("(ms BIGINT) RETURNS TIMESTAMP", "timestamp_millis(ms)"),
     # F1 inverse: integer-stable timestamp emission.
     "ts_to_epoch_ms": ("(ts TIMESTAMP) RETURNS BIGINT", "unix_millis(ts)"),
+    # DuckDB-compat alias so oracle SQL texts run VERBATIM through the
+    # Spark SQL frontend (tests/test_sql_frontend_tpch.py): DuckDB
+    # spells unix_millis as epoch_ms.
+    "epoch_ms": ("(ts TIMESTAMP) RETURNS BIGINT", "unix_millis(ts)"),
     # F5: duration in ms (stp/DataTransformer.scala:104-114).
     "duration_ms": (
         "(s TIMESTAMP, e TIMESTAMP) RETURNS DOUBLE",
