@@ -101,9 +101,14 @@ BENCH_QUERIES = [
     # 1-row argmax each — the driver-interactive iterative family).
     "bpe_merges_docs",
     # Round-6 third session: ExactSubstr scrub end to end (gram
-    # explode -> dup-count window -> island merge -> gap complement ->
-    # kept-text rebuild).
+    # explode -> map-combined dup-count + broadcast/bucketed semi-join
+    # (r7 de-skew) -> island merge -> gap complement -> kept rebuild).
     "exact_substring_scrub_docs",
+    # Round-7: the cross-source contamination matrix (distinct
+    # (source, shingle) -> bounded-fanout self-join) and the in-engine
+    # IR-eval triple over the exact retrieval arm.
+    "source_overlap_jaccard",
+    "retrieval_label_eval",
 ]
 
 

@@ -1,0 +1,460 @@
+"""Evaluation & dataset-composition queries (round-7 second wave).
+
+A training-data platform doesn't just BUILD indexes and corpora — it
+measures them. This module registers the evaluation surface as
+first-class oracle-paired queries:
+
+- `lsh_recall_eval`: measured recall of the LSH ANN path against the
+  exact brute-force ranking, per query — the number the ANN family's
+  quality floors rest on, computed in-engine (oracle composes the two
+  existing oracle texts, so the measurement itself is hash-checked).
+- `retrieval_label_eval`: nDCG@10 / MRR / recall@10 of exact cosine
+  retrieval against label-relevance qrels — the standard IR-eval
+  triple. Gain weights are precomputed integer micro-units (one Python
+  `math.log2` at import builds BOTH engines' literals), so the metric
+  arithmetic is integer-exact and engine-invariant.
+- `source_overlap_jaccard`: pairwise shingle-set Jaccard between
+  sources — the cross-provider contamination matrix (which feeds
+  dedup priority and mixture design).
+- `label_fisher_scores`: per-dimension Fisher discriminant ratio over
+  the embedding table — between-class variance of class means over
+  mean within-class variance, the classic feature-selection score.
+- `mixture_temperature_docs`: temperature-weighted source mixture
+  (tau = 0.5 via IEEE-exact sqrt) with integer-exact target
+  apportionment and content-hash document selection — the
+  multinomial-smoothing step real pretraining mixtures use.
+
+Reference parity: none (no eval surface in the reference) —
+LLM-pipeline extension per the brief.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dod_etl_spark.functions.scalar import stable_round
+from dod_etl_spark.queries.base import query, sround_sql, t
+from dod_etl_spark.queries.llm import _COSINE_ORACLE, _LSH_ANN_ORACLE
+
+# --- LSH measured recall -------------------------------------------------------
+
+_LSH_RECALL_ORACLE = f"""
+WITH truth AS ({_COSINE_ORACLE}),
+approx AS ({_LSH_ANN_ORACLE}),
+hits AS (
+  SELECT t.query_id, count(*) AS n_hits
+  FROM truth t JOIN approx a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  GROUP BY t.query_id
+)
+SELECT t.query_id,
+       count(*) AS n_truth,
+       coalesce(max(h.n_hits), 0) AS n_hits,
+       {sround_sql("CAST(coalesce(max(h.n_hits), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS recall
+FROM truth t LEFT JOIN hits h ON t.query_id = h.query_id
+GROUP BY t.query_id
+"""
+
+
+@query("lsh_recall_eval", _LSH_RECALL_ORACLE)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the LSH-bucketed ANN against the exact
+    brute-force top-5 — the ANN quality measurement AS a query, so the
+    recall number itself is oracle-checked (both arms' oracle texts
+    compose as CTEs). Scale shape: both arms are the already-audited
+    operators; the recall join touches n_queries x k rows."""
+    from dod_etl_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    truth = brute_force_topk(queries_df, emb, k=5)
+    approx = lsh_bucketed_topk(queries_df, emb, k=5, n_bits=4)
+    hits = (
+        truth.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        truth.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_truth"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            stable_round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+# --- IR eval triple: nDCG@10 / MRR / recall@10 ---------------------------------
+
+_EVAL_K = 10
+# Integer micro-unit gain weights 1/log2(i+1): ONE math.log2 call at
+# import builds both engines' literals, so the metric arithmetic is
+# integer-exact and identical everywhere.
+_W = [round(1_000_000 / math.log2(i + 1)) for i in range(1, _EVAL_K + 1)]
+_P = [sum(_W[: j + 1]) for j in range(_EVAL_K)]  # IDCG prefix sums
+
+_W_SQL = "[" + ", ".join(str(w) for w in _W) + "]"
+_P_SQL = "[" + ", ".join(str(p) for p in _P) + "]"
+
+_LABEL_EVAL_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlab
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS clab
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, qlab, clab,
+         {sround_sql('''CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0
+                    THEN list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                    ELSE 0.0 END''', 3)} AS cosine
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+),
+nrel AS (
+  SELECT q.query_id, count(*) AS n_rel
+  FROM q JOIN c ON c.clab = q.qlab AND c.neighbor_id <> q.query_id
+  GROUP BY q.query_id
+),
+topk AS (SELECT * FROM ranked WHERE rk <= {_EVAL_K}),
+per_q AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN clab = qlab THEN ({_W_SQL})[rk] ELSE 0 END) AS BIGINT) AS dcg_micro,
+         CAST(sum(CASE WHEN clab = qlab THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
+         min(CASE WHEN clab = qlab THEN rk END) AS first_rel
+  FROM topk GROUP BY query_id
+)
+SELECT p.query_id,
+       p.hits10,
+       n.n_rel,
+       {sround_sql(f"CAST(p.dcg_micro AS DOUBLE) / CAST(({_P_SQL})[least(n.n_rel, {_EVAL_K})] AS DOUBLE)", 6)} AS ndcg10,
+       {sround_sql("CASE WHEN p.first_rel IS NULL THEN 0.0 ELSE 1.0 / CAST(p.first_rel AS DOUBLE) END", 6)} AS mrr,
+       {sround_sql("CAST(p.hits10 AS DOUBLE) / CAST(n.n_rel AS DOUBLE)", 6)} AS recall10
+FROM per_q p JOIN nrel n ON p.query_id = n.query_id
+"""
+
+
+@query("retrieval_label_eval", _LABEL_EVAL_ORACLE)
+def retrieval_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard IR-eval triple — nDCG@10, MRR, recall@10 — of exact
+    cosine retrieval against label-relevance qrels (a neighbor is
+    relevant iff it shares the query's class label). Gain weights
+    1/log2(rank+1) are precomputed integer micro-units shared by both
+    engines, so DCG sums are exact integers and the only doubles are
+    two final divisions (engine-invariant IEEE). Scale shape: the
+    ranking is the audited top-k operator; metrics aggregate
+    n_queries x k rows."""
+    from dod_etl_spark.operators.similarity import brute_force_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    topk = brute_force_topk(queries_df, emb, k=_EVAL_K)
+    qlab = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlab"))
+    clab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("clab")
+    )
+    labeled = topk.join(F.broadcast(qlab), "query_id").join(
+        F.broadcast(clab), "neighbor_id"
+    )
+    w_arr = F.array(*[F.lit(w) for w in _W])
+    p_arr = F.array(*[F.lit(p) for p in _P])
+    rel = (F.col("clab") == F.col("qlab")).cast("int")
+    per_q = labeled.groupBy("query_id").agg(
+        F.sum(rel * F.element_at(w_arr, F.col("rk").cast("int"))).alias("dcg_micro"),
+        F.sum(rel).cast("long").alias("hits10"),
+        F.min(F.when(rel == 1, F.col("rk"))).alias("first_rel"),
+    )
+    n_rel = (
+        qlab.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("clab")),
+            F.col("clab") == F.col("qlab"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    return per_q.join(n_rel, "query_id").select(
+        "query_id",
+        "hits10",
+        "n_rel",
+        stable_round(
+            F.col("dcg_micro").cast("double")
+            / F.element_at(p_arr, F.least(F.col("n_rel"), F.lit(_EVAL_K)).cast("int")).cast(
+                "double"
+            ),
+            6,
+        ).alias("ndcg10"),
+        stable_round(
+            F.when(F.col("first_rel").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / F.col("first_rel").cast("double")
+            ),
+            6,
+        ).alias("mrr"),
+        stable_round(
+            F.col("hits10").cast("double") / F.col("n_rel").cast("double"), 6
+        ).alias("recall10"),
+    )
+
+
+# --- Cross-source contamination matrix -----------------------------------------
+
+_OVERLAP_SHINGLE = 8
+
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT source, substr(md5(g), 1, 16) AS gh FROM (
+    SELECT source,
+           unnest([substr(text, i, {_OVERLAP_SHINGLE})
+                   for i in range(1, greatest(length(text) - {_OVERLAP_SHINGLE - 2}, 2))]) AS g
+    FROM documents
+  )
+),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.gh = b.gh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_common,
+       sa.n AS n_a, sb.n AS n_b,
+       {sround_sql("CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE)", 6)} AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+"""
+
+
+@query("source_overlap_jaccard", _SOURCE_OVERLAP_ORACLE)
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-set Jaccard between SOURCES — the cross-provider
+    contamination matrix (two crawls re-selling the same pages show up
+    here before any document-level dedup runs). Scale shape: text
+    reduces to distinct (source, gh16) in the scan + one distinct
+    exchange; the self-join key is the shingle hash whose per-key
+    fan-out is bounded by the number of sources (pair emission is
+    <= |sources|^2 per shingle, never corpus-quadratic); the matrix
+    itself is |sources|^2 rows — metadata."""
+    docs = t(spark, sf_dir, "documents")
+    n = F.length("text") - F.lit(_OVERLAP_SHINGLE - 1)
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.substring(F.col("text"), i, F.lit(_OVERLAP_SHINGLE)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        docs.select("source", F.explode(grams).alias("g"))
+        .select("source", F.substring(F.md5(F.col("g").cast("binary")), 1, 16).alias("gh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "gh")
+    b = sh.select(F.col("source").alias("source_b"), "gh")
+    inter = (
+        a.join(b, "gh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            stable_round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --- Fisher discriminant per embedding dimension -------------------------------
+
+_FISHER_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest([{{'i': i, 'v': embedding[i]::DOUBLE}}
+                 for i in range(1, len(embedding)+1)], recursive := true)
+  FROM embeddings
+),
+cls AS (
+  SELECT label, i,
+         count(*) AS n,
+         CAST(sum(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS s,
+         CAST(sum(CAST(v * v AS DECIMAL(27,12))) AS DOUBLE) AS ss
+  FROM ex GROUP BY label, i
+),
+gtot AS (
+  SELECT i,
+         CAST(sum(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS gs,
+         count(*) AS gn
+  FROM ex GROUP BY i
+),
+parts AS (
+  SELECT c.i,
+         CAST(sum(CAST(c.n * (c.s / c.n - g.gs / g.gn) * (c.s / c.n - g.gs / g.gn) AS DECIMAL(27,12))) AS DOUBLE) AS between_w,
+         CAST(sum(CAST(c.ss - c.s * c.s / c.n AS DECIMAL(27,12))) AS DOUBLE) AS within_w
+  FROM cls c JOIN gtot g ON c.i = g.i
+  GROUP BY c.i
+)
+SELECT i,
+       {sround_sql("between_w", 6)} AS between_var_w,
+       {sround_sql("within_w", 6)} AS within_var_w,
+       {sround_sql("CASE WHEN within_w > 0 THEN between_w / within_w ELSE 0.0 END", 6)} AS fisher
+FROM parts
+"""
+
+
+@query("label_fisher_scores", _FISHER_ORACLE)
+def label_fisher_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension Fisher discriminant ratio over the embedding table
+    — weighted between-class scatter of class means over pooled
+    within-class scatter, the classic filter-method feature-selection
+    score (which embedding dimensions actually separate the labels).
+    Decimal-exact class sums/sumsquares make every aggregation
+    order-independent; the variance algebra runs on the exact sums in
+    identical IEEE expressions. ONE explode + two bucket aggregations
+    (|labels| x |dims| rows, metadata-sized) — vectors cross the
+    exchange as per-dimension scalars."""
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("i"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cls = ex.groupBy("label", "i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(27,6)")).cast("double").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(27,12)")).cast("double").alias("ss"),
+    )
+    glob = ex.groupBy("i").agg(
+        F.sum(F.col("v").cast("decimal(27,6)")).cast("double").alias("gs"),
+        F.count(F.lit(1)).alias("gn"),
+    )
+    d = F.col("s") / F.col("n") - F.col("gs") / F.col("gn")
+    parts = (
+        cls.join(glob, "i")
+        .groupBy("i")
+        .agg(
+            F.sum((F.col("n") * d * d).cast("decimal(27,12)"))
+            .cast("double")
+            .alias("between_w"),
+            F.sum((F.col("ss") - F.col("s") * F.col("s") / F.col("n")).cast("decimal(27,12)"))
+            .cast("double")
+            .alias("within_w"),
+        )
+    )
+    return parts.select(
+        "i",
+        stable_round(F.col("between_w"), 6).alias("between_var_w"),
+        stable_round(F.col("within_w"), 6).alias("within_var_w"),
+        stable_round(
+            F.when(F.col("within_w") > 0, F.col("between_w") / F.col("within_w")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("fisher"),
+    )
+
+
+# --- Temperature-weighted source mixture ---------------------------------------
+
+_MIX_TARGET = 200  # total documents the mixture draws
+
+_MIX_ORACLE = f"""
+WITH sizes AS (
+  SELECT source, count(*) AS n,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000000) AS BIGINT) AS w_micro
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tw FROM sizes),
+targets AS (
+  SELECT s.source, s.n, s.w_micro,
+         CAST({_MIX_TARGET} * s.w_micro // t.tw AS BIGINT) AS target
+  FROM sizes s CROSS JOIN tot t
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '_mix'), 1, 8))::BIGINT,
+                    d.doc_id) AS rk
+  FROM documents d
+)
+SELECT r.doc_id, r.source, t.target AS source_target
+FROM ranked r JOIN targets t ON r.source = t.source
+WHERE r.rk <= t.target
+"""
+
+
+@query("mixture_temperature_docs", _MIX_ORACLE)
+def mixture_temperature_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixture (tau = 0.5): per-source draw
+    targets proportional to n_s^tau — the multinomial smoothing real
+    pretraining mixtures use to keep small sources from vanishing —
+    then a deterministic content-hash draw of each source's quota.
+    Engine-invariant by construction: sqrt is correctly-rounded IEEE,
+    weights become integer micro-units BEFORE the (unordered) sum, the
+    apportionment is integer floor division, and the per-source draw
+    orders by an md5-derived long. One aggregation for sizes, one
+    window for the draw."""
+    docs = t(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sizes.withColumn(
+        "w_micro",
+        F.floor(F.sqrt(F.col("n").cast("double")) * F.lit(1_000_000_000)).cast("long"),
+    )
+    tot = sizes.agg(F.sum("w_micro").cast("long").alias("tw"))
+    targets = sizes.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"CAST({_MIX_TARGET} * w_micro DIV tw AS BIGINT)").alias("target"),
+    )
+    draw_key = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_mix")).cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(draw_key.asc(), F.col("doc_id").asc())
+    ranked = docs.select("doc_id", "source").withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(targets), "source")
+        .filter(F.col("rk") <= F.col("target"))
+        .select("doc_id", "source", F.col("target").alias("source_target"))
+    )

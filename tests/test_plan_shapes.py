@@ -256,6 +256,22 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # scalar bounds + metadata offset broadcasts; the only
         # unpartitioned window runs on the B-row bucket frame.
         ("pareto_frontier_docs", 6, 0, 2),
+        # r7 eval wave. Contamination matrix: distinct (source, gh)
+        # checkpoint + bounded-fanout shingle self-join + pair agg
+        # (the SMJ allowance is the big-big shingle join at scale;
+        # sizes broadcast).
+        ("source_overlap_jaccard", 4, 1, 0),
+        # IR-eval triple: the BNLJ is the broadcast-query brute-force
+        # arm (audited operator); metric joins run on n_queries rows.
+        ("retrieval_label_eval", 4, 1, 1),
+        # LSH measured recall: both ANN arms' plans plus two
+        # metadata-sized metric joins.
+        ("lsh_recall_eval", 9, 2, 2),
+        # Fisher scores: one explode + two bucket aggs, scalars only.
+        ("label_fisher_scores", 3, 0, 0),
+        # Temperature mixture: sizes agg + scalar BNLJ (q11 pattern) +
+        # per-source draw window.
+        ("mixture_temperature_docs", 4, 0, 1),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):
