@@ -458,3 +458,240 @@ def mixture_temperature_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("target"))
         .select("doc_id", "source", F.col("target").alias("source_target"))
     )
+
+
+# --- Two-proportion A/B z-test -------------------------------------------------
+
+_AB_ORACLE = f"""
+WITH users AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, count(*) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM users GROUP BY arm
+),
+wide AS (
+  SELECT
+    max(CASE WHEN arm = 0 THEN n_users END) AS n0,
+    max(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+    max(CASE WHEN arm = 1 THEN n_users END) AS n1,
+    max(CASE WHEN arm = 1 THEN n_converted END) AS c1
+  FROM arms
+)
+SELECT n0, c0, n1, c1,
+       {sround_sql("CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)", 6)} AS rate0,
+       {sround_sql("CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)", 6)} AS rate1,
+       {sround_sql('''CASE WHEN (c0 + c1) > 0 AND (c0 + c1) < (n0 + n1)
+         THEN (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+              / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                     * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                     * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+         ELSE 0.0 END''', 6)} AS z_score
+FROM wide
+"""
+
+
+@query("conversion_ab_test", _AB_ORACLE)
+def conversion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between deterministic experiment arms
+    (arm = user_id % 2; conversion = any 'purchase' event): the
+    experiment-analysis primitive a platform runs over event logs.
+    Counts are exact integers; the pooled-proportion z statistic is one
+    fixed IEEE expression over them (sqrt is correctly rounded), so
+    both engines agree bit-for-bit after rounding. ONE user-level
+    aggregation + a 2-row arm rollup — scan-bounded at any scale."""
+    ev = t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("long").alias("arm"), "converted"
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n0").cast("double") + F.lit(1.0) / F.col("n1").cast("double"))
+    )
+    z = F.when(
+        ((F.col("c0") + F.col("c1")) > 0)
+        & ((F.col("c0") + F.col("c1")) < (F.col("n0") + F.col("n1"))),
+        (p1 - p0) / se,
+    ).otherwise(F.lit(0.0))
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        stable_round(p0, 6).alias("rate0"),
+        stable_round(p1, 6).alias("rate1"),
+        stable_round(z, 6).alias("z_score"),
+    )
+
+
+# --- Robust outliers: median absolute deviation --------------------------------
+
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, {sround_sql("quantile_cont(value, 0.5)", 6)} AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, {sround_sql("quantile_cont(adev, 0.5)", 6)} AS mad
+  FROM dev GROUP BY event_type
+),
+cut AS (
+  SELECT event_type, mad, {sround_sql("3.0 * 1.4826 * mad", 6)} AS cutoff FROM mad
+)
+SELECT d.event_type,
+       max(d.med) AS med,
+       max(c.mad) AS mad,
+       count(*) AS n,
+       CAST(sum(CASE WHEN d.adev > c.cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN cut c ON d.event_type = c.event_type
+GROUP BY d.event_type
+"""
+
+
+@query("value_mad_outliers", _MAD_ORACLE)
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen: median absolute deviation with
+    the classic 3 x 1.4826 cut (MAD-to-sigma consistency constant) —
+    the monitoring primitive that survives the heavy tails a mean/std
+    z-score drowns in. Cross-engine determinism: Spark's exact
+    percentile() and DuckDB's quantile_cont share linear-interpolation
+    semantics, and BOTH the median and the cutoff are rounded to 6
+    digits BEFORE any comparison, so the outlier count cannot flip on
+    a last-ulp interpolation difference. Two grouped exact-percentile
+    aggregations + one counting pass, all keyed by event_type."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        stable_round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        stable_round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    cut = mad.select(
+        "event_type", "mad",
+        stable_round(F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 6).alias("cutoff"),
+    )
+    return (
+        dev.join(F.broadcast(cut), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("adev") > F.col("cutoff")).cast("int"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# --- Neyman (variance-optimal) stratified allocation ----------------------------
+
+_NEYMAN_TARGET = 150
+
+_NEYMAN_ORACLE = f"""
+WITH stats AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(CAST(n_chars AS DECIMAL(27,6))) AS DOUBLE) AS s,
+         CAST(sum(CAST(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) AS ss
+  FROM documents GROUP BY source
+),
+weights AS (
+  SELECT source, n,
+         CAST(floor(CAST(n AS DOUBLE) * sqrt(greatest((ss - s * s / n) / n, 0.0)) * 1000000) AS BIGINT) AS w_micro
+  FROM stats
+),
+tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tw FROM weights),
+targets AS (
+  SELECT w.source, w.n, CAST({_NEYMAN_TARGET} * w.w_micro // t.tw AS BIGINT) AS target
+  FROM weights w CROSS JOIN tot t
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '_neyman'), 1, 8))::BIGINT,
+                    d.doc_id) AS rk
+  FROM documents d
+)
+SELECT r.doc_id, r.source, t.target AS source_target
+FROM ranked r JOIN targets t ON r.source = t.source
+WHERE r.rk <= t.target
+"""
+
+
+@query("neyman_allocation_sample", _NEYMAN_ORACLE)
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal (Neyman) stratified sample: per-source draw
+    targets proportional to N_s x sigma_s (strata with more internal
+    spread get more budget — the survey-sampling optimum for estimating
+    a corpus mean), then the deterministic content-hash draw of each
+    quota. sigma comes from decimal-exact sum/sumsq (order-independent)
+    feeding one fixed IEEE expression; weights become integer
+    micro-units BEFORE the unordered total; apportionment is integer
+    floor division. One stats aggregation + one window draw."""
+    docs = t(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("decimal(27,6)")).cast("double").alias("s"),
+        F.sum(
+            (F.col("n_chars").cast("double") * F.col("n_chars").cast("double")).cast(
+                "decimal(27,6)"
+            )
+        )
+        .cast("double")
+        .alias("ss"),
+    )
+    var = F.greatest(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n"), F.lit(0.0)
+    )
+    weights = stats.select(
+        "source",
+        F.floor(F.col("n").cast("double") * F.sqrt(var) * F.lit(1_000_000))
+        .cast("long")
+        .alias("w_micro"),
+    )
+    tot = weights.agg(F.sum("w_micro").cast("long").alias("tw"))
+    targets = weights.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"CAST({_NEYMAN_TARGET} * w_micro DIV tw AS BIGINT)").alias("target"),
+    )
+    draw_key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_neyman")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(draw_key.asc(), F.col("doc_id").asc())
+    ranked = docs.select("doc_id", "source").withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(targets), "source")
+        .filter(F.col("rk") <= F.col("target"))
+        .select("doc_id", "source", F.col("target").alias("source_target"))
+    )

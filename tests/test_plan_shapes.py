@@ -272,6 +272,14 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # Temperature mixture: sizes agg + scalar BNLJ (q11 pattern) +
         # per-source draw window.
         ("mixture_temperature_docs", 4, 0, 1),
+        # A/B z-test: user fold + 2-row arm rollup + 1-row widen.
+        ("conversion_ab_test", 3, 0, 0),
+        # MAD screen: two grouped exact percentiles (broadcast back) +
+        # counting pass, all keyed by event_type.
+        ("value_mad_outliers", 4, 0, 0),
+        # Neyman allocation: decimal stats agg + scalar BNLJ + draw
+        # window (the mixture pattern).
+        ("neyman_allocation_sample", 4, 0, 1),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):
