@@ -3050,6 +3050,8 @@ def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket self-join lineage)."""
     from dod_etl_spark.operators.similarity import knn_graph
 
+    from dod_etl_spark.operators.graph import _coalesce_for_rounds
+
     emb = t(spark, sf_dir, "embeddings")
     nodes = emb.select("vec_id")
     edges = (
@@ -3058,7 +3060,10 @@ def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    # data-proportional partitioning for the iterative rounds (the CC
+    # de-noise fix): tiny working frames stop scheduling ~64 near-empty
+    # tasks per iteration; large graphs are unaffected.
+    ed = _coalesce_for_rounds(edges.join(deg, "src").localCheckpoint(eager=True))
     rank = nodes.select("vec_id", F.lit(1.0).alias("rank"))
     for _ in range(_PR_ITERS):
         contrib = (
