@@ -65,6 +65,8 @@ PROBE_QUERIES = [
     "bm25_topk_docs",        # posting build + df window + top-k
     "prf_expand_topk",       # two chained BM25 rounds
     "bpe_merges_docs",       # vocab-frame merge rounds (vocab fixed!)
+    "exact_substring_scrub_docs",  # r7 de-skewed dup-gram stage
+    "source_overlap_jaccard",      # bounded-fanout shingle self-join
 ]
 
 # Exact pair-emitters: OUTPUT (and therefore time) is inherently
