@@ -103,7 +103,12 @@ BENCH_QUERIES = [
     # Round-6 third session: ExactSubstr scrub end to end (gram
     # explode -> map-combined dup-count + broadcast/bucketed semi-join
     # (r7 de-skew) -> island merge -> gap complement -> kept rebuild).
+    # NOTE r7: the de-skew costs the md5 twin a second gram pass
+    # (count + probe instead of one windowed shuffle), so its wall time
+    # rose ~2x BY DESIGN; the xxhash64 production twin below carries
+    # the production number (minhash_lsh_prod convention).
     "exact_substring_scrub_docs",
+    "exact_substring_scrub_prod",
     # Round-7: the cross-source contamination matrix (distinct
     # (source, shingle) -> bounded-fanout self-join) and the in-engine
     # IR-eval triple over the exact retrieval arm.
