@@ -189,3 +189,89 @@ def test_search_on_empty_store(spark, store):
         "rk",
     ]
     assert store.n_vecs() == 0
+
+
+# --- IVF-cell twin ---------------------------------------------------------
+
+
+@pytest.fixture()
+def ivf_store(spark):
+    from dod_etl_spark.catalog import load_table
+    from dod_etl_spark.operators.similarity import seed_centroids
+    from dod_etl_spark.streaming.vector_store import IvfVectorStore
+
+    tag = uuid.uuid4().hex[:8]
+    cents = seed_centroids(load_table(spark, SF_SMOKE, "embeddings"), 8)
+    s = IvfVectorStore(
+        spark,
+        table=f"ivf_c_{tag}",
+        vecs_table=f"ivf_v_{tag}",
+        cent_table=f"ivf_k_{tag}",
+        n_buckets=4,
+        centroids=cents,
+    )
+    yield s
+    for t in (s.table, s.vecs_table, s.cent_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+
+def test_ivf_incremental_equals_adhoc(spark, ivf_store):
+    """Store built over two micro-batches serves EXACTLY what ivf_topk
+    computes ad hoc with the same fixed centroids, at both probe
+    widths."""
+    from dod_etl_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark)
+    b1 = emb.where(F.col("vec_id") < 250)
+    b2 = emb.where(F.col("vec_id") >= 250)
+    assert ivf_store.index_batch(b1) == 250
+    assert ivf_store.index_batch(b2) == b2.count()
+
+    q = _queries(spark)
+    for n_probe in (1, 2):
+        adhoc = ivf_topk(
+            q, emb, k=K, n_cells=8, n_probe=n_probe,
+            centroids=ivf_store.centroids,
+        )
+        served = ivf_store.search(q, k=K, n_probe=n_probe)
+        assert _rows(served) == _rows(adhoc), f"n_probe={n_probe}"
+
+
+def test_ivf_replay_and_centroid_persistence(spark, ivf_store):
+    """Replays add zero, and a FRESH store object attached to the same
+    tables (centroids=None) reloads the persisted quantizer and serves
+    identical results — restart durability of the build-time
+    commitment."""
+    from dod_etl_spark.streaming.vector_store import IvfVectorStore
+
+    emb = _emb(spark)
+    assert ivf_store.index_batch(emb) == 500
+    assert ivf_store.index_batch(emb) == 0
+    before = _rows(ivf_store.search(_queries(spark), k=K))
+
+    reattached = IvfVectorStore(
+        spark,
+        table=ivf_store.table,
+        vecs_table=ivf_store.vecs_table,
+        cent_table=ivf_store.cent_table,
+        n_buckets=4,
+        centroids=None,
+    )
+    assert _rows(reattached.search(_queries(spark), k=K)) == before
+
+
+def test_ivf_store_side_no_exchange_on_cell(spark, ivf_store):
+    ivf_store.index_batch(_emb(spark).where(F.col("vec_id") < 100))
+    plan = (
+        ivf_store.search(_queries(spark), k=K, n_probe=2)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert not re.search(r"Exchange hashpartitioning\(cell_id", plan), plan
+    assert "BroadcastHashJoin" in plan
