@@ -695,3 +695,134 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("target"))
         .select("doc_id", "source", F.col("target").alias("source_target"))
     )
+
+
+# --- Cross-corpus novelty score --------------------------------------------------
+
+_NOVELTY_SHINGLE = 8
+
+_NOVELTY_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(md5(g), 1, 16) AS gh FROM (
+    SELECT doc_id,
+           unnest([substr(text, i, {_NOVELTY_SHINGLE})
+                   for i in range(1, greatest(length(text) - {_NOVELTY_SHINGLE - 2}, 2))]) AS g
+    FROM documents
+  )
+),
+counts AS (SELECT gh, count(*) AS c FROM sh GROUP BY gh)
+SELECT s.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       {sround_sql("CAST(sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS novelty
+FROM sh s JOIN counts c ON s.gh = c.gh
+GROUP BY s.doc_id
+"""
+
+
+@query("doc_novelty_scores", _NOVELTY_ORACLE)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus novelty per document: the fraction of its DISTINCT
+    shingles that appear NOWHERE else in the corpus — the complement of
+    repetition_ratio_docs (intra-doc) on the inter-doc axis. Low
+    novelty = templated/boilerplate-heavy material even when no single
+    near-dup pair fires; real curation stacks use it to down-weight
+    template farms. Scale shape: text reduces to distinct (doc, gh16)
+    in the scan; one map-combined gh count; membership attaches
+    through a join keyed by gh whose per-key fan-in is the shingle's
+    document frequency (the corpus-frequency distribution dedup
+    already bounds); exact integer ratio at the end."""
+    docs = t(spark, sf_dir, "documents")
+    n = F.length("text") - F.lit(_NOVELTY_SHINGLE - 1)
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.substring(F.col("text"), i, F.lit(_NOVELTY_SHINGLE)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .select(
+            "doc_id",
+            F.substring(F.md5(F.col("g").cast("binary")), 1, 16).alias("gh"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    counts = sh.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        sh.join(counts, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("c") == 1).cast("int")).cast("long").alias("n_unique"),
+            stable_round(
+                F.sum((F.col("c") == 1).cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+# --- Quality-aware cluster survivor selection ------------------------------------
+
+
+def _best_survivor_oracle() -> str:
+    from dod_etl_spark.queries.llm import _CLUSTERS_ORACLE
+
+    return f"""
+WITH clusters AS ({_CLUSTERS_ORACLE}),
+q AS (
+  SELECT doc_id,
+         {sround_sql('''least(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) / 100.0, 1.0)
+            * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                     / CAST(greatest(length(text), 1) AS DOUBLE))''', 6)} AS quality
+  FROM documents
+)
+SELECT cluster_id, cluster_size, best_doc_id, best_quality FROM (
+  SELECT c.cluster_id, c.doc_id AS best_doc_id, q.quality AS best_quality,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality DESC, c.doc_id) AS rn
+  FROM clusters c JOIN q ON c.doc_id = q.doc_id
+) WHERE rn = 1
+"""
+
+
+@query("cluster_best_survivors", _best_survivor_oracle())
+def cluster_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep-one-per-cluster: instead of the min-id cut
+    (dedup_clusters' convention), each near-dup cluster keeps its
+    HIGHEST-QUALITY member (token-count x punctuation-ratio score, the
+    curation gate's own metric; ties break to the smaller doc_id) —
+    what production dedup actually ships, since the min-id member may
+    be the truncated/mojibake copy. One max_by over the checkpointed
+    cluster assignment joined to the map-only quality scan."""
+    from dod_etl_spark.functions.text import punct_count
+    from dod_etl_spark.operators.graph import dedup_cluster_assignments
+    from dod_etl_spark.operators.text_dedup import minhash_cluster_edges
+
+    docs = t(spark, sf_dir, "documents")
+    edges = minhash_cluster_edges(docs, num_hashes=8, band_size=2, shingle_len=5)
+    clusters = dedup_cluster_assignments(docs, edges)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    quality = stable_round(
+        F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
+        * (
+            F.lit(1.0)
+            - punct_count(F.col("text")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)).cast("double")
+        ),
+        6,
+    )
+    q = docs.select("doc_id", quality.alias("quality"))
+    joined = clusters.join(q, "doc_id")
+    return joined.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min_by(
+            F.col("doc_id"), F.struct((-F.col("quality")).alias("nq"), F.col("doc_id"))
+        ).alias("best_doc_id"),
+        F.max("quality").alias("best_quality"),
+    )

@@ -280,6 +280,12 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # Neyman allocation: decimal stats agg + scalar BNLJ + draw
         # window (the mixture pattern).
         ("neyman_allocation_sample", 4, 0, 1),
+        # Novelty: distinct (doc, gh) checkpoint + map-combined count +
+        # df-bounded membership join + per-doc integer ratio.
+        ("doc_novelty_scores", 4, 1, 0),
+        # Quality-aware survivor: one max_by over the checkpointed
+        # cluster assignment joined to the map-only quality scan.
+        ("cluster_best_survivors", 3, 1, 0),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):
