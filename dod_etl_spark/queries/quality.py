@@ -1680,7 +1680,7 @@ def _bpe_oracle(n_merges: int = _BPE_N) -> str:
             f""",
 p{k} AS (
   SELECT syms[j + 1] AS left_sym, syms[j + 2] AS right_sym,
-         sum(freq) AS pair_count
+         CAST(sum(freq) AS BIGINT) AS pair_count
   FROM (SELECT freq, list_filter(string_split(repr, ' '), x -> x <> '') AS syms
         FROM v{k - 1}) t,
        unnest(range(greatest(len(syms) - 1, 0))) AS u(j)
