@@ -826,3 +826,92 @@ def cluster_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("best_doc_id"),
         F.max("quality").alias("best_quality"),
     )
+
+
+# --- Chunk-granularity BM25 (the RAG retrieval unit) -----------------------------
+
+
+def _bm25_chunks_oracle() -> str:
+    from dod_etl_spark.queries.llm import _CHUNK_S, _CHUNK_W
+    from dod_etl_spark.queries.quality import _BM25_CONTRIB, _BM25_VALUES
+
+    return f"""
+WITH toksed AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS dtoks
+  FROM documents
+), sized AS (
+  SELECT doc_id, dtoks, greatest(len(dtoks), 1) AS n FROM toksed
+), chunks AS (
+  SELECT doc_id * 1000 + i AS cid,
+         list_slice(dtoks, i * {_CHUNK_S} + 1, i * {_CHUNK_S} + {_CHUNK_W}) AS ts
+  FROM (SELECT doc_id, dtoks,
+               unnest(generate_series(0, CAST(floor((n - 1) / {_CHUNK_S}.0) AS BIGINT))) AS i
+        FROM sized)
+),
+posting AS (
+  SELECT cid, tok, count(*) AS tf, max(dl) AS dl
+  FROM (SELECT cid, len(ts) AS dl, unnest(ts) AS tok FROM chunks)
+  GROUP BY cid, tok
+),
+withdf AS (SELECT *, count(*) OVER (PARTITION BY tok) AS df FROM posting),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl
+  FROM chunks
+),
+q(query_id, tok) AS (VALUES {_BM25_VALUES}),
+scored AS (
+  SELECT q.query_id, p.cid,
+         sum(CAST(({_BM25_CONTRIB.replace("p.doc_id", "p.cid")}) AS DECIMAL(27,6))) AS sdec
+  FROM withdf p JOIN q USING (tok) CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, cid, sdec,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sdec DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT query_id,
+       cid // 1000 AS doc_id,
+       cid % 1000 AS chunk_id,
+       rank,
+       {sround_sql('CAST(sdec AS DOUBLE)', 4)} AS score
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("bm25_chunks_topk", _bm25_chunks_oracle())
+def bm25_chunks_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over CHUNKS — the granularity a RAG pipeline actually
+    retrieves at (a long document's one relevant passage shouldn't be
+    drowned by its length, and dl normalization over chunks is what
+    fixes that). Composes the audited chunker (token windows, stride
+    with overlap) with the audited BM25 core: each chunk becomes a
+    pseudo-document keyed doc_id*1000+chunk_id, scored and ranked by
+    the same decimal-exact rational-idf arithmetic, then mapped back
+    to (doc_id, chunk_id). Plan shape is bm25_topk_docs' over the
+    chunk frame — tokenize once, posting scalars only, WindowGroupLimit
+    top-k."""
+    from dod_etl_spark.operators.chunking import chunk_tokens
+    from dod_etl_spark.operators.retrieval import bm25_topk
+    from dod_etl_spark.queries.llm import _CHUNK_S, _CHUNK_W
+    from dod_etl_spark.queries.quality import _BM25_QUERIES
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = chunk_tokens(
+        docs, window=_CHUNK_W, stride=_CHUNK_S, keep_text=True
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query_text string"
+    )
+    out = bm25_topk(chunks, queries, k=10, rational_idf=True)
+    return out.select(
+        "query_id",
+        (F.col("doc_id") / 1000).cast("long").alias("_d"),
+        (F.col("doc_id") % 1000).alias("chunk_id"),
+        "rank",
+        "score",
+    ).withColumnRenamed("_d", "doc_id")

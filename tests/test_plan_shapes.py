@@ -286,6 +286,9 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # Quality-aware survivor: one max_by over the checkpointed
         # cluster assignment joined to the map-only quality scan.
         ("cluster_best_survivors", 3, 1, 0),
+        # Chunk-granularity BM25: bm25_topk_docs' plan over the chunk
+        # frame (tf agg + df window + scalar BNLJ + score agg + top-k).
+        ("bm25_chunks_topk", 6, 0, 1),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):
