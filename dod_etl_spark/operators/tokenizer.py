@@ -108,18 +108,38 @@ def _safe_batch(top: list, complete: bool, remaining: int) -> list:
     counts (disjointness), every other pair's current count <= its
     pre-merge count <= c_{m+1} < c_m <= c_i (reduction never raises a
     count), and every CREATED pair's count is bounded by the pre-count
-    of an existing pair sharing a symbol with a merged one, hence also
-    <= c_{m+1} < c_i. So the sequential argmax at step i is exactly
-    p_i, ties inside the prefix resolving by the same total order the
-    list is sorted in. Batch == sequential, bit for bit."""
+    of an existing pair sharing a symbol with a merged one — that pair
+    conflicts with a batch member, so it sits past the prefix and its
+    count is <= c_{m+1} < c_i. So the sequential argmax at step i is
+    exactly p_i, ties inside the prefix resolving by the same total
+    order the list is sorted in. Batch == sequential, bit for bit.
+
+    SELF-PAIRS ARE BATCH TERMINATORS (advisor r7, high): the created-
+    pair bound above fails when left_sym == right_sym. Merging (s,s)
+    over a run "s s s s ..." creates (ss,ss) / (ss,s) / (s,ss) whose
+    counts derive from (s,s)'s OWN pre-count (up to ~c_i/2 for
+    (ss,ss)), not from any pair that conflicted its way out of the
+    prefix — so they are NOT bounded by c_{m+1}, and the sequential
+    argmax after the self-merge may be one of them rather than the
+    next batched rule (word of 11 a's: (a,a)=10 then (aa,aa)=4 beats a
+    batched (x,y)=3). A leading self-pair therefore merges ALONE
+    (batch of one IS sequential selection); a later self-pair
+    truncates the batch before itself so the recount sees its created
+    pairs."""
     syms = set()
     m = 0
     for cand in top:
         l, r = cand["left_sym"], cand["right_sym"]
+        if l == r:
+            if m == 0:
+                m = 1
+            break
         if {l, r} & syms:
             break
         syms |= {l, r, l + r}
         m += 1
+    if m == 1 and top[0]["left_sym"] == top[0]["right_sym"]:
+        return top[:1]
     # strictness vs the first excluded candidate (unknown tail counts
     # of a truncated list count as an excluded candidate at c_m).
     while m > 1 and (

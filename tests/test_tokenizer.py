@@ -172,6 +172,48 @@ def test_bpe_batch_top_1_is_sequential(spark):
     assert a == b
 
 
+def test_bpe_self_pair_batch_divergence(spark):
+    """Advisor r7 (high): a self-pair merge (s,s) creates (ss,s)/(s,ss)
+    pairs bounded by the self-pair's OWN pre-count, not by the batch
+    strictness bound c_{m+1} — so batching a rule behind a self-pair
+    can diverge from sequential selection. The counterexample: two
+    11-a words give (a,a)=20; merging it creates (a,aa)=(aa,a)=6,
+    which beats the batched (x,y)=3. _safe_batch must merge the
+    leading self-pair ALONE and recount."""
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaaaaa aaaaaaaaaaa xy xy xy")], "doc_id long, text string"
+    )
+    wf = {"aaaaaaaaaaa": 2, "xy": 3}
+    expected = _replace_convention_bpe(wf, 4)
+    got = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges(docs, n_merges=4).sort("step").collect()
+    ]
+    assert got == expected
+    assert got[0][:2] == ("a", "a")
+    # the unsound batch would have emitted (x,y)=3 as rule 2
+    assert got[1] == ("a", "aa", 6)
+
+
+def test_bpe_self_pair_later_in_batch_truncates(spark):
+    """A self-pair sitting BEHIND non-self candidates truncates the
+    batch before itself: rules after it must come from a recount, and
+    the whole sequence still matches the sequential reference on a
+    run-heavy corpus."""
+    corpus = [
+        (1, "bcbcbcbc bcbcbcbc de de de aaaaaaa aaaaaaa fg fg"),
+        (2, "bcbcbcbc de aaaaaaa hh hh hh hh"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    wf = collections.Counter(w for _, t in corpus for w in t.split(" ") if w)
+    expected = _replace_convention_bpe(dict(wf), 10)
+    got = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges(docs, n_merges=10).sort("step").collect()
+    ]
+    assert got == expected
+
+
 def test_bpe_early_stop_on_fused_vocab(spark):
     """Single-character words carry no adjacent pairs: zero rules, not
     a crash or an infinite loop."""
