@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dod_etl_spark.functions.scalar import stable_round
+from dod_etl_spark.functions.text import char_ngrams
 from dod_etl_spark.queries.base import query, sround_sql, t
 from dod_etl_spark.queries.llm import _COSINE_ORACLE, _LSH_ANN_ORACLE
 
@@ -256,14 +257,11 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= |sources|^2 per shingle, never corpus-quadratic); the matrix
     itself is |sources|^2 rows — metadata."""
     docs = t(spark, sf_dir, "documents")
-    n = F.length("text") - F.lit(_OVERLAP_SHINGLE - 1)
-    grams = F.when(
-        n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-            lambda i: F.substring(F.col("text"), i, F.lit(_OVERLAP_SHINGLE)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # char_ngrams convention (advisor r7): a doc shorter than the
+    # shingle emits ONE truncated shingle, exactly like the oracle's
+    # range(1, greatest(length-6, 2)) — a when-guarded empty array
+    # here silently dropped short docs from the matrix denominators.
+    grams = char_ngrams(F.col("text"), _OVERLAP_SHINGLE)
     sh = (
         docs.select("source", F.explode(grams).alias("g"))
         .select("source", F.substring(F.md5(F.col("g").cast("binary")), 1, 16).alias("gh"))
@@ -733,14 +731,10 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency (the corpus-frequency distribution dedup
     already bounds); exact integer ratio at the end."""
     docs = t(spark, sf_dir, "documents")
-    n = F.length("text") - F.lit(_NOVELTY_SHINGLE - 1)
-    grams = F.when(
-        n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-            lambda i: F.substring(F.col("text"), i, F.lit(_NOVELTY_SHINGLE)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # char_ngrams convention (advisor r7): short docs emit one
+    # truncated shingle, matching the oracle — never an empty array
+    # (which dropped the doc from the novelty output entirely).
+    grams = char_ngrams(F.col("text"), _NOVELTY_SHINGLE)
     sh = (
         docs.select("doc_id", F.explode(grams).alias("g"))
         .select(
