@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dod_etl_spark.functions.scalar import stable_round
@@ -825,6 +825,29 @@ def cluster_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Chunk-granularity BM25 (the RAG retrieval unit) -----------------------------
 
 
+# Chunk-key span: cid = doc_id * 2^20 + chunk_id. 2^20 chunks at
+# stride 48 is ~50M tokens in ONE document before overflow (vs ~48k at
+# the old *1000, which a long web page can exceed — advisor r7: a doc
+# with >=1000 chunks silently collided with the next doc_id's chunk 0).
+# The Spark side guards the bound with raise_error; int64 holds
+# doc_id up to ~8.8e12 at this span.
+_CHUNK_KEY_SPAN = 1 << 20
+
+
+def _encode_cid(doc_id: Column, chunk_id: Column, span: int = _CHUNK_KEY_SPAN) -> Column:
+    """doc_id*span + chunk_id with a non-prunable overflow guard (the
+    guard lives inside the key expression itself, so Catalyst cannot
+    eliminate it as an unused column)."""
+    return F.when(chunk_id < F.lit(span), doc_id * F.lit(span) + chunk_id).otherwise(
+        F.raise_error(
+            F.format_string(
+                "chunk_id %s overflows the cid span " + str(span),
+                chunk_id.cast("string"),
+            )
+        ).cast("long")
+    )
+
+
 def _bm25_chunks_oracle() -> str:
     from dod_etl_spark.queries.llm import _CHUNK_S, _CHUNK_W
     from dod_etl_spark.queries.quality import _BM25_CONTRIB, _BM25_VALUES
@@ -836,7 +859,7 @@ WITH toksed AS (
 ), sized AS (
   SELECT doc_id, dtoks, greatest(len(dtoks), 1) AS n FROM toksed
 ), chunks AS (
-  SELECT doc_id * 1000 + i AS cid,
+  SELECT doc_id * {_CHUNK_KEY_SPAN} + i AS cid,
          list_slice(dtoks, i * {_CHUNK_S} + 1, i * {_CHUNK_S} + {_CHUNK_W}) AS ts
   FROM (SELECT doc_id, dtoks,
                unnest(generate_series(0, CAST(floor((n - 1) / {_CHUNK_S}.0) AS BIGINT))) AS i
@@ -866,8 +889,8 @@ ranked AS (
   FROM scored
 )
 SELECT query_id,
-       cid // 1000 AS doc_id,
-       cid % 1000 AS chunk_id,
+       cid // {_CHUNK_KEY_SPAN} AS doc_id,
+       cid % {_CHUNK_KEY_SPAN} AS chunk_id,
        rank,
        {sround_sql('CAST(sdec AS DOUBLE)', 4)} AS score
 FROM ranked WHERE rank <= 10
@@ -881,11 +904,12 @@ def bm25_chunks_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     drowned by its length, and dl normalization over chunks is what
     fixes that). Composes the audited chunker (token windows, stride
     with overlap) with the audited BM25 core: each chunk becomes a
-    pseudo-document keyed doc_id*1000+chunk_id, scored and ranked by
-    the same decimal-exact rational-idf arithmetic, then mapped back
-    to (doc_id, chunk_id). Plan shape is bm25_topk_docs' over the
-    chunk frame — tokenize once, posting scalars only, WindowGroupLimit
-    top-k."""
+    pseudo-document keyed doc_id*2^20+chunk_id (span guarded in
+    _encode_cid — overflow raises rather than colliding into the next
+    doc_id), scored and ranked by the same decimal-exact rational-idf
+    arithmetic, then mapped back to (doc_id, chunk_id). Plan shape is
+    bm25_topk_docs' over the chunk frame — tokenize once, posting
+    scalars only, WindowGroupLimit top-k."""
     from dod_etl_spark.operators.chunking import chunk_tokens
     from dod_etl_spark.operators.retrieval import bm25_topk
     from dod_etl_spark.queries.llm import _CHUNK_S, _CHUNK_W
@@ -895,17 +919,19 @@ def bm25_chunks_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunk_tokens(
         docs, window=_CHUNK_W, stride=_CHUNK_S, keep_text=True
     ).select(
-        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("doc_id"),
+        _encode_cid(F.col("doc_id"), F.col("chunk_id")).alias("doc_id"),
         F.col("chunk_text").alias("text"),
     )
     queries = spark.createDataFrame(
         _BM25_QUERIES, "query_id long, query_text string"
     )
     out = bm25_topk(chunks, queries, k=10, rational_idf=True)
+    # power-of-two span decodes with exact integer bit ops (double
+    # division would lose exactness past 2^53)
     return out.select(
         "query_id",
-        (F.col("doc_id") / 1000).cast("long").alias("_d"),
-        (F.col("doc_id") % 1000).alias("chunk_id"),
+        F.shiftright(F.col("doc_id"), 20).alias("_d"),
+        F.col("doc_id").bitwiseAND(F.lit(_CHUNK_KEY_SPAN - 1)).alias("chunk_id"),
         "rank",
         "score",
     ).withColumnRenamed("_d", "doc_id")
