@@ -28,7 +28,14 @@ Within one batch, bucket rows append BEFORE the commit record; a crash
 in between leaves orphan bucket rows that `repair()` reconciles (one
 semi-join rewrite) — and `search()` excludes them meanwhile via a
 committed-ids semi-join, so an unrepaired store never serves
-uncommitted vectors.
+uncommitted vectors. Replaying a torn batch WITHOUT repair() first is
+also safe (advisor r7): the replay re-appends the batch's bucket rows
+(the orphans' vec_ids were never committed, so the replay guard passes
+them) and then commits — leaving two bit-identical copies of those
+bucket rows. search() collapses candidates to distinct
+(query_id, neighbor_id, cosine) AFTER the bucket prune (query-sized
+frame — a duplicate can never occupy two top-k slots), and repair()
+removes the redundant copies from storage.
 
 Serve-time scoring is the SAME arithmetic as the ad-hoc
 `lsh_bucketed_topk` (operators/similarity.py): identical hyperplane
@@ -189,6 +196,12 @@ class VectorIndexStore:
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .join(committed, "neighbor_id", "left_semi")
             .withColumn("cosine", stable_round(sim, round_digits))
+            # torn-batch replay may leave bit-identical duplicate rows
+            # in the bucket table until repair(); collapse them on the
+            # post-prune (query-sized) frame so a duplicate can never
+            # occupy two top-k slots.
+            .select("query_id", "neighbor_id", "cosine")
+            .distinct()
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id")
@@ -200,16 +213,20 @@ class VectorIndexStore:
         )
 
     def repair(self) -> int:
-        """Remove orphan bucket rows (vec_id absent from the commit
-        record) left by a crash between the two appends. One semi-join
-        rewrite; returns rows removed. Run on restart after an unclean
-        shutdown, BEFORE new batches."""
+        """Storage hygiene after an unclean shutdown: remove orphan
+        bucket rows (vec_id absent from the commit record, left by a
+        crash between the two appends) AND collapse the bit-identical
+        duplicate rows a torn-batch replay leaves behind (search() is
+        already correct against both — this reclaims the space). One
+        semi-join + distinct rewrite; returns rows removed."""
         if not self.spark.catalog.tableExists(self.table):
             return 0
         rows = self.spark.table(self.table)
         vecs = self.spark.table(self.vecs_table).select("vec_id")
-        clean = rows.join(vecs, "vec_id", "left_semi").select(
-            "bucket", "vec_id", "embedding", "vnorm"
+        clean = (
+            rows.join(vecs, "vec_id", "left_semi")
+            .select("bucket", "vec_id", "embedding", "vnorm")
+            .distinct()
         )
         before = rows.count()
         after = clean.count()
@@ -369,6 +386,9 @@ class IvfVectorStore:
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .join(committed, "neighbor_id", "left_semi")
             .withColumn("cosine", stable_round(sim, round_digits))
+            # same torn-replay duplicate collapse as the LSH store
+            .select("query_id", "neighbor_id", "cosine")
+            .distinct()
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id")
@@ -384,8 +404,10 @@ class IvfVectorStore:
             return 0
         rows = self.spark.table(self.table)
         vecs = self.spark.table(self.vecs_table).select("vec_id")
-        clean = rows.join(vecs, "vec_id", "left_semi").select(
-            "cell_id", "vec_id", "embedding", "vnorm"
+        clean = (
+            rows.join(vecs, "vec_id", "left_semi")
+            .select("cell_id", "vec_id", "embedding", "vnorm")
+            .distinct()
         )
         before = rows.count()
         after = clean.count()

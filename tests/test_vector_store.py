@@ -140,6 +140,57 @@ def test_crash_repair_reconciles_orphans(spark, store):
     assert 9999 in hits
 
 
+def test_torn_batch_replay_without_repair_is_safe(spark, store):
+    """Advisor r7: replaying a torn batch WITHOUT calling repair()
+    first re-appends the orphaned bucket rows and then commits — both
+    copies become committed. search() must still return each neighbor
+    once (never two top-k slots), and repair() reclaims the redundant
+    storage copies."""
+    emb = _emb(spark)
+    store.index_batch(emb.where(F.col("vec_id") < 100))
+    batch_b = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+
+    # Authentic torn state: a clone sharing the bucket table but
+    # committing to a DIFFERENT vecs table appends B's bucket rows with
+    # the store's own hashing, leaving them uncommitted for `store`.
+    clone = VectorIndexStore(
+        spark,
+        table=store.table,
+        vecs_table=f"{store.vecs_table}_torn",
+        n_bits=N_BITS,
+        n_buckets=4,
+    )
+    try:
+        clone.index_batch(batch_b)
+        n_b = batch_b.count()
+        before_replay = spark.table(store.table).count()
+
+        # The replay: vec_ids absent from store's commit record, so the
+        # guard passes them — duplicate bucket rows appear.
+        assert store.index_batch(batch_b) == n_b
+        assert spark.table(store.table).count() == before_replay + n_b
+
+        q = _queries(spark)
+        for probe_bits in (0, 2):
+            res = store.search(q, k=K, probe_bits=probe_bits).collect()
+            pairs = [(r["query_id"], r["neighbor_id"]) for r in res]
+            assert len(pairs) == len(set(pairs)), "duplicate top-k slot"
+            rks = {}
+            for r in res:
+                rks.setdefault(r["query_id"], []).append(r["rk"])
+            assert all(sorted(v) == list(range(1, len(v) + 1)) for v in rks.values())
+
+        # repair() collapses the duplicate copies, changes no results.
+        before = _rows(store.search(q, k=K, probe_bits=2))
+        assert store.repair() == n_b
+        assert store.repair() == 0
+        assert _rows(store.search(q, k=K, probe_bits=2)) == before
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {clone.vecs_table}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{clone.vecs_table}", ignore_errors=True)
+
+
 def test_streaming_drive(spark, store, tmp_path):
     """foreachBatch wiring: a file stream feeds index_batch; search
     sees the whole corpus afterward."""
