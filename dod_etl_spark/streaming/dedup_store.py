@@ -106,11 +106,13 @@ class NearDupStore:
     Two append-only bucketed tables:
 
     - `fp_table` (fp) bucketed by fp: the exact seen-set;
-    - `band_table` (bh) bucketed by bh, where bh = band_index ':'
+    - `band_table` (bh, fp) bucketed by bh, where bh = band_index ':'
       band_hash fused into ONE key — equality on bh is exactly
       equality on (band, band_hash), and a single-column key is what
       lets the membership probe ride the bucket layout (a two-column
-      join on a one-column bucketing cannot).
+      join on a one-column bucketing cannot). `fp` is the owning
+      document's fingerprint: a band row only suppresses once its fp
+      is COMMITTED in fp_table (see the torn-batch note below).
 
     Per batch: collapse within-batch exact duplicates (min id_col
     representative), drop exact history hits (anti-join on fp), band
@@ -152,7 +154,7 @@ class NearDupStore:
             )
         if not self.spark.catalog.tableExists(self.band_table):
             (
-                self.spark.createDataFrame([], "bh string")
+                self.spark.createDataFrame([], "bh string, fp string")
                 .write.format("parquet")
                 .bucketBy(self.n_buckets, "bh")
                 .sortBy("bh")
@@ -210,21 +212,44 @@ class NearDupStore:
             )
             .localCheckpoint(eager=True)
         )
+        # Committed-fp guard (advisor r7): a band row only counts as
+        # history once its owning fp is in fp_table. Without it, a
+        # batch that crashed between the two appends would be
+        # suppressed BY ITS OWN orphan bands on replay — its documents
+        # never emitted downstream and their fps never recorded
+        # (permanent loss, strictly worse than the documented
+        # over-suppression). Structured Streaming replays the failed
+        # batch before any successor, so excluding orphans cannot leak
+        # a paraphrase past the torn batch: the replay re-appends the
+        # bands and commits them. Plan shape: the bh join probes the
+        # band store on its bucket key (store side no exchange), and
+        # the fp guard runs on the RESULT — a batch-sized candidate
+        # frame — against the fp-bucketed seen-set.
         seen_bands = self.spark.table(self.band_table)
+        collisions = bands.join(seen_bands, "bh").select(
+            id_col, F.col("fp").alias("_hist_fp")
+        )
+        committed = self.spark.table(self.fp_table).select(
+            F.col("fp").alias("_hist_fp")
+        )
         near_dup_ids = (
-            bands.join(seen_bands, "bh", "left_semi").select(id_col).distinct()
+            collisions.join(committed, "_hist_fp", "left_semi")
+            .select(id_col)
+            .distinct()
         )
         fresh = exact_fresh.join(near_dup_ids, id_col, "left_anti").localCheckpoint(
             eager=True
         )
-        # Bands first, fp commit record last: a crash in between leaves
-        # orphan bands, which only OVER-suppress (a later paraphrase of
-        # the torn batch's docs is dropped) — the dedup invariant
-        # "never emit near-duplicate content twice" survives any torn
-        # batch; the opposite order would leak paraphrases instead.
-        bands.join(
-            fresh.select(id_col), id_col, "left_semi"
-        ).select("bh").write.insertInto(self.band_table, overwrite=False)
+        # Bands first, fp commit record last: committing fps first and
+        # crashing before the band append would make the replay guard
+        # skip the docs forever, so their bands would NEVER land and
+        # every later paraphrase would leak. With bands first, a torn
+        # batch leaves orphan bands that the committed-fp guard ignores
+        # until the replay re-appends and commits them (the redundant
+        # orphan copies are harmless duplicates thereafter).
+        bands.join(fresh.select(id_col, "fp"), id_col).select(
+            "bh", "fp"
+        ).write.insertInto(self.band_table, overwrite=False)
         fresh.select("fp").write.insertInto(self.fp_table, overwrite=False)
         self.spark.catalog.refreshTable(self.fp_table)
         self.spark.catalog.refreshTable(self.band_table)

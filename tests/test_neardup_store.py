@@ -92,6 +92,50 @@ def test_paraphrase_suppressed_across_batches(spark, store):
     assert store.seen_count() == 2  # BASE + NOVEL only
 
 
+def test_torn_batch_replay_recovers_documents(spark, store):
+    """Advisor r7: a crash between the band append and the fp append
+    used to make the replayed batch suppress ITSELF via its own orphan
+    bands — documents permanently lost. The committed-fp guard ignores
+    bands whose owning fp is not committed, so the replay emits the
+    docs, commits their fps, and later paraphrases are still
+    suppressed."""
+    b0 = spark.createDataFrame([(1, NOVEL)], "doc_id long, text string")
+    assert store.dedup_batch(b0).count() == 1
+
+    # Authentic torn state: a clone sharing the BAND table but
+    # committing fps elsewhere runs the full batch body — bands land
+    # in store's band table, fps do not land in store's fp table.
+    clone = NearDupStore(
+        spark,
+        fp_table=f"{store.fp_table}_torn",
+        band_table=store.band_table,
+        n_buckets=store.n_buckets,
+        num_hashes=store.num_hashes,
+        band_size=store.band_size,
+        shingle_len=store.shingle_len,
+    )
+    try:
+        torn = spark.createDataFrame([(2, BASE)], "doc_id long, text string")
+        assert clone.dedup_batch(torn).count() == 1
+        assert store.seen_count() == 1  # BASE's fp NOT committed here
+
+        # The replay: must emit BASE (not self-suppress on the orphan
+        # bands) and commit its fp.
+        out = {r["doc_id"] for r in store.dedup_batch(torn).collect()}
+        assert out == {2}, "torn batch's document was lost on replay"
+        assert store.seen_count() == 2
+
+        # History now bites: a paraphrase and an exact replay both drop.
+        b2 = spark.createDataFrame(
+            [(3, PARAPHRASE), (4, BASE)], "doc_id long, text string"
+        )
+        assert store.dedup_batch(b2).count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {clone.fp_table}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{clone.fp_table}", ignore_errors=True)
+
+
 def test_streaming_drive_suppresses_paraphrase(spark, store, tmp_path):
     """File-stream wiring (maxFilesPerTrigger=1 so the two files are
     separate micro-batches): the paraphrase in the SECOND micro-batch
