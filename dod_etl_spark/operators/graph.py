@@ -87,7 +87,12 @@ def _propagate(
     so batching hops halves it. Semantically identical to single-hop
     rounds — the fixpoint is just probed every k hops, at worst
     k-1 no-op hops after convergence (measured at sf0.1:
-    dedup_clusters 4.6s -> 2.9s warm with k=2)."""
+    dedup_clusters 4.6s -> 2.9s warm with k=2).
+
+    The checkpoint is LAZY (eager=False) and the convergence probe's
+    aggregation is the action that materializes it — one job per round
+    instead of two (materialize, then probe), worth ~0.1-0.2 s/round of
+    pure scheduling latency on small graphs and free at any scale."""
     prev_sum = None  # first probe always runs a round: saves one action
     for _ in range(max_rounds):
         for _hop in range(hops_per_round):
@@ -102,7 +107,7 @@ def _propagate(
                     F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
                 ).alias("label"),
             )
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:  # labels only decrease -> fixpoint
             return labels, True
@@ -162,7 +167,9 @@ def star_components(
     rounds = 0
     prev = None
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the fixpoint probe below is the action that
+        # materializes it — one job per round instead of two.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         rounds += 1
         cnt, chk = e.agg(
             F.count(F.lit(1)),
@@ -190,13 +197,24 @@ def connected_components(
     dst_col: str = "dst",
     max_iters: int = 25,
     method: str = "auto",
-    switch_after: int = 5,
+    switch_after: int = 2,
 ) -> DataFrame:
     """(node, component) for every node; component = min node id
     reachable via undirected edges. Nodes absent from `edges` are their
     own singleton component. `method`: "propagation" | "star" | "auto"
     (propagation, then star on the label-contracted graph if diameter
-    exceeds `switch_after`)."""
+    exceeds `switch_after`).
+
+    switch_after=2 (4 hops, measured): real near-dup blobs have
+    diameter <= 4 and converge inside the propagation phase without
+    ever paying a star round; anything deeper is chain-shaped
+    (shingle near-dups chain a~b~c~...), where every further
+    propagation round is wasted and the O(log n) star rounds on the
+    label-contracted graph do the work. The probe corpus (sf0.1
+    curation: 3.7k nodes, 4.0k edges, unconverged chains) measures
+    switch_after 5 -> 2 at ~0.7 s saved with identical assignments —
+    and the earlier switch is also the 100 TB posture: propagation
+    rounds scale with |E| x rounds, star with |E| x log n."""
     if method not in ("auto", "propagation", "star"):
         raise ValueError(f"unknown method {method!r}")
     base = _coalesce_for_rounds(
