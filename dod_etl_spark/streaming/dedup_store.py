@@ -94,6 +94,14 @@ class FingerprintStore:
             return 0
         return self.spark.table(self.table).count()
 
+    def compact(self) -> dict:
+        """Rewrite the seen-set to ~one file per bucket (one fileset is
+        appended per micro-batch; see streaming/maintenance.py). Call
+        from the maintenance window — no concurrent dedup_batch."""
+        from dod_etl_spark.streaming.maintenance import compact_store
+
+        return compact_store(self.spark, {self.table: "fp"}, self.n_buckets)
+
 
 @dataclass
 class NearDupStore:
@@ -259,3 +267,16 @@ class NearDupStore:
         if not self.spark.catalog.tableExists(self.fp_table):
             return 0
         return self.spark.table(self.fp_table).count()
+
+    def compact(self) -> dict:
+        """Compact both membership tables (streaming/maintenance.py);
+        maintenance-window only. Orphan band rows from torn batches are
+        rewritten as-is — they stay inert under the committed-fp guard
+        until their batch's replay commits them."""
+        from dod_etl_spark.streaming.maintenance import compact_store
+
+        return compact_store(
+            self.spark,
+            {self.fp_table: "fp", self.band_table: "bh"},
+            self.n_buckets,
+        )

@@ -192,3 +192,16 @@ class PostingStore:
         if not self.spark.catalog.tableExists(self.docs_table):
             return 0
         return self.spark.table(self.docs_table).count()
+
+    def compact(self) -> dict:
+        """Rewrite postings and commit records to ~one file per bucket
+        (streaming/maintenance.py); maintenance-window only. Rankings
+        are unaffected — the bucket spec, and therefore the serve
+        plan, is preserved (pinned in tests/test_store_compaction.py)."""
+        from dod_etl_spark.streaming.maintenance import compact_store
+
+        return compact_store(
+            self.spark,
+            {self.table: "tok", self.docs_table: "doc_id"},
+            self.n_buckets,
+        )

@@ -241,6 +241,19 @@ class VectorIndexStore:
             return 0
         return self.spark.table(self.vecs_table).count()
 
+    def compact(self) -> dict:
+        """Rewrite bucket rows and commit records to ~one file per
+        bucket (streaming/maintenance.py); maintenance-window only.
+        Run repair() first after an unclean shutdown — compaction
+        preserves rows as-is, including orphans/duplicates."""
+        from dod_etl_spark.streaming.maintenance import compact_store
+
+        return compact_store(
+            self.spark,
+            {self.table: "bucket", self.vecs_table: "vec_id"},
+            self.n_buckets,
+        )
+
 
 @dataclass
 class IvfVectorStore:
@@ -421,3 +434,15 @@ class IvfVectorStore:
         if not self.spark.catalog.tableExists(self.vecs_table):
             return 0
         return self.spark.table(self.vecs_table).count()
+
+    def compact(self) -> dict:
+        """Cell-table twin of VectorIndexStore.compact(); the centroid
+        table is tiny and write-once, so only the two growing tables
+        rewrite."""
+        from dod_etl_spark.streaming.maintenance import compact_store
+
+        return compact_store(
+            self.spark,
+            {self.table: "cell_id", self.vecs_table: "vec_id"},
+            self.n_buckets,
+        )
