@@ -935,3 +935,124 @@ def bm25_chunks_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         "score",
     ).withColumnRenamed("_d", "doc_id")
+
+
+# --- Hard-triplet mining (contrastive training pairs) ------------------------
+
+# Integer argmax keys: cosine collapses to its exact stable_round(3)
+# integer milli value m = floor(cos*1000 + 0.5), then
+# key = m * 2^-free span +/- neighbor_id packs (similarity, tiebreak)
+# into ONE BIGINT — min/max/arg_min/arg_max over it are total orders
+# identical in any engine (no float comparator, no struct-ordering
+# semantics to align between Spark and DuckDB).
+_TRIPLET_T = 1_000_000_000_000  # id span per milli step; ids < 10^12
+_TRIPLET_ANCHORS = 30
+
+_TRIPLET_ORACLE = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_TRIPLET_ANCHORS}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, label AS n_label, embedding::DOUBLE[] AS cv
+  FROM embeddings
+),
+pair AS (
+  SELECT anchor_id, anchor_label, neighbor_id, n_label,
+         CAST(floor((CASE WHEN sqrt(list_dot_product(qv, qv))
+                               * sqrt(list_dot_product(cv, cv)) > 0
+                          THEN list_dot_product(qv, cv)
+                               / (sqrt(list_dot_product(qv, qv))
+                                  * sqrt(list_dot_product(cv, cv)))
+                          ELSE 0.0 END) * 1000 + 0.5) AS BIGINT) AS m
+  FROM a CROSS JOIN c
+  WHERE anchor_id <> neighbor_id
+),
+agg AS (
+  SELECT anchor_id,
+         arg_min(neighbor_id, CASE WHEN n_label = anchor_label
+                 THEN m * {_TRIPLET_T} + neighbor_id END) AS pos_id,
+         min(CASE WHEN n_label = anchor_label
+             THEN m * {_TRIPLET_T} + neighbor_id END) AS kp,
+         arg_max(neighbor_id, CASE WHEN n_label <> anchor_label
+                 THEN m * {_TRIPLET_T} - neighbor_id END) AS neg_id,
+         max(CASE WHEN n_label <> anchor_label
+             THEN m * {_TRIPLET_T} - neighbor_id END) AS kn
+  FROM pair GROUP BY anchor_id
+)
+SELECT anchor_id, pos_id,
+       CAST((kp - pos_id) // {_TRIPLET_T} AS DOUBLE) / 1000.0 AS pos_cos,
+       neg_id,
+       CAST((kn + neg_id) // {_TRIPLET_T} AS DOUBLE) / 1000.0 AS neg_cos,
+       CAST((kp - pos_id) // {_TRIPLET_T}
+            - (kn + neg_id) // {_TRIPLET_T} AS DOUBLE) / 1000.0 AS margin
+FROM agg
+WHERE kp IS NOT NULL AND kn IS NOT NULL
+"""
+
+
+@query("hard_triplet_mining", _TRIPLET_ORACLE)
+def hard_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor hard triplet for contrastive/metric training: the
+    hardest POSITIVE (least-similar same-label vector — the pair the
+    model most needs to pull together) and the hardest NEGATIVE
+    (most-similar different-label vector — the pair it most needs to
+    push apart), with margin = pos_cos - neg_cos; a negative margin is
+    a violated triplet, the curation signal for mining batches.
+
+    Scale shape: anchors broadcast (mining runs in anchor batches);
+    ONE pass over the corpus computes both arms as conditional
+    aggregations (both engines skip NULL ordering keys in
+    max_by/arg_max, verified) — no window, no second scan, and the
+    only shuffle is the metadata-sized per-anchor aggregate. Exactness:
+    the argmax runs on a packed integer key (rounded-milli cosine +
+    id tiebreak), so ranking never compares raw doubles across
+    engines."""
+    from dod_etl_spark.operators.similarity import _dot_sql, _norm_sql, _probe_dim
+
+    emb = t(spark, sf_dir, "embeddings")
+    dim = _probe_dim(emb, "embedding") or 1
+    anchors = F.broadcast(
+        emb.where(F.col("vec_id") < _TRIPLET_ANCHORS).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").alias("_qv"),
+            F.expr(_norm_sql("embedding", dim)).alias("_qn"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("_cv"),
+        F.expr(_norm_sql("embedding", dim)).alias("_cn"),
+    )
+    pair = anchors.crossJoin(c).filter(F.col("anchor_id") != F.col("neighbor_id"))
+    denom = F.col("_qn") * F.col("_cn")
+    sim = F.when(
+        denom > 0, F.expr(_dot_sql("_qv", "_cv", dim)) / denom
+    ).otherwise(F.lit(0.0))
+    m = F.floor(sim * 1000 + F.lit(0.5)).cast("long")
+    same = F.col("n_label") == F.col("anchor_label")
+    kp = F.when(same, m * _TRIPLET_T + F.col("neighbor_id"))
+    kn = F.when(~same, m * _TRIPLET_T - F.col("neighbor_id"))
+    agg = (
+        pair.select("anchor_id", "neighbor_id", kp.alias("_kp"), kn.alias("_kn"))
+        .groupBy("anchor_id")
+        .agg(
+            F.min_by("neighbor_id", "_kp").alias("pos_id"),
+            F.min("_kp").alias("_kpm"),
+            F.max_by("neighbor_id", "_kn").alias("neg_id"),
+            F.max("_kn").alias("_knm"),
+        )
+        .where(F.col("_kpm").isNotNull() & F.col("_knm").isNotNull())
+    )
+    pm = F.expr(f"(_kpm - pos_id) div {_TRIPLET_T}")
+    nm = F.expr(f"(_knm + neg_id) div {_TRIPLET_T}")
+    return agg.select(
+        "anchor_id",
+        "pos_id",
+        (pm.cast("double") / 1000.0).alias("pos_cos"),
+        "neg_id",
+        (nm.cast("double") / 1000.0).alias("neg_cos"),
+        ((pm - nm).cast("double") / 1000.0).alias("margin"),
+    )
