@@ -1963,3 +1963,149 @@ def source_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = t(spark, sf_dir, "events")
     return ks_matrix(events, "event_type", "value", _EVENT_TYPES)
+
+
+from dod_etl_spark.operators.sampling import hash_bucket_sql
+
+
+# --- Interpolated Kneser-Ney bigram LM (round 8) -----------------------------
+
+# Discount D = 3/4; multiplying P_KN through by 4*c1*Nbb makes every
+# term an exact integer:
+#   P(w2|w1) = max(c12 - D, 0)/c1 + D * N1+(w1,.)/c1 * N1+(.,w2)/N1+(..)
+#            = [max(4*c12 - 3, 0)*Nbb + 3*N1w1*Ncw2] / (4*c1*Nbb)
+# carried as floor-millionths BIGINTs, the lm_score_docs convention —
+# no float log anywhere, so cross-engine hash parity is exact.
+# Integer-range note: the numerator needs 4e6*c12*Nbb < 2^63; at
+# web scale (c12, Nbb ~ 1e9+) the oracle-replayable integer form is
+# the validation mode and production would carry DOUBLE log-probs.
+_KN_SEED = 99
+_KN_TRAIN_CUT = 2_000  # bucket >= cut -> train (80%); all docs scored
+
+_KN_LM_ORACLE = f"""
+WITH toksed AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk,
+         {hash_bucket_sql('doc_id', _KN_SEED)} AS _b
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, _b >= {_KN_TRAIN_CUT} AS is_train,
+         split_part(bigram, ' ', 1) AS w1,
+         split_part(bigram, ' ', 2) AS w2
+  FROM (
+    SELECT doc_id, _b,
+           unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS bigram
+    FROM toksed WHERE len(tk) >= 2
+  )
+),
+c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg WHERE is_train GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1 FROM c2 GROUP BY w1
+),
+cont AS (
+  SELECT w2, count(*) AS nc FROM c2 GROUP BY w2
+),
+nbb AS (SELECT count(*) AS nbb FROM c2),
+scored AS (
+  SELECT b.doc_id,
+         CASE WHEN x.c1 IS NOT NULL THEN
+           ((greatest(4 * coalesce(p.c2, 0) - 3, 0) * n.nbb
+             + 3 * x.n1 * coalesce(k.nc, 0)) * 1000000)
+           // (4 * x.c1 * n.nbb)
+         ELSE (coalesce(k.nc, 0) * 1000000) // n.nbb END AS micro,
+         CASE WHEN x.c1 IS NULL THEN 1 ELSE 0 END AS oov_ctx
+  FROM bg b
+  LEFT JOIN c2 p ON p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN ctx x ON x.w1 = b.w1
+  LEFT JOIN cont k ON k.w2 = b.w2
+  CROSS JOIN nbb n
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(oov_ctx) AS BIGINT) AS n_oov_ctx,
+       CAST(sum(micro) // count(*) AS BIGINT) AS avg_microprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("kn_lm_score_docs", _KN_LM_ORACLE)
+def kn_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the CCNet-style fluency
+    filter, upgraded from the MLE bigram model (lm_score_docs): the
+    model trains on the 80% content-hash train split and scores ALL
+    documents, so holdout docs exercise the smoothing paths — an
+    unseen bigram under a seen context falls back to the discounted
+    continuation probability N1+(.,w2)/N1+(..), and an unseen context
+    scores as pure continuation (n_oov_ctx counts those occurrences:
+    the OOV-rate curation signal). Probabilities are exact integer
+    millionths (see the derivation above) — no float log, no
+    cross-engine drift.
+
+    Scale shape: the bigram stream materializes once and feeds model
+    build + scoring; the model is three map-combined aggregations off
+    ONE distinct-bigram frame (ctx and cont are per-key row counts of
+    c2, not second corpus passes); Nbb rides as a broadcast 1-row
+    scalar; scoring joins on the bigram key (AQE broadcasts the model
+    while it fits, hash join on the same key beyond — the
+    lm_score_docs shape)."""
+    from dod_etl_spark.operators.sampling import hash_bucket
+
+    docs = t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    toks = docs.select(
+        "doc_id",
+        tk.alias("tk"),
+        (hash_bucket(F.col("doc_id"), _KN_SEED) >= _KN_TRAIN_CUT).alias("is_train"),
+    ).filter(F.size("tk") >= 2)
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1)
+        ),
+    )
+    bg = (
+        toks.select("doc_id", "is_train", F.explode(bigram).alias("bigram"))
+        .select(
+            "doc_id",
+            "is_train",
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    c2 = (
+        bg.where("is_train")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = c2.groupBy("w1").agg(
+        F.sum("c2").cast("long").alias("c1"), F.count(F.lit(1)).alias("n1")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("nc"))
+    nbb = F.broadcast(c2.agg(F.count(F.lit(1)).alias("nbb")))
+    scored = (
+        bg.join(c2, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(nbb)
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN c1 IS NOT NULL THEN "
+                "((greatest(4 * coalesce(c2, 0) - 3, 0) * nbb "
+                "  + 3 * n1 * coalesce(nc, 0)) * 1000000) "
+                "div (4 * c1 * nbb) "
+                "ELSE (coalesce(nc, 0) * 1000000) div nbb END"
+            ).alias("micro"),
+            F.expr("CASE WHEN c1 IS NULL THEN 1 ELSE 0 END").alias("oov_ctx"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("oov_ctx").cast("long").alias("n_oov_ctx"),
+        F.expr("sum(micro) div count(1)").cast("long").alias("avg_microprob"),
+    )
