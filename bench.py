@@ -114,6 +114,10 @@ BENCH_QUERIES = [
     # IR-eval triple over the exact retrieval arm.
     "source_overlap_jaccard",
     "retrieval_label_eval",
+    # Round-8: KN-smoothed LM scoring (bigram checkpoint + model aggs +
+    # bigram-keyed scoring join) and the broadcast-anchor triplet miner.
+    "kn_lm_score_docs",
+    "hard_triplet_mining",
 ]
 
 

@@ -289,6 +289,15 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # Chunk-granularity BM25: bm25_topk_docs' plan over the chunk
         # frame (tf agg + df window + scalar BNLJ + score agg + top-k).
         ("bm25_chunks_topk", 6, 0, 1),
+        # r8. Hard-triplet mining: ONE broadcast-anchor corpus pass
+        # (the BNLJ, brute_force_topk pattern) + the per-anchor
+        # conditional aggregate — integer argmax keys, no window.
+        ("hard_triplet_mining", 2, 0, 1),
+        # KN bigram LM: bigram checkpoint feeds model build (c2 agg;
+        # ctx/cont are per-key row counts OF c2, not corpus passes) +
+        # scoring joins on the bigram key + per-doc fold; the BNLJ is
+        # the 1-row Nbb scalar broadcast (q11 pattern).
+        ("kn_lm_score_docs", 7, 0, 1),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):
