@@ -446,3 +446,43 @@ class IvfVectorStore:
             {self.table: "cell_id", self.vecs_table: "vec_id"},
             self.n_buckets,
         )
+
+    def cell_balance(self) -> dict:
+        """Operational drift report for the FIXED coarse quantizer: a
+        quantizer fit on day-1 data degrades as the embedding
+        distribution drifts — hot cells stop pruning (a probe that
+        lands in a cell holding 30% of the corpus scans 30% of it) and
+        empty cells waste probe fan-out. One bucketed aggregation over
+        the cell table (no exchange: the groupBy key IS the bucket
+        key) returns the numbers a maintenance job alerts on:
+
+          n_cells_used / n_cells_total, max_cell_frac (hot-cell scan
+          fraction), p99-ish top_decile_frac (corpus share of the
+          largest 10% of cells), imbalance = max/mean cell size.
+
+        Re-quantization is deliberately OUT of scope here (it changes
+        every assignment, i.e. it is a new index): the documented path
+        is building a fresh store with new centroids and cutting
+        serve traffic over, exactly like any search-index rebuild."""
+        if not self.spark.catalog.tableExists(self.table):
+            return {"n_vecs": 0, "n_cells_used": 0}
+        counts = (
+            self.spark.table(self.table)
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        n_total_cells = len(self._cents())
+        sizes = sorted((int(r["c"]) for r in counts), reverse=True)
+        n = sum(sizes)
+        if not n:
+            return {"n_vecs": 0, "n_cells_used": 0}
+        top_decile = max(1, len(sizes) // 10)
+        return {
+            "n_vecs": n,
+            "n_cells_total": n_total_cells,
+            "n_cells_used": len(sizes),
+            "max_cell_frac": round(sizes[0] / n, 4),
+            "top_decile_frac": round(sum(sizes[:top_decile]) / n, 4),
+            "imbalance": round(sizes[0] * len(sizes) / n, 2),
+        }

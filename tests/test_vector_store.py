@@ -326,3 +326,26 @@ def test_ivf_store_side_no_exchange_on_cell(spark, ivf_store):
     )
     assert not re.search(r"Exchange hashpartitioning\(cell_id", plan), plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_cell_balance_report(spark, ivf_store):
+    emb = _emb(spark)
+    ivf_store.index_batch(emb.where(F.col("vec_id") < 100))
+    rep = ivf_store.cell_balance()
+    assert rep["n_vecs"] == 100
+    assert 0 < rep["n_cells_used"] <= rep["n_cells_total"] == 8
+    # fractions are fractions; the top decile holds at least its share
+    assert 0 < rep["max_cell_frac"] <= rep["top_decile_frac"] <= 1.0
+    assert rep["imbalance"] >= 1.0
+    # internal consistency: max cell can't exceed the whole corpus and
+    # the report changes as the store grows
+    ivf_store.index_batch(emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150)))
+    rep2 = ivf_store.cell_balance()
+    assert rep2["n_vecs"] == 150
+
+
+def test_ivf_cell_balance_empty(spark):
+    from dod_etl_spark.streaming.vector_store import IvfVectorStore
+
+    s = IvfVectorStore(spark, table=f"ivf_none_{uuid.uuid4().hex[:8]}")
+    assert s.cell_balance() == {"n_vecs": 0, "n_cells_used": 0}
