@@ -43,6 +43,8 @@ WARMUP_S = float(os.environ.get("SPARK_GRAFT_STREAM_WARMUP", "10"))
 # "strict" (default, the driver-recorded number), "index" (posting
 # store ingestion: docs/sec through PostingStore.index_batch), "vector"
 # (ANN store ingestion: vecs/sec through VectorIndexStore.index_batch),
+# "sketch" (HLL distinct store: rows/sec through
+# HllSketchStore.update_batch with a closed-form accuracy check),
 # or "storm" (adversarial early-event scenario: a configurable fraction
 # of events arrives BEFORE its dimensions and must be held in gate
 # state — the reference's missing-data list reason for existing,
@@ -412,6 +414,106 @@ def main_vector() -> None:
     )
 
 
+def main_sketch() -> None:
+    """Sketch-store ingestion throughput: rate source -> (key, value)
+    -> foreachBatch HllSketchStore.update_batch (per-key HLL aggregate
+    + one bucketed append). The rate source's values are sequential, so
+    exact per-key distincts are known in closed form and the final
+    estimates' relative error is reported alongside throughput."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.session import get_spark
+    from dod_etl_spark.streaming.sketch_store import HllSketchStore
+
+    spark = get_spark("dod_etl_spark_bench_sketch")
+    tag = uuid.uuid4().hex[:8]
+    store = HllSketchStore(spark, table=f"bench_hll_{tag}")
+    tmp = tempfile.mkdtemp(prefix="bench_sketch_")
+
+    n_keys = 32
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(RPS))
+        .option("numPartitions", str(spark.sparkContext.defaultParallelism))
+        .load()
+    )
+    rows = rate.select(
+        (F.col("value") % n_keys).cast("string").alias("key"),
+        F.col("value").alias("value"),
+    )
+
+    batches: list[tuple[float, int]] = []
+    rows_seen: list[int] = []
+
+    def body(df, batch_id: int) -> None:
+        df = df.localCheckpoint(eager=True)
+        n = df.count()
+        store.update_batch(df)
+        rows_seen.append(n)
+        batches.append((time.perf_counter(), n))
+
+    q = (
+        rows.writeStream.foreachBatch(body)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    t0 = time.perf_counter()
+    deadline = t0 + WARMUP_S + WINDOW_S
+    while q.isActive and (time.perf_counter() < deadline or len(batches) < 3):
+        time.sleep(0.5)
+        if time.perf_counter() > t0 + 4 * (WARMUP_S + WINDOW_S):
+            break
+    snapshot = list(batches)
+    q.stop()
+    rows_total = sum(n for _, n in snapshot)
+    if len(snapshot) >= 2:
+        rows_window = sum(n for _, n in snapshot[1:])
+        window = max(snapshot[-1][0] - snapshot[0][0], 1e-9)
+    else:
+        rows_window = rows_total
+        window = max((snapshot[-1][0] - t0) if snapshot else 1e-9, 1e-9)
+    rps_measured = rows_window / window
+
+    # Accuracy snapshot: values are the integers [0, rows_total) modulo
+    # n_keys, so each key saw ceil/floor(rows_total / n_keys) distinct
+    # values — compare the served estimates.
+    est = {r["key"]: int(r["n_distinct"]) for r in store.estimates().collect()}
+    rels = []
+    for k, e in est.items():
+        exact = rows_total // n_keys + (1 if int(k) < rows_total % n_keys else 0)
+        if exact:
+            rels.append(abs(e - exact) / exact)
+    max_rel = round(max(rels), 4) if rels else None
+    n_store_rows = store.n_rows()
+    spark.sql(f"DROP TABLE IF EXISTS {store.table}")
+    print(
+        json.dumps(
+            {
+                "metric": "hll_sketch_rows_per_sec",
+                "value": round(rps_measured, 1),
+                "unit": "rows/sec",
+                "queries": {"hll_store_update": round(rps_measured, 1)},
+                "sf": 0.0,
+                "rows_total": rows_total,
+                "store_rows": n_store_rows,
+                "n_keys": n_keys,
+                "max_rel_error": max_rel,
+                "micro_batches": len(snapshot),
+                "rows_per_sec_offered": RPS,
+                "window_s": round(window, 1),
+                "protocol": {
+                    "source": "rate (oversupplied), key = value % 32",
+                    "sink": "HllSketchStore.update_batch (per-key HLL agg + bucketed append)",
+                    "measure": "rows after first batch / batch-boundary window",
+                    "accuracy": "closed-form exact distincts from the sequential source",
+                },
+            }
+        )
+    )
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -549,5 +651,7 @@ if __name__ == "__main__":
         main_vector()
     elif SCENARIO == "storm":
         main_storm()
+    elif SCENARIO == "sketch":
+        main_sketch()
     else:
         main()
