@@ -228,7 +228,10 @@ def connected_components(
         out = base.select("node").join(star_lab, "node", "left").select(
             "node", F.coalesce(F.col("label"), F.col("node")).alias("component")
         )
-        return out
+        # Downstream contract (pinned by the dedup_clusters plan
+        # budget): consumers see a checkpointed node-sized frame with
+        # ZERO further exchanges, regardless of which CC path ran.
+        return out.localCheckpoint(eager=True)
 
     sym = _coalesce_for_rounds(
         _symmetrize(edges, src_col, dst_col).localCheckpoint(eager=True)
@@ -253,9 +256,15 @@ def connected_components(
     star_lab = star_lab.select(
         F.col("node").alias("_sn"), F.col("label").alias("_sl")
     )
-    return labels.join(star_lab, labels.label == F.col("_sn"), "left").select(
+    out = labels.join(star_lab, labels.label == F.col("_sn"), "left").select(
         "node", F.coalesce(F.col("_sl"), F.col("label")).alias("component")
     )
+    # Same downstream contract as the pure-star path: the star-compose
+    # lineage (metadata-sized — labels + contracted-graph labels) ends
+    # at a checkpoint, so consumers' plans stay exchange-free whether
+    # propagation converged or the star phase engaged (with
+    # switch_after=2 the chain-shaped corpora take this path).
+    return out.localCheckpoint(eager=True)
 
 
 def dedup_cluster_assignments(
