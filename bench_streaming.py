@@ -476,13 +476,17 @@ def main_sketch() -> None:
         window = max((snapshot[-1][0] - t0) if snapshot else 1e-9, 1e-9)
     rps_measured = rows_window / window
 
-    # Accuracy snapshot: values are the integers [0, rows_total) modulo
-    # n_keys, so each key saw ceil/floor(rows_total / n_keys) distinct
-    # values — compare the served estimates.
+    # Accuracy snapshot: values are the integers [0, n_acc) modulo
+    # n_keys, so each key saw ceil/floor(n_acc / n_keys) distinct
+    # values. n_acc re-reads the batch list AFTER stop() — batches
+    # that completed between the throughput snapshot and the stop are
+    # in the store, and comparing against the stale rows_total would
+    # read as a fake positive bias.
+    n_acc = sum(n for _, n in list(batches))
     est = {r["key"]: int(r["n_distinct"]) for r in store.estimates().collect()}
     rels = []
     for k, e in est.items():
-        exact = rows_total // n_keys + (1 if int(k) < rows_total % n_keys else 0)
+        exact = n_acc // n_keys + (1 if int(k) < n_acc % n_keys else 0)
         if exact:
             rels.append(abs(e - exact) / exact)
     max_rel = round(max(rels), 4) if rels else None

@@ -24,9 +24,13 @@ is register-wise max:
   `merge_rows()` (maintenance) collapses each key back to one row with
   the identical sketch.
 
-Error posture: lg_config_k=12 gives ~1.6% relative standard error at
-any cardinality, 2-3 KB per key; the floor is pinned against exact
-distinct in tests. Estimates are DETERMINISTIC functions of the input
+Error posture: lg_config_k=12 gives ~1.6% relative STANDARD error
+(mean observed 1.5% at 200k/key), 2-3 KB per key — but the max over
+many keys rides the sketch's error tail (observed up to ~6-8% worst
+key of 32 at 200k cardinality; measured, not gaussian-extrapolated).
+The union path adds exactly zero: a 64-slice union was verified
+bit-equal to the single-shot sketch per key. The per-key floor is
+pinned against exact distinct in tests. Estimates are DETERMINISTIC functions of the input
 SET (hashing is seedless), so split-invariance holds exactly: any
 batch partitioning of the same rows yields bit-identical estimates.
 
