@@ -111,26 +111,34 @@ class NearDupStore:
     (different md5, shared signature band) seen once is never emitted
     again, across micro-batches and restarts.
 
-    Two append-only bucketed tables:
+    Three append-only tables:
 
     - `fp_table` (fp) bucketed by fp: the exact seen-set;
-    - `band_table` (bh, fp) bucketed by bh, where bh = band_index ':'
-      band_hash fused into ONE key — equality on bh is exactly
-      equality on (band, band_hash), and a single-column key is what
-      lets the membership probe ride the bucket layout (a two-column
-      join on a one-column bucketing cannot). `fp` is the owning
-      document's fingerprint: a band row only suppresses once its fp
-      is COMMITTED in fp_table (see the torn-batch note below).
+    - `band_table` (bh, batch_id) bucketed by bh, where bh =
+      band_index ':' band_hash fused into ONE key — equality on bh is
+      exactly equality on (band, band_hash), and a single-column key
+      is what lets the membership probe ride the bucket layout (a
+      two-column join on a one-column bucketing cannot);
+    - `commit_table` (batch_id): ONE row per successfully completed
+      batch — metadata-sized forever, so it broadcasts. A band row
+      only suppresses once its batch_id is committed AND is not the
+      CURRENT batch (see the torn-batch note below). Batch-granular
+      commits keep the probe a pure semi-join: a per-ROW committed-fp
+      guard would need an inner bh-join whose fan-out is the band's
+      history frequency — a degenerate band (empty-ish docs,
+      boilerplate) shared by 10^6 history docs would explode the
+      candidate frame; the batch filter instead rides a broadcast
+      hash join on the band-table SCAN, zero fan-out.
 
     Per batch: collapse within-batch exact duplicates (min id_col
     representative), drop exact history hits (anti-join on fp), band
     the remainder with the SAME minhash parameters as the batch
-    operators, drop any doc sharing ANY band with history (semi-join
-    on (band, band_hash) -> anti-join on id), then append the
-    survivors' fps AND bands. Both joins probe the store on its bucket
-    key, so the corpus-sized store side never shuffles — only the
-    micro-batch hashes into the layout (plan-pinned in
-    tests/test_neardup_store.py).
+    operators, drop any doc sharing ANY band with committed history
+    (semi-join on bh -> anti-join on id), then append the survivors'
+    bands, the batch commit record, and the fps — in that order. Both
+    membership probes ride the store's bucket key, so the corpus-sized
+    store side never shuffles — only the micro-batch hashes into the
+    layout (plan-pinned in tests/test_neardup_store.py).
 
     Semantics are the batch `incremental_dedup_docs`
     (queries/llm.py:2278) applied per micro-batch: incoming-vs-HISTORY
@@ -146,6 +154,7 @@ class NearDupStore:
     spark: SparkSession
     fp_table: str = "neardup_fps"
     band_table: str = "neardup_bands"
+    commit_table: str = "neardup_commits"
     n_buckets: int = 64
     num_hashes: int = 8
     band_size: int = 4
@@ -162,22 +171,40 @@ class NearDupStore:
             )
         if not self.spark.catalog.tableExists(self.band_table):
             (
-                self.spark.createDataFrame([], "bh string, fp string")
+                self.spark.createDataFrame([], "bh string, batch_id long")
                 .write.format("parquet")
                 .bucketBy(self.n_buckets, "bh")
                 .sortBy("bh")
                 .saveAsTable(self.band_table)
             )
+        if not self.spark.catalog.tableExists(self.commit_table):
+            # metadata-sized (one row per batch): no bucketing needed,
+            # it broadcasts into the band-scan filter.
+            self.spark.createDataFrame([], "batch_id long").write.format(
+                "parquet"
+            ).saveAsTable(self.commit_table)
+
+    def _next_batch_id(self) -> int:
+        row = self.spark.table(self.commit_table).agg(
+            F.max("batch_id").alias("m")
+        ).first()
+        return int(row["m"]) + 1 if row["m"] is not None else 0
 
     def dedup_batch(
         self,
         batch: DataFrame,
         content_col: str = "text",
         id_col: str = "doc_id",
+        batch_id: int | None = None,
     ) -> DataFrame:
         """foreachBatch body: returns the rows of `batch` that are
         neither exact nor near (band-colliding) duplicates of anything
-        emitted before, and records their fingerprints and bands."""
+        emitted before, and records their bands, the batch commit, and
+        their fingerprints. Pass the foreachBatch `batch_id` (stable
+        across replays — that stability is what makes a torn batch's
+        own orphan bands inert on ITS replay); direct batch callers may
+        omit it and get a fresh id (replay semantics then require the
+        caller to re-pass the same id)."""
         from dod_etl_spark.operators.text_dedup import (
             minhash_bands,
             minhash_signatures,
@@ -220,45 +247,54 @@ class NearDupStore:
             )
             .localCheckpoint(eager=True)
         )
-        # Committed-fp guard (advisor r7): a band row only counts as
-        # history once its owning fp is in fp_table. Without it, a
-        # batch that crashed between the two appends would be
-        # suppressed BY ITS OWN orphan bands on replay — its documents
-        # never emitted downstream and their fps never recorded
-        # (permanent loss, strictly worse than the documented
-        # over-suppression). Structured Streaming replays the failed
-        # batch before any successor, so excluding orphans cannot leak
-        # a paraphrase past the torn batch: the replay re-appends the
-        # bands and commits them. Plan shape: the bh join probes the
-        # band store on its bucket key (store side no exchange), and
-        # the fp guard runs on the RESULT — a batch-sized candidate
-        # frame — against the fp-bucketed seen-set.
-        seen_bands = self.spark.table(self.band_table)
-        collisions = bands.join(seen_bands, "bh").select(
-            id_col, F.col("fp").alias("_hist_fp")
+        # Committed-batch guard (advisor r7, reworked for scale): a
+        # band row only counts as history once its batch_id is
+        # committed AND is not the current batch. Without a guard, a
+        # batch that crashed between appends would be suppressed BY
+        # ITS OWN orphan bands on replay — documents never emitted,
+        # fps never recorded (permanent loss, strictly worse than the
+        # documented over-suppression). The batch filter is a
+        # broadcast hash semi-join applied to the band-table SCAN
+        # (commit_table is one row per batch, metadata forever), so
+        # the history probe stays a pure bh semi-join with ZERO
+        # fan-out — a per-row committed-fp guard would instead need an
+        # inner bh-join whose fan-out is the band's history frequency
+        # (degenerate bands: unbounded). Excluding the CURRENT
+        # batch_id (not just uncommitted ones) is what makes the
+        # post-commit crash window safe: on that replay the bands are
+        # already committed, but they are the batch's OWN.
+        if batch_id is None:
+            batch_id = self._next_batch_id()
+        committed = self.spark.table(self.commit_table).where(
+            F.col("batch_id") != F.lit(int(batch_id))
         )
-        committed = self.spark.table(self.fp_table).select(
-            F.col("fp").alias("_hist_fp")
+        seen_bands = self.spark.table(self.band_table).join(
+            F.broadcast(committed), "batch_id", "left_semi"
         )
         near_dup_ids = (
-            collisions.join(committed, "_hist_fp", "left_semi")
-            .select(id_col)
-            .distinct()
+            bands.join(seen_bands, "bh", "left_semi").select(id_col).distinct()
         )
         fresh = exact_fresh.join(near_dup_ids, id_col, "left_anti").localCheckpoint(
             eager=True
         )
-        # Bands first, fp commit record last: committing fps first and
-        # crashing before the band append would make the replay guard
-        # skip the docs forever, so their bands would NEVER land and
-        # every later paraphrase would leak. With bands first, a torn
-        # batch leaves orphan bands that the committed-fp guard ignores
-        # until the replay re-appends and commits them (the redundant
-        # orphan copies are harmless duplicates thereafter).
-        bands.join(fresh.select(id_col, "fp"), id_col).select(
-            "bh", "fp"
+        # Append order: bands -> batch commit -> fps. Any crash window
+        # replays losslessly under the own-batch exclusion:
+        #  - before the commit: orphan bands are inert everywhere;
+        #  - between commit and fps: bands are live for OTHER batches
+        #    (no paraphrase leak) but excluded for this batch's replay
+        #    (no self-suppression), and the fps-absent docs re-emit
+        #    (at-least-once, the foreachBatch contract);
+        #  - fps-first instead would make the replay guard skip the
+        #    docs forever, so their bands would never land and every
+        #    later paraphrase would leak.
+        bands.join(fresh.select(id_col), id_col, "left_semi").select(
+            "bh", F.lit(int(batch_id)).alias("batch_id")
         ).write.insertInto(self.band_table, overwrite=False)
+        self.spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).write.insertInto(self.commit_table, overwrite=False)
         fresh.select("fp").write.insertInto(self.fp_table, overwrite=False)
+        self.spark.catalog.refreshTable(self.commit_table)
         self.spark.catalog.refreshTable(self.fp_table)
         self.spark.catalog.refreshTable(self.band_table)
         return fresh.drop("fp")
@@ -269,14 +305,16 @@ class NearDupStore:
         return self.spark.table(self.fp_table).count()
 
     def compact(self) -> dict:
-        """Compact both membership tables (streaming/maintenance.py);
-        maintenance-window only. Orphan band rows from torn batches are
-        rewritten as-is — they stay inert under the committed-fp guard
-        until their batch's replay commits them."""
+        """Compact all three tables (streaming/maintenance.py);
+        maintenance-window only. Orphan band rows from torn batches
+        are rewritten as-is — they stay inert under the
+        committed-batch guard until their batch's replay commits
+        them. The commit table (one row AND one file per batch) gets
+        the single-file rewrite."""
         from dod_etl_spark.streaming.maintenance import compact_store
 
         return compact_store(
             self.spark,
-            {self.fp_table: "fp", self.band_table: "bh"},
+            {self.fp_table: "fp", self.band_table: "bh", self.commit_table: None},
             self.n_buckets,
         )

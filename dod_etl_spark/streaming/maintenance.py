@@ -110,11 +110,39 @@ def compact_bucketed_table(
     }
 
 
-def compact_store(spark: SparkSession, tables: dict[str, str], n_buckets: int) -> dict:
-    """Compact several {table: bucket_key} tables of one store; skips
-    tables that do not exist yet. Returns per-table stats."""
+def compact_plain_table(spark: SparkSession, table: str) -> dict:
+    """Compact an UNBUCKETED metadata-sized table (e.g. a commit-record
+    table that gains one file per batch) to a single file. Same
+    staging-swap crash discipline as the bucketed path."""
+    recover_compaction(spark, table)
+    tmp = _staging_name(table)
+    files_before = len(spark.table(table).inputFiles())
+    spark.table(table).coalesce(1).write.format("parquet").saveAsTable(tmp)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.catalog.refreshTable(table)
+    out = spark.table(table)
     return {
-        t: compact_bucketed_table(spark, t, k, n_buckets)
-        for t, k in tables.items()
-        if spark.catalog.tableExists(t) or spark.catalog.tableExists(_staging_name(t))
+        "files_before": files_before,
+        "files_after": len(out.inputFiles()),
+        "rows": out.count(),
     }
+
+
+def compact_store(spark: SparkSession, tables: dict[str, str], n_buckets: int) -> dict:
+    """Compact several {table: bucket_key} tables of one store; a None
+    key means an unbucketed metadata table (single-file rewrite).
+    Skips tables that do not exist yet. Returns per-table stats."""
+    out = {}
+    for t, k in tables.items():
+        if not (
+            spark.catalog.tableExists(t)
+            or spark.catalog.tableExists(_staging_name(t))
+        ):
+            continue
+        out[t] = (
+            compact_plain_table(spark, t)
+            if k is None
+            else compact_bucketed_table(spark, t, k, n_buckets)
+        )
+    return out

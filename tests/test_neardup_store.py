@@ -37,10 +37,11 @@ def store(spark):
         spark,
         fp_table=f"nd_fp_{tag}",
         band_table=f"nd_band_{tag}",
+        commit_table=f"nd_cmt_{tag}",
         n_buckets=4,
     )
     yield s
-    for t in (s.fp_table, s.band_table):
+    for t in (s.fp_table, s.band_table, s.commit_table):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
@@ -92,36 +93,52 @@ def test_paraphrase_suppressed_across_batches(spark, store):
     assert store.seen_count() == 2  # BASE + NOVEL only
 
 
-def test_torn_batch_replay_recovers_documents(spark, store):
-    """Advisor r7: a crash between the band append and the fp append
-    used to make the replayed batch suppress ITSELF via its own orphan
-    bands — documents permanently lost. The committed-fp guard ignores
-    bands whose owning fp is not committed, so the replay emits the
-    docs, commits their fps, and later paraphrases are still
-    suppressed."""
-    b0 = spark.createDataFrame([(1, NOVEL)], "doc_id long, text string")
-    assert store.dedup_batch(b0).count() == 1
-
-    # Authentic torn state: a clone sharing the BAND table but
-    # committing fps elsewhere runs the full batch body — bands land
-    # in store's band table, fps do not land in store's fp table.
-    clone = NearDupStore(
+def _clone(spark, store, fp_table=None, commit_table=None):
+    return NearDupStore(
         spark,
-        fp_table=f"{store.fp_table}_torn",
+        fp_table=fp_table or store.fp_table,
         band_table=store.band_table,
+        commit_table=commit_table or store.commit_table,
         n_buckets=store.n_buckets,
         num_hashes=store.num_hashes,
         band_size=store.band_size,
         shingle_len=store.shingle_len,
     )
+
+
+def _drop(spark, *tables):
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+
+def test_torn_batch_replay_recovers_documents(spark, store):
+    """Advisor r7 (reworked to batch-granular commits): a crash between
+    the band append and the batch commit used to make the replayed
+    batch suppress ITSELF via its own orphan bands — documents
+    permanently lost. Uncommitted bands are inert, so the replay emits
+    the docs and commits; later paraphrases are still suppressed."""
+    b0 = spark.createDataFrame([(1, NOVEL)], "doc_id long, text string")
+    assert store.dedup_batch(b0, batch_id=0).count() == 1
+
+    # Authentic torn state (crash BEFORE the commit): a clone sharing
+    # the band table but committing elsewhere runs the full body —
+    # bands land in store's band table, neither the commit record nor
+    # the fps land in store's tables.
+    clone = _clone(
+        spark, store,
+        fp_table=f"{store.fp_table}_torn",
+        commit_table=f"{store.commit_table}_torn",
+    )
     try:
         torn = spark.createDataFrame([(2, BASE)], "doc_id long, text string")
-        assert clone.dedup_batch(torn).count() == 1
+        assert clone.dedup_batch(torn, batch_id=1).count() == 1
         assert store.seen_count() == 1  # BASE's fp NOT committed here
 
-        # The replay: must emit BASE (not self-suppress on the orphan
-        # bands) and commit its fp.
-        out = {r["doc_id"] for r in store.dedup_batch(torn).collect()}
+        # The replay (same batch_id, the foreachBatch contract): must
+        # emit BASE, not self-suppress on the orphan bands.
+        out = {r["doc_id"] for r in store.dedup_batch(torn, batch_id=1).collect()}
         assert out == {2}, "torn batch's document was lost on replay"
         assert store.seen_count() == 2
 
@@ -129,11 +146,34 @@ def test_torn_batch_replay_recovers_documents(spark, store):
         b2 = spark.createDataFrame(
             [(3, PARAPHRASE), (4, BASE)], "doc_id long, text string"
         )
-        assert store.dedup_batch(b2).count() == 0
+        assert store.dedup_batch(b2, batch_id=2).count() == 0
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {clone.fp_table}")
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(f"{wh}/{clone.fp_table}", ignore_errors=True)
+        _drop(spark, clone.fp_table, clone.commit_table)
+
+
+def test_torn_after_commit_replay_reemits(spark, store):
+    """The OTHER crash window (bands + commit landed, fps did not):
+    the batch's own bands are committed on replay, but the
+    own-batch_id exclusion keeps them from self-suppressing — the
+    docs re-emit (at-least-once) and their fps finally land; other
+    batches see the bands as live history throughout (no paraphrase
+    leak)."""
+    clone = _clone(spark, store, fp_table=f"{store.fp_table}_torn2")
+    try:
+        torn = spark.createDataFrame([(2, BASE)], "doc_id long, text string")
+        assert clone.dedup_batch(torn, batch_id=5).count() == 1
+        assert store.seen_count() == 0  # fps went to the clone table
+
+        # live for OTHER batches even before the replay:
+        para = spark.createDataFrame([(7, PARAPHRASE)], "doc_id long, text string")
+        assert store.dedup_batch(para, batch_id=6).count() == 0
+
+        # the replay itself re-emits and completes the fp append
+        out = {r["doc_id"] for r in store.dedup_batch(torn, batch_id=5).collect()}
+        assert out == {2}
+        assert store.seen_count() == 1
+    finally:
+        _drop(spark, clone.fp_table)
 
 
 def test_streaming_drive_suppresses_paraphrase(spark, store, tmp_path):
@@ -153,7 +193,9 @@ def test_streaming_drive_suppresses_paraphrase(spark, store, tmp_path):
     emitted = []
 
     def body(df, bid):
-        emitted.extend(r["doc_id"] for r in store.dedup_batch(df).collect())
+        emitted.extend(
+            r["doc_id"] for r in store.dedup_batch(df, batch_id=bid).collect()
+        )
 
     q = (
         spark.readStream.schema("doc_id long, text string")
@@ -221,12 +263,22 @@ def test_store_side_scans_are_bucketed(spark, store):
             band_size=store.band_size,
             num_hashes=store.num_hashes,
         ).select(F.concat_ws(":", F.col("band"), F.col("band_hash")).alias("bh"))
+        # mirror the real probe: committed-batch broadcast filter ON
+        # THE SCAN, then the bh semi-join — the band table must still
+        # read through its bucket layout (the broadcast semi adds no
+        # exchange), and the probe must stay a semi-join (zero fan-out
+        # even for a degenerate band shared by the whole corpus).
+        committed = F.broadcast(spark.table(store.commit_table))
+        seen = spark.table(store.band_table).join(
+            committed, "batch_id", "left_semi"
+        )
         band_plan = (
-            bands.join(spark.table(store.band_table), "bh", "left_semi")
+            bands.join(seen, "bh", "left_semi")
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
         assert "Bucketed: true" in band_plan
+        assert "CartesianProduct" not in band_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
