@@ -80,7 +80,13 @@ class FingerprintStore:
         # same rows even though the anti-join is lazily re-evaluated
         # (appending first would erase fresh on re-evaluation).
         fresh = fresh.localCheckpoint(eager=True)
-        fresh.select("fp").write.insertInto(self.table, overwrite=False)
+        from dod_etl_spark.streaming.maintenance import bucket_align
+
+        # align the append to the bucket layout: ≤ one file per bucket
+        # per batch instead of one per (task, bucket)
+        bucket_align(fresh.select("fp"), "fp", self.n_buckets).write.insertInto(
+            self.table, overwrite=False
+        )
         # foreachBatch hands us a DataFrame bound to a CLONED session;
         # the append above commits through that clone, leaving the main
         # session's cached file listing for the table stale. Without the
@@ -287,13 +293,21 @@ class NearDupStore:
         #  - fps-first instead would make the replay guard skip the
         #    docs forever, so their bands would never land and every
         #    later paraphrase would leak.
-        bands.join(fresh.select(id_col), id_col, "left_semi").select(
-            "bh", F.lit(int(batch_id)).alias("batch_id")
+        from dod_etl_spark.streaming.maintenance import bucket_align
+
+        bucket_align(
+            bands.join(fresh.select(id_col), id_col, "left_semi").select(
+                "bh", F.lit(int(batch_id)).alias("batch_id")
+            ),
+            "bh",
+            self.n_buckets,
         ).write.insertInto(self.band_table, overwrite=False)
         self.spark.createDataFrame(
             [(int(batch_id),)], "batch_id long"
         ).write.insertInto(self.commit_table, overwrite=False)
-        fresh.select("fp").write.insertInto(self.fp_table, overwrite=False)
+        bucket_align(fresh.select("fp"), "fp", self.n_buckets).write.insertInto(
+            self.fp_table, overwrite=False
+        )
         self.spark.catalog.refreshTable(self.commit_table)
         self.spark.catalog.refreshTable(self.fp_table)
         self.spark.catalog.refreshTable(self.band_table)

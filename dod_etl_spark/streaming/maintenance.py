@@ -146,3 +146,20 @@ def compact_store(spark: SparkSession, tables: dict[str, str], n_buckets: int) -
             else compact_bucketed_table(spark, t, k, n_buckets)
         )
     return out
+
+
+def bucket_align(df, key: str, n_buckets: int):
+    """Repartition a (batch-sized, computed) frame to match a bucketed
+    table's layout before insertInto. Without this, every write task
+    emits one file per bucket it holds — up to tasks x buckets files
+    PER MICRO-BATCH; aligned, each batch appends at most one file per
+    bucket, cutting steady-state file growth by the task count and
+    stretching the compact() cadence by the same factor. The exchange
+    this adds is batch-sized (the frames being appended are
+    micro-batch outputs, never corpus-sized). Matching works because
+    repartition(n, col) IS the bucket hash (Murmur3 pmod n); it is not
+    elided here because the input is a computed frame, not a bucketed
+    scan."""
+    from pyspark.sql import functions as F
+
+    return df.repartition(n_buckets, F.col(key))

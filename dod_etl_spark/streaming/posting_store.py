@@ -116,8 +116,16 @@ class PostingStore:
         # postings first, docs commit record last: a replay after a
         # crash in between re-runs the anti-join against the OLD docs
         # table and would re-append — repair() reconciles that window.
-        postings.write.insertInto(self.table, overwrite=False)
-        fresh.select("doc_id", "dl").write.insertInto(self.docs_table, overwrite=False)
+        from dod_etl_spark.streaming.maintenance import bucket_align
+
+        # bucket-aligned appends: ≤ one file per bucket per batch
+        # instead of one per (task, bucket)
+        bucket_align(postings, "tok", self.n_buckets).write.insertInto(
+            self.table, overwrite=False
+        )
+        bucket_align(
+            fresh.select("doc_id", "dl"), "doc_id", self.n_buckets
+        ).write.insertInto(self.docs_table, overwrite=False)
         self.spark.catalog.refreshTable(self.table)
         self.spark.catalog.refreshTable(self.docs_table)
         return fresh.count()

@@ -84,6 +84,10 @@ class HllSketchStore:
             .groupBy("key")
             .agg(F.hll_sketch_agg("_v", F.lit(self.lg_config_k)).alias("sketch"))
         )
+        from dod_etl_spark.streaming.maintenance import bucket_align
+
+        # ≤ one file per bucket per batch (see maintenance.bucket_align)
+        rows = bucket_align(rows, "key", self.n_buckets)
         rows.write.insertInto(self.table, overwrite=False)
         self.spark.catalog.refreshTable(self.table)
         return rows.count()

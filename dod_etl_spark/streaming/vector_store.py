@@ -127,8 +127,15 @@ class VectorIndexStore:
         )
         # bucket rows first, commit record last: a crash in between
         # leaves orphans that repair() reconciles and search() excludes.
-        rows.write.insertInto(self.table, overwrite=False)
-        fresh.select("vec_id").write.insertInto(self.vecs_table, overwrite=False)
+        # Appends are bucket-aligned: ≤ one file per bucket per batch.
+        from dod_etl_spark.streaming.maintenance import bucket_align
+
+        bucket_align(rows, "bucket", self.n_buckets).write.insertInto(
+            self.table, overwrite=False
+        )
+        bucket_align(
+            fresh.select("vec_id"), "vec_id", self.n_buckets
+        ).write.insertInto(self.vecs_table, overwrite=False)
         self.spark.catalog.refreshTable(self.table)
         self.spark.catalog.refreshTable(self.vecs_table)
         return fresh.count()
@@ -343,8 +350,14 @@ class IvfVectorStore:
         assigned = _cell_assigner(self._cents(), dim, "vec_id", "embedding")(
             fresh, "vec_id", "embedding", "vnorm", 1
         ).select("cell_id", "vec_id", "embedding", "vnorm")
-        assigned.write.insertInto(self.table, overwrite=False)
-        fresh.select("vec_id").write.insertInto(self.vecs_table, overwrite=False)
+        from dod_etl_spark.streaming.maintenance import bucket_align
+
+        bucket_align(assigned, "cell_id", self.n_buckets).write.insertInto(
+            self.table, overwrite=False
+        )
+        bucket_align(
+            fresh.select("vec_id"), "vec_id", self.n_buckets
+        ).write.insertInto(self.vecs_table, overwrite=False)
         self.spark.catalog.refreshTable(self.table)
         self.spark.catalog.refreshTable(self.vecs_table)
         return fresh.count()

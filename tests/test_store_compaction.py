@@ -195,3 +195,22 @@ def test_vector_store_search_and_plan_survive_compact(spark):
         ) == 10
     finally:
         _cleanup(spark, store.table, store.vecs_table)
+
+
+def test_appends_are_bucket_aligned(spark, posting_store):
+    """Each micro-batch appends at most one file per bucket (the batch
+    side repartitions into the bucket layout before insertInto) — not
+    one per (task, bucket), which would multiply file growth by the
+    cluster's task count."""
+    wide = _doc_batch(spark, 0, 200).repartition(16)  # many write tasks
+    posting_store.index_batch(wide)
+    assert len(spark.table(posting_store.table).inputFiles()) <= posting_store.n_buckets
+    assert (
+        len(spark.table(posting_store.docs_table).inputFiles())
+        <= posting_store.n_buckets
+    )
+    posting_store.index_batch(_doc_batch(spark, 200, 300).repartition(16))
+    assert (
+        len(spark.table(posting_store.table).inputFiles())
+        <= 2 * posting_store.n_buckets
+    )
