@@ -67,6 +67,8 @@ PROBE_QUERIES = [
     "bpe_merges_docs",       # vocab-frame merge rounds (vocab fixed!)
     "exact_substring_scrub_docs",  # r7 de-skewed dup-gram stage
     "source_overlap_jaccard",      # bounded-fanout shingle self-join
+    "kn_lm_score_docs",            # r8: bigram model build + score join
+    "hard_triplet_mining",         # r8: broadcast-anchor corpus pass
 ]
 
 # Exact pair-emitters: OUTPUT (and therefore time) is inherently
@@ -105,6 +107,24 @@ def build_fixture(spark, factor: int) -> str:
     for r in reps[1:]:
         df = df.unionByName(r)
     df.repartition(32).write.mode("overwrite").parquet(out)
+    # embeddings twin for the vector-reading probes (identical vectors
+    # under shifted ids: output shape unchanged, input scales by factor)
+    emb = load_table(spark, BASE_SF, "embeddings")
+    ne = emb.count()
+    ereps = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * ne)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for i in range(factor)
+    ]
+    edf = ereps[0]
+    for r in ereps[1:]:
+        edf = edf.unionByName(r)
+    edf.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(path, "embeddings.parquet")
+    )
     return path
 
 
