@@ -107,6 +107,10 @@ def _count(plan: str, op: str) -> int:
         # Rule battery is pure array arithmetic in the scan stage: any
         # exchange is a regression.
         ("gopher_rules_docs", 0),
+        # Readability / blocklist signals are map-only regexp + array
+        # scans: any exchange is a regression.
+        ("readability_score_docs", 0),
+        ("blocklist_score_docs", 0),
         # Single-shuffle fold aggregations / one window shuffle.
         ("ewma_user_value", 1),
         ("purchase_attribution", 1),
