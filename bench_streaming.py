@@ -45,6 +45,8 @@ WARMUP_S = float(os.environ.get("SPARK_GRAFT_STREAM_WARMUP", "10"))
 # (ANN store ingestion: vecs/sec through VectorIndexStore.index_batch),
 # "sketch" (HLL distinct store: rows/sec through
 # HllSketchStore.update_batch with a closed-form accuracy check),
+# "clusters" (incremental connected-components: edges/sec through
+# ClusterStore.add_edges, with ongoing cross-hub merges),
 # or "storm" (adversarial early-event scenario: a configurable fraction
 # of events arrives BEFORE its dimensions and must be held in gate
 # state — the reference's missing-data list reason for existing,
@@ -518,6 +520,103 @@ def main_sketch() -> None:
     )
 
 
+def main_clusters() -> None:
+    """Incremental-CC store ingestion throughput: rate source -> two
+    edges per value — (v, v mod 1009) registers v under one of ~1009
+    hubs, (v mod 1009, v mod 997) steadily merges hubs across batches —
+    through ClusterStore.add_edges. Every batch therefore exercises
+    BOTH paths (new-node registration and existing-component merges);
+    correctness of the labels themselves is pinned per-prefix in
+    tests/test_cluster_store.py, so this scenario reports throughput
+    plus the final store shape."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.session import get_spark
+    from dod_etl_spark.streaming.cluster_store import ClusterStore
+
+    spark = get_spark("dod_etl_spark_bench_clusters")
+    tag = uuid.uuid4().hex[:8]
+    store = ClusterStore(
+        spark,
+        labels_table=f"bench_ccl_{tag}",
+        remaps_table=f"bench_ccr_{tag}",
+        commits_table=f"bench_ccc_{tag}",
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_clusters_")
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(RPS))
+        .option("numPartitions", str(spark.sparkContext.defaultParallelism))
+        .load()
+    )
+    edges = rate.select(F.col("value").alias("src"), (F.col("value") % 1009).alias("dst")).unionByName(
+        rate.select(
+            (F.col("value") % 1009).alias("src"), (F.col("value") % 997).alias("dst")
+        )
+    )
+
+    batches: list[tuple[float, int]] = []
+    merges_total = [0]
+
+    def body(df, batch_id: int) -> None:
+        df = df.localCheckpoint(eager=True)
+        n = df.count()
+        out = store.add_edges(df, batch_id=batch_id)
+        merges_total[0] += out["merges"]
+        batches.append((time.perf_counter(), n))
+
+    q = (
+        edges.writeStream.foreachBatch(body)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    t0 = time.perf_counter()
+    deadline = t0 + WARMUP_S + WINDOW_S
+    while q.isActive and (time.perf_counter() < deadline or len(batches) < 3):
+        time.sleep(0.5)
+        if time.perf_counter() > t0 + 4 * (WARMUP_S + WINDOW_S):
+            break
+    snapshot = list(batches)
+    q.stop()
+    rows_total = sum(n for _, n in snapshot)
+    if len(snapshot) >= 2:
+        rows_window = sum(n for _, n in snapshot[1:])
+        window = max(snapshot[-1][0] - snapshot[0][0], 1e-9)
+    else:
+        rows_window = rows_total
+        window = max((snapshot[-1][0] - t0) if snapshot else 1e-9, 1e-9)
+    rps_measured = rows_window / window
+    n_nodes, n_comps = store.n_nodes(), store.n_components()
+    for t in (store.labels_table, store.remaps_table, store.commits_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    print(
+        json.dumps(
+            {
+                "metric": "cluster_store_edges_per_sec",
+                "value": round(rps_measured, 1),
+                "unit": "edges/sec",
+                "queries": {"cluster_store_add_edges": round(rps_measured, 1)},
+                "sf": 0.0,
+                "edges_total": rows_total,
+                "nodes": n_nodes,
+                "components": n_comps,
+                "merges": merges_total[0],
+                "micro_batches": len(snapshot),
+                "rows_per_sec_offered": RPS,
+                "window_s": round(window, 1),
+                "protocol": {
+                    "source": "rate (oversupplied), edges (v, v%1009) + (v%1009, v%997)",
+                    "sink": "ClusterStore.add_edges (resolve -> contract -> star -> append)",
+                    "measure": "edges after first batch / batch-boundary window",
+                },
+            }
+        )
+    )
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -657,5 +756,7 @@ if __name__ == "__main__":
         main_storm()
     elif SCENARIO == "sketch":
         main_sketch()
+    elif SCENARIO == "clusters":
+        main_clusters()
     else:
         main()
