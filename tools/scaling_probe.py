@@ -299,9 +299,87 @@ def bpe_round_probe(n_merges: int = 100) -> None:
     spark.stop()
 
 
+def cluster_store_probe(n_batches: int = 16, batch_edges: int = 20000) -> None:
+    """Incremental-CC store: per-batch add_edges wall time must stay
+    flat as the STORE grows (the maintain-don't-rebuild claim —
+    per-batch work is batch-sized, independent of history). Feeds
+    `n_batches` equal batches of the hub-merge edge pattern the
+    streaming bench uses — (v, v%1009) registers under ~1009 hubs,
+    (v%1009, v%997) keeps merging existing components, so every batch
+    exercises registration AND merge paths against ever-larger state —
+    then fits seconds-per-batch over the batch index (~0 = flat)."""
+    import uuid
+
+    from dod_etl_spark.streaming.cluster_store import ClusterStore
+
+    spark = get_spark("cluster_store_probe")
+    tag = uuid.uuid4().hex[:8]
+    store = ClusterStore(
+        spark,
+        labels_table=f"probe_ccl_{tag}",
+        remaps_table=f"probe_ccr_{tag}",
+        commits_table=f"probe_ccc_{tag}",
+    )
+
+    def fit(ys):
+        xs = list(range(len(ys)))
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        denom = sum((x - mx) ** 2 for x in xs)
+        return (
+            round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 5)
+            if denom
+            else None
+        )
+
+    secs, merges = [], []
+    for b in range(n_batches):
+        lo = b * batch_edges
+        vals = spark.range(lo, lo + batch_edges).select(F.col("id").alias("v"))
+        edges = vals.select(
+            F.col("v").alias("src"), (F.col("v") % 1009).alias("dst")
+        ).unionByName(
+            vals.select(
+                (F.col("v") % 1009).alias("src"), (F.col("v") % 997).alias("dst")
+            )
+        )
+        t0 = time.perf_counter()
+        out = store.add_edges(edges, batch_id=b)
+        secs.append(round(time.perf_counter() - t0, 3))
+        merges.append(out["merges"])
+        print(
+            json.dumps(
+                {"batch": b, "secs": secs[-1], **out, "n_nodes_cum": None}
+            ),
+            flush=True,
+        )
+    tail = secs[len(secs) // 4 :]  # skip JIT warm-up for the slope
+    result = {
+        "cluster_store_probe": "done",
+        "n_batches": n_batches,
+        "batch_edges": batch_edges * 2,
+        "first4_s": secs[:4],
+        "last4_s": secs[-4:],
+        "batch_slope_s_per_batch": fit(tail),
+        "total_merges": sum(merges),
+        "n_nodes": store.n_nodes(),
+        "n_components": store.n_components(),
+    }
+    for t in (store.labels_table, store.remaps_table, store.commits_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    print(json.dumps(result))
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--bpe":
         bpe_round_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--cluster-store":
+        cluster_store_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 16,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 20000,
+        )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--substr":
         substr_guard_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
