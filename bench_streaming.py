@@ -521,14 +521,15 @@ def main_sketch() -> None:
 
 
 def main_clusters() -> None:
-    """Incremental-CC store ingestion throughput: rate source -> two
-    edges per value — (v, v mod 1009) registers v under one of ~1009
-    hubs, (v mod 1009, v mod 997) steadily merges hubs across batches —
-    through ClusterStore.add_edges. Every batch therefore exercises
-    BOTH paths (new-node registration and existing-component merges);
-    correctness of the labels themselves is pinned per-prefix in
-    tests/test_cluster_store.py, so this scenario reports throughput
-    plus the final store shape."""
+    """Incremental-CC store ingestion throughput: rate source ->
+    (v, block-start) stars over contiguous 2048-value blocks, plus one
+    back-link per completed block joining the blocks 100 and 50 strides
+    earlier — BOTH endpoints are stored components from earlier
+    batches, so every batch performs genuine stored-stored merges
+    (remap-writing path) against the grown store (a hub pattern instead collapses to one component in the
+    first batch and never merges again). Correctness of the labels is
+    pinned per-prefix in tests/test_cluster_store.py; this scenario
+    reports throughput plus the final store shape."""
     import uuid
 
     from pyspark.sql import functions as F
@@ -552,10 +553,10 @@ def main_clusters() -> None:
         .option("numPartitions", str(spark.sparkContext.defaultParallelism))
         .load()
     )
-    edges = rate.select(F.col("value").alias("src"), (F.col("value") % 1009).alias("dst")).unionByName(
-        rate.select(
-            (F.col("value") % 1009).alias("src"), (F.col("value") % 997).alias("dst")
-        )
+    block = F.col("value") - (F.col("value") % 2048)
+    edges = rate.select(F.col("value").alias("src"), block.alias("dst")).unionByName(
+        rate.where((F.col("value") % 2048 == 2047) & (F.col("value") >= 204800))
+        .select((block - 204800).alias("src"), (block - 102400).alias("dst"))
     )
 
     batches: list[tuple[float, int]] = []
@@ -608,7 +609,7 @@ def main_clusters() -> None:
                 "rows_per_sec_offered": RPS,
                 "window_s": round(window, 1),
                 "protocol": {
-                    "source": "rate (oversupplied), edges (v, v%1009) + (v%1009, v%997)",
+                    "source": "rate (oversupplied), 2048-block stars + stored-stored back-links (100,50 blocks back)",
                     "sink": "ClusterStore.add_edges (resolve -> contract -> star -> append)",
                     "measure": "edges after first batch / batch-boundary window",
                 },

@@ -303,11 +303,12 @@ def cluster_store_probe(n_batches: int = 16, batch_edges: int = 20000) -> None:
     """Incremental-CC store: per-batch add_edges wall time must stay
     flat as the STORE grows (the maintain-don't-rebuild claim —
     per-batch work is batch-sized, independent of history). Feeds
-    `n_batches` equal batches of the hub-merge edge pattern the
-    streaming bench uses — (v, v%1009) registers under ~1009 hubs,
-    (v%1009, v%997) keeps merging existing components, so every batch
-    exercises registration AND merge paths against ever-larger state —
-    then fits seconds-per-batch over the batch index (~0 = flat)."""
+    `n_batches` equal batches of the streaming bench's block-merge
+    pattern — (v, block-start) stars over 2048-value blocks register
+    new nodes; one back-link per completed block joins the blocks 100
+    and 50 strides earlier (both stored, several batches old), forcing
+    genuine stored-stored merges every later batch — then fits
+    seconds-per-batch over the batch index (~0 = flat)."""
     import uuid
 
     from dod_etl_spark.streaming.cluster_store import ClusterStore
@@ -336,11 +337,10 @@ def cluster_store_probe(n_batches: int = 16, batch_edges: int = 20000) -> None:
     for b in range(n_batches):
         lo = b * batch_edges
         vals = spark.range(lo, lo + batch_edges).select(F.col("id").alias("v"))
-        edges = vals.select(
-            F.col("v").alias("src"), (F.col("v") % 1009).alias("dst")
-        ).unionByName(
-            vals.select(
-                (F.col("v") % 1009).alias("src"), (F.col("v") % 997).alias("dst")
+        block = F.col("v") - (F.col("v") % 2048)
+        edges = vals.select(F.col("v").alias("src"), block.alias("dst")).unionByName(
+            vals.where((F.col("v") % 2048 == 2047) & (F.col("v") >= 204800)).select(
+                (block - 204800).alias("src"), (block - 102400).alias("dst")
             )
         )
         t0 = time.perf_counter()
