@@ -451,3 +451,55 @@ def k_core(
     )
     final_deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("core_degree"))
     return final_deg.where(F.col("core_degree") >= k)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    *,
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded-round multi-source BFS: (node, hop) = fewest undirected
+    edges from any seed, for every node within ``rounds`` hops.
+
+    Frontier-delta formulation: each round expands only the nodes first
+    reached in the PREVIOUS round (their min-hop is final — BFS levels
+    are monotone), so per-round work is the frontier's edge
+    neighborhood, not the whole reached set. Equivalent to ``rounds``
+    unrolled min-hop relaxations, which is exactly what the DuckDB
+    oracle replays — hash parity covers every level assignment.
+
+    Shape per round: one join of the (checkpointed, frontier-sized)
+    frontier against the symmetrized edge frame + one anti-join against
+    the reached set — shuffles keyed by node id, bounded by the
+    frontier neighborhood; lineage truncated per round (the
+    connected-components posture). At 100 TB the reached set stays
+    executor-side; the driver only runs the fixed loop."""
+    sym = _coalesce_for_rounds(
+        _symmetrize(edges, src_col, dst_col)
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reached = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = reached
+    for i in range(1, rounds + 1):
+        cand = (
+            frontier.join(sym, frontier.node == sym.s)
+            .select(F.col("d").alias("node"))
+            .distinct()
+        )
+        new = cand.join(reached, "node", "left_anti").withColumn(
+            "hop", F.lit(i).cast("long")
+        )
+        frontier = new.localCheckpoint(eager=True)
+        reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+    return reached

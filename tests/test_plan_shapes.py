@@ -150,6 +150,20 @@ def _count(plan: str, op: str) -> int:
         # Dataset card: ONE aggregation pass (multi-distinct Expand
         # partial/final) + inline() long format.
         ("dataset_card", 2),
+        # Segment dedup: winner min(struct) agg + reassembly agg; the
+        # per-doc segment count is map-only from the scan (a third
+        # shuffle of the full segment stream is the regression), and
+        # there is NO join back onto the segment stream (skew trap).
+        ("segment_dedup_docs", 2),
+        # ACF: one (user, type) window pass + one map-combined moment
+        # aggregate; a per-type global sort is the regression.
+        ("value_autocorrelation", 2),
+        # BFS: every round ends at a checkpoint — consumers see zero
+        # exchanges (the connected-components downstream contract).
+        ("knn_bfs_hops", 0),
+        # Golden record: survivorship agg + golden-field join; the CC
+        # closure is behind its checkpoint boundary.
+        ("entity_golden_record", 2),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
