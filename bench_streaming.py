@@ -45,6 +45,9 @@ WARMUP_S = float(os.environ.get("SPARK_GRAFT_STREAM_WARMUP", "10"))
 # (ANN store ingestion: vecs/sec through VectorIndexStore.index_batch),
 # "sketch" (HLL distinct store: rows/sec through
 # HllSketchStore.update_batch with a closed-form accuracy check),
+# "quantile" (per-key quantile store: rows/sec through
+# QuantileStore.update_batch with closed-form order-statistic
+# accuracy),
 # "clusters" (incremental connected-components: edges/sec through
 # ClusterStore.add_edges, with ongoing cross-hub merges),
 # or "storm" (adversarial early-event scenario: a configurable fraction
@@ -520,6 +523,121 @@ def main_sketch() -> None:
     )
 
 
+def main_quantile() -> None:
+    """Quantile-store ingestion throughput: rate source -> (key, value)
+    -> foreachBatch QuantileStore.update_batch (per-key log-bin
+    histogram + one bucketed append + commit record). The rate source's
+    values are sequential, so each key's exact rank-k order statistics
+    are known in closed form and the served estimates' relative error
+    is reported alongside throughput (bounded by sqrt(1+eps) when the
+    served bin contains the exact quantile — which the test suite pins
+    exactly; this reports the measured number)."""
+    import math
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.session import get_spark
+    from dod_etl_spark.streaming.quantile_store import QuantileStore
+
+    spark = get_spark("dod_etl_spark_bench_quantile")
+    tag = uuid.uuid4().hex[:8]
+    store = QuantileStore(
+        spark, table=f"bench_qh_{tag}", commits_table=f"bench_qc_{tag}"
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_quantile_")
+
+    n_keys = 32
+    probs = [0.5, 0.95, 0.99]
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(RPS))
+        .option("numPartitions", str(spark.sparkContext.defaultParallelism))
+        .load()
+    )
+    rows = rate.select(
+        (F.col("value") % n_keys).cast("string").alias("key"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+    batches: list[tuple[float, int]] = []
+
+    def body(df, batch_id: int) -> None:
+        df = df.localCheckpoint(eager=True)
+        n = df.count()
+        store.update_batch(df, batch_id=batch_id)
+        batches.append((time.perf_counter(), n))
+
+    q = (
+        rows.writeStream.foreachBatch(body)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    t0 = time.perf_counter()
+    deadline = t0 + WARMUP_S + WINDOW_S
+    while q.isActive and (time.perf_counter() < deadline or len(batches) < 3):
+        time.sleep(0.5)
+        if time.perf_counter() > t0 + 4 * (WARMUP_S + WINDOW_S):
+            break
+    snapshot = list(batches)
+    q.stop()
+    rows_total = sum(n for _, n in snapshot)
+    if len(snapshot) >= 2:
+        rows_window = sum(n for _, n in snapshot[1:])
+        window = max(snapshot[-1][0] - snapshot[0][0], 1e-9)
+    else:
+        rows_window = rows_total
+        window = max((snapshot[-1][0] - t0) if snapshot else 1e-9, 1e-9)
+    rps_measured = rows_window / window
+
+    # Accuracy: the streamed rows are NOT exactly [0, n) (stop() races
+    # the last batches), but whatever landed is known per committed
+    # batch; read back the committed total per key and compare against
+    # the closed-form order statistic of the sequential residue class.
+    n_acc = sum(n for _, n in list(batches))
+    served = {
+        (r["key"], r["p"]): (r["estimate"], r["n_total"])
+        for r in store.quantiles(probs).collect()
+    }
+    rels = []
+    for (k, p), (est, m) in served.items():
+        ki = int(k)
+        if m == 0:
+            continue
+        kth = ki + n_keys * (max(1, math.ceil(p * m)) - 1)
+        if kth > 0 and est > 0:
+            rels.append(abs(math.log(est / kth)))
+    max_log_err = round(max(rels), 5) if rels else None
+    eps_bound = round(math.log1p(store.eps) / 2, 5)
+    for t in (store.table, store.commits_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    print(
+        json.dumps(
+            {
+                "metric": "quantile_store_rows_per_sec",
+                "value": round(rps_measured, 1),
+                "unit": "rows/sec",
+                "queries": {"quantile_store_update": round(rps_measured, 1)},
+                "sf": 0.0,
+                "rows_total": rows_total,
+                "rows_committed": n_acc,
+                "n_keys": n_keys,
+                "max_abs_log_error": max_log_err,
+                "half_binwidth_bound": eps_bound,
+                "micro_batches": len(snapshot),
+                "rows_per_sec_offered": RPS,
+                "window_s": round(window, 1),
+                "protocol": {
+                    "source": "rate (oversupplied), key = value % 32",
+                    "sink": "QuantileStore.update_batch (log-bin histogram + bucketed append + commit)",
+                    "measure": "rows after first batch / batch-boundary window",
+                    "accuracy": "closed-form order statistics of the sequential residue classes",
+                },
+            }
+        )
+    )
+
+
 def main_clusters() -> None:
     """Incremental-CC store ingestion throughput: rate source ->
     (v, block-start) stars over contiguous 2048-value blocks, plus one
@@ -757,6 +875,8 @@ if __name__ == "__main__":
         main_storm()
     elif SCENARIO == "sketch":
         main_sketch()
+    elif SCENARIO == "quantile":
+        main_quantile()
     elif SCENARIO == "clusters":
         main_clusters()
     else:
