@@ -118,6 +118,14 @@ BENCH_QUERIES = [
     # bigram-keyed scoring join) and the broadcast-anchor triplet miner.
     "kn_lm_score_docs",
     "hard_triplet_mining",
+    # Round-8 third session: C4-style segment dedup with reassembly
+    # (global winner agg, no segment-stream join-back), frontier-delta
+    # BFS over the kNN graph, fuzzy->CC->survivorship golden records,
+    # and the windowed integer-moment autocorrelation.
+    "segment_dedup_docs",
+    "knn_bfs_hops",
+    "entity_golden_record",
+    "value_autocorrelation",
 ]
 
 

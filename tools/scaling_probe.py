@@ -69,6 +69,8 @@ PROBE_QUERIES = [
     "source_overlap_jaccard",      # bounded-fanout shingle self-join
     "kn_lm_score_docs",            # r8: bigram model build + score join
     "hard_triplet_mining",         # r8: broadcast-anchor corpus pass
+    "segment_dedup_docs",          # r8: global winner agg + reassembly
+    "knn_bfs_hops",                # r8: frontier-delta BFS rounds
 ]
 
 # Exact pair-emitters: OUTPUT (and therefore time) is inherently
