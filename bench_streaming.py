@@ -47,7 +47,7 @@ WARMUP_S = float(os.environ.get("SPARK_GRAFT_STREAM_WARMUP", "10"))
 # HllSketchStore.update_batch with a closed-form accuracy check),
 # "quantile" (per-key quantile store: rows/sec through
 # QuantileStore.update_batch with closed-form order-statistic
-# accuracy),
+# accuracy), "profile" (the composed HLL+quantile+CM profiler),
 # "clusters" (incremental connected-components: edges/sec through
 # ClusterStore.add_edges, with ongoing cross-hub merges),
 # or "storm" (adversarial early-event scenario: a configurable fraction
@@ -638,6 +638,107 @@ def main_quantile() -> None:
     )
 
 
+def main_profile() -> None:
+    """Composed-profiler ingestion throughput: rate source ->
+    (key, value) -> foreachBatch StreamingProfiler.update_batch (ONE
+    micro-batch checkpoint feeding the HLL + quantile + frequency
+    stores). The number to compare against the single-store scenarios:
+    the composition's cost is roughly the sum of its arms minus the
+    shared materialization."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.session import get_spark
+    from dod_etl_spark.streaming.profiler import StreamingProfiler
+
+    spark = get_spark("dod_etl_spark_bench_profile")
+    tag = uuid.uuid4().hex[:8]
+    prof = StreamingProfiler(spark, prefix=f"bench_prof_{tag}")
+    tmp = tempfile.mkdtemp(prefix="bench_profile_")
+
+    n_keys = 32
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(RPS))
+        .option("numPartitions", str(spark.sparkContext.defaultParallelism))
+        .load()
+    )
+    rows = rate.select(
+        (F.col("value") % n_keys).cast("string").alias("key"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+    batches: list[tuple[float, int]] = []
+
+    def body(df, batch_id: int) -> None:
+        n = df.count()
+        prof.update_batch(df, batch_id=batch_id)
+        batches.append((time.perf_counter(), n))
+
+    q = (
+        rows.writeStream.foreachBatch(body)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    t0 = time.perf_counter()
+    deadline = t0 + WARMUP_S + WINDOW_S
+    while q.isActive and (time.perf_counter() < deadline or len(batches) < 3):
+        time.sleep(0.5)
+        if time.perf_counter() > t0 + 4 * (WARMUP_S + WINDOW_S):
+            break
+    snapshot = list(batches)
+    q.stop()
+    rows_total = sum(n for _, n in snapshot)
+    if len(snapshot) >= 2:
+        rows_window = sum(n for _, n in snapshot[1:])
+        window = max(snapshot[-1][0] - snapshot[0][0], 1e-9)
+    else:
+        rows_window = rows_total
+        window = max((snapshot[-1][0] - t0) if snapshot else 1e-9, 1e-9)
+    rps_measured = rows_window / window
+
+    # Serve-side sanity: exact n_rows must sum to the committed total
+    # (quantile commits lag the last raced batch; compare against the
+    # post-stop committed histogram itself).
+    p = prof.profile().localCheckpoint(eager=True)
+    n_rows_sum = p.agg(F.sum("n_rows")).first()[0] or 0
+    n_keys_served = p.count()
+    tables = [
+        prof.hll.table,
+        prof.quant.table,
+        prof.quant.commits_table,
+        prof.freq.cm_table,
+        prof.freq.cand_table,
+        prof.freq.commits_table,
+    ]
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    print(
+        json.dumps(
+            {
+                "metric": "profiler_rows_per_sec",
+                "value": round(rps_measured, 1),
+                "unit": "rows/sec",
+                "queries": {"profiler_update": round(rps_measured, 1)},
+                "sf": 0.0,
+                "rows_total": rows_total,
+                "rows_served": int(n_rows_sum),
+                "keys_served": n_keys_served,
+                "n_keys": n_keys,
+                "micro_batches": len(snapshot),
+                "rows_per_sec_offered": RPS,
+                "window_s": round(window, 1),
+                "protocol": {
+                    "source": "rate (oversupplied), key = value % 32",
+                    "sink": "StreamingProfiler.update_batch (HLL + quantile + CM stores, one checkpoint)",
+                    "measure": "rows after first batch / batch-boundary window",
+                },
+            }
+        )
+    )
+
+
 def main_clusters() -> None:
     """Incremental-CC store ingestion throughput: rate source ->
     (v, block-start) stars over contiguous 2048-value blocks, plus one
@@ -877,6 +978,8 @@ if __name__ == "__main__":
         main_sketch()
     elif SCENARIO == "quantile":
         main_quantile()
+    elif SCENARIO == "profile":
+        main_profile()
     elif SCENARIO == "clusters":
         main_clusters()
     else:
