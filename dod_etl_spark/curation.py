@@ -1,0 +1,208 @@
+"""Declarative curation spec: JSON -> composed corpus-curation plan.
+
+config.py gives the reference's MES surface its JSON front door
+(conf/tableConfig.json -> Spark plan, config/ConfigLoader.scala:11-32);
+this module gives the LLM-curation surface the same treatment. A spec
+is an ordered stage list:
+
+    {"stages": [
+        {"op": "normalize"},
+        {"op": "holdout_split", "permille": 100, "seed": 7},
+        {"op": "quality_gate", "minScore": 0.25},
+        {"op": "exact_dedup", "on": "norm_text"},
+        {"op": "decontaminate"},
+        {"op": "near_dedup", "numHashes": 8, "bandSize": 4},
+        {"op": "project_tokens"}
+    ]}
+
+and compiles to exactly the operator composition the hand-written
+flagship runs (curation_pipeline_docs, queries/llm.py) — pinned
+bit-identical in tests/test_curation_spec.py, so the declarative path
+is not a second implementation that can drift: every stage delegates
+to the same operator modules, and the compiler only sequences them.
+
+Column contract: the working frame always carries (doc_id, text);
+`normalize` adds norm_text; stages that need it fail fast if it is
+absent. Side state (the holdout fingerprint set) flows through the
+compile, not through the frame.
+
+Scale posture is inherited from the stages (each documents its own);
+the compiler adds exactly one localCheckpoint — after the
+decontaminate stage, where the flagship's measured three-consumer
+fan-out (edges + nodes + survivor join) sits.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dod_etl_spark.functions.scalar import stable_round
+from dod_etl_spark.functions.text import punct_count
+from dod_etl_spark.operators.graph import dedup_cluster_assignments
+from dod_etl_spark.operators.sampling import hash_bucket
+from dod_etl_spark.operators.text_dedup import minhash_cluster_edges
+
+_KNOWN_OPS = (
+    "normalize",
+    "holdout_split",
+    "quality_gate",
+    "exact_dedup",
+    "decontaminate",
+    "near_dedup",
+    "project_tokens",
+    "pii_scrub",
+    "segment_dedup",
+    "blocklist_gate",
+)
+
+
+@dataclass(frozen=True)
+class CurationSpec:
+    stages: tuple[dict, ...]
+
+    @classmethod
+    def from_json(cls, s: str) -> "CurationSpec":
+        raw = json.loads(s)
+        stages = tuple(raw["stages"])
+        for st in stages:
+            if st.get("op") not in _KNOWN_OPS:
+                raise ValueError(f"unknown curation op: {st.get('op')!r}")
+        return cls(stages)
+
+    @classmethod
+    def from_file(cls, path: str) -> "CurationSpec":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+
+def _norm_col() -> Column:
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[\\x00-\\x1F\\x7F]", ""),
+            " +",
+            " ",
+        )
+    )
+
+
+def _quality_col() -> Column:
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    return stable_round(
+        F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
+        * (
+            F.lit(1.0)
+            - punct_count(F.col("text")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)).cast("double")
+        ),
+        6,
+    )
+
+
+def _require(df: DataFrame, col: str, op: str) -> None:
+    if col not in df.columns:
+        raise ValueError(f"stage {op!r} needs column {col!r}; add its producer stage first")
+
+
+def compile_curation(
+    spark: SparkSession, docs: DataFrame, spec: CurationSpec
+) -> DataFrame:
+    """Compile `spec` over a (doc_id, text) frame. Returns the curated
+    frame; its columns depend on the terminal stage (project_tokens
+    yields the flagship's (doc_id, n_toks, norm_fp))."""
+    df = docs
+    holdout_fps: DataFrame | None = None
+    for st in spec.stages:
+        op = st["op"]
+        if op == "normalize":
+            df = df.withColumn("norm_text", _norm_col())
+        elif op == "quality_gate":
+            df = df.withColumn("q", _quality_col()).where(
+                F.col("q") >= float(st.get("minScore", 0.25))
+            )
+        elif op == "holdout_split":
+            _require(df, "norm_text", op)
+            cut = int(st.get("permille", 100)) * 10  # of SAMPLE_BUCKETS=10000
+            seed = int(st.get("seed", 7))
+            b = hash_bucket(F.col("doc_id"), seed)
+            df = df.withColumn("_b", b)
+            holdout_fps = (
+                df.where(F.col("_b") < cut)
+                .select(F.md5(F.col("norm_text").cast("binary")).alias("norm_fp"))
+                .distinct()
+            )
+            df = df.where(F.col("_b") >= cut)
+        elif op == "exact_dedup":
+            on = st.get("on", "norm_text")
+            _require(df, on, op)
+            carried = [c for c in df.columns if c not in ("doc_id", "_b", "q")]
+            df = df.groupBy(
+                F.md5(F.col(on).cast("binary")).alias("norm_fp")
+            ).agg(
+                F.min("doc_id").alias("doc_id"),
+                *[F.min(c).alias(c) for c in carried],
+            )
+        elif op == "decontaminate":
+            if holdout_fps is None:
+                raise ValueError("decontaminate needs a holdout_split stage first")
+            _require(df, "norm_fp", op)
+            df = df.join(F.broadcast(holdout_fps), "norm_fp", "left_anti")
+        elif op == "near_dedup":
+            on = st.get("on", "norm_text")
+            _require(df, on, op)
+            # the flagship's measured fan-out point: edges + nodes +
+            # survivor join all consume this frame
+            df = df.localCheckpoint(eager=True)
+            edges = minhash_cluster_edges(
+                df,
+                text_col=on,
+                num_hashes=int(st.get("numHashes", 8)),
+                band_size=int(st.get("bandSize", 4)),
+                shingle_len=int(st.get("shingleLen", 5)),
+            )
+            assign = dedup_cluster_assignments(df.select("doc_id"), edges)
+            survivors = assign.where(
+                F.col("doc_id") == F.col("cluster_id")
+            ).select("doc_id")
+            df = df.join(survivors, "doc_id")
+        elif op == "project_tokens":
+            _require(df, "norm_text", op)
+            _require(df, "norm_fp", op)
+            ntoks = F.size(
+                F.filter(F.split(F.col("norm_text"), " "), lambda x: x != "")
+            ).cast("long")
+            df = df.select("doc_id", ntoks.alias("n_toks"), "norm_fp")
+        elif op == "pii_scrub":
+            from dod_etl_spark.queries.llm import _PII_PATTERNS
+
+            clean = F.col("text")
+            for _, pat, repl in _PII_PATTERNS:
+                clean = F.regexp_replace(clean, pat, repl)
+            df = df.withColumn("text", clean)
+        elif op == "segment_dedup":
+            from dod_etl_spark.operators.segment_dedup import segment_dedup
+
+            scrubbed = segment_dedup(
+                df, mode=st.get("mode", "words"),
+                seg_words=int(st.get("segWords", 10)),
+            ).select("doc_id", F.col("text_dedup"))
+            df = (
+                df.drop("text")
+                .join(scrubbed, "doc_id")
+                .withColumnRenamed("text_dedup", "text")
+            )
+        elif op == "blocklist_gate":
+            terms = [t.lower() for t in st.get("terms", [])]
+            if not terms:
+                raise ValueError("blocklist_gate needs terms")
+            toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+            frac = F.size(
+                F.filter(toks, lambda x: x.isin(terms))
+            ).cast("double") / F.greatest(F.size(toks), F.lit(1))
+            df = df.where(frac <= float(st.get("maxFraction", 0.0)))
+        else:  # pragma: no cover - from_json validates
+            raise ValueError(f"unknown curation op: {op!r}")
+    return df

@@ -336,3 +336,133 @@ def value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(acf, 6).alias("acf"),
         )
     )
+
+
+# --- Local clustering coefficient over the kNN graph --------------------------
+
+def _lcc_oracle() -> str:
+    from dod_etl_spark.queries.quality import _TRIANGLES_SQL
+
+    return f"""
+WITH tri AS ({_TRIANGLES_SQL})
+SELECT node, degree, n_triangles,
+       CAST(CASE WHEN degree >= 2
+                 THEN (2 * n_triangles * 1000000) // (degree * (degree - 1))
+                 ELSE 0 END AS BIGINT) AS lcc_ppm
+FROM tri
+"""
+
+
+@query("knn_clustering_coeff", _lcc_oracle())
+def knn_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — 2T / deg(deg-1), the
+    community-density signal on top of knn_triangles (a hub with many
+    neighbors but no closed wedges is a weak near-dup cluster; a small
+    clique is a strong one). Emitted in exact integer MICRO-UNITS
+    (integer div, the DSIR convention) so no float division crosses
+    engines. Same plan as triangle_counts plus one projection."""
+    from dod_etl_spark.operators.graph import triangle_counts
+    from dod_etl_spark.operators.similarity import knn_graph
+
+    emb = t(spark, sf_dir, "embeddings")
+    g = knn_graph(emb, k=3, sign_dims=4)
+    tri = triangle_counts(g, "vec_id", "neighbor_id")
+    lcc = F.when(
+        F.col("degree") >= 2,
+        F.expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))"),
+    ).otherwise(F.lit(0))
+    return tri.select(
+        "node", "degree", "n_triangles", lcc.cast("long").alias("lcc_ppm")
+    )
+
+
+# --- Personalized PageRank from the trusted-seed set --------------------------
+
+_PPR_DAMP = "0.85"
+_PPR_ITERS = 3
+
+
+def _ppr_oracle() -> str:
+    from dod_etl_spark.queries.llm import _KNN_GRAPH_ORACLE
+
+    prev = "r0"
+    steps = []
+    for i in range(1, _PPR_ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT n.vec_id,
+         0.15 * n.seed + {_PPR_DAMP} * coalesce(CAST(sum(
+             CAST(p.rank / d.deg AS DECIMAL(27,12))) AS DOUBLE), 0.0) AS rank
+  FROM nodes n
+  LEFT JOIN graph g ON g.neighbor_id = n.vec_id
+  LEFT JOIN {prev} p ON p.vec_id = g.vec_id
+  LEFT JOIN deg d ON d.vec_id = g.vec_id
+  GROUP BY n.vec_id, n.seed
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH graph AS ({_KNN_GRAPH_ORACLE}),
+nodes AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % {_BFS_SEED_MOD} = 0 THEN 1.0 ELSE 0.0 END AS seed
+  FROM embeddings
+),
+deg AS (SELECT vec_id, count(*) AS deg FROM graph GROUP BY vec_id),
+r0 AS (SELECT vec_id, seed AS rank FROM nodes),
+{chain}
+SELECT vec_id, {sround_sql("rank", 6)} AS rank
+FROM {prev}
+"""
+
+
+@query("knn_ppr", _ppr_oracle())
+def knn_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the trusted-seed set (vec_id % 97 ==
+    0, the knn_bfs_hops anchors): teleport mass lands ONLY on seeds, so
+    rank measures multi-path proximity to trust — the smooth companion
+    to BFS hop distance (two hops through many paths outranks two hops
+    through one), the standard trust-propagation recipe. Same
+    fixed-iteration decimal-exact machinery as knn_pagerank
+    (unnormalized teleport 0.15 per seed; rankings are scale-free)."""
+    from dod_etl_spark.operators.graph import _coalesce_for_rounds
+    from dod_etl_spark.operators.similarity import knn_graph
+
+    emb = t(spark, sf_dir, "embeddings")
+    nodes = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % _BFS_SEED_MOD == 0, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("seed"),
+    ).localCheckpoint(eager=True)
+    edges = (
+        knn_graph(emb, k=3, sign_dims=4)
+        .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = _coalesce_for_rounds(edges.join(deg, "src").localCheckpoint(eager=True))
+    rank = nodes.select("vec_id", F.col("seed").alias("rank"))
+    for _ in range(_PPR_ITERS):
+        contrib = (
+            ed.join(rank.withColumnRenamed("vec_id", "src"), "src")
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("deg")).cast("decimal(27,12)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("in_sum"))
+        )
+        rank = nodes.join(
+            contrib.withColumnRenamed("dst", "vec_id"), "vec_id", "left"
+        ).select(
+            "vec_id",
+            (
+                F.lit(0.15) * F.col("seed")
+                + F.lit(float(_PPR_DAMP)) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    from dod_etl_spark.functions.scalar import stable_round
+
+    return rank.select("vec_id", stable_round(F.col("rank"), 6).alias("rank"))

@@ -1,0 +1,112 @@
+"""Declarative curation specs (dod_etl_spark/curation.py): the
+JSON-compiled pipeline must be bit-identical to the hand-composed
+flagship, stage validation must fail fast, and the generic stages
+(pii_scrub, segment_dedup, blocklist_gate) must match their operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dod_etl_spark.catalog import load_table
+from dod_etl_spark.curation import CurationSpec, compile_curation
+from tests.conftest import SF_SMOKE
+
+FLAGSHIP_SPEC = """{
+  "stages": [
+    {"op": "normalize"},
+    {"op": "holdout_split", "permille": 100, "seed": 7},
+    {"op": "quality_gate", "minScore": 0.25},
+    {"op": "exact_dedup", "on": "norm_text"},
+    {"op": "decontaminate"},
+    {"op": "near_dedup", "numHashes": 8, "bandSize": 4, "shingleLen": 5},
+    {"op": "project_tokens"}
+  ]
+}"""
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_flagship_spec_matches_hand_composition(spark):
+    """The declarative path IS the flagship: same stages, same operator
+    calls, bit-identical output — the no-drift contract."""
+    from dod_etl_spark.queries.llm import curation_pipeline_docs
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spec = CurationSpec.from_json(FLAGSHIP_SPEC)
+    got = compile_curation(spark, docs, spec)
+    want = curation_pipeline_docs(spark, SF_SMOKE)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _rows(got.select(*sorted(got.columns))) == _rows(
+        want.select(*sorted(want.columns))
+    )
+
+
+def test_unknown_op_rejected():
+    with pytest.raises(ValueError, match="unknown curation op"):
+        CurationSpec.from_json('{"stages": [{"op": "frobnicate"}]}')
+
+
+def test_missing_producer_fails_fast(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spec = CurationSpec.from_json(
+        '{"stages": [{"op": "holdout_split"}]}'
+    )
+    with pytest.raises(ValueError, match="norm_text"):
+        compile_curation(spark, docs, spec)
+    with pytest.raises(ValueError, match="holdout_split"):
+        compile_curation(
+            spark,
+            docs,
+            CurationSpec.from_json(
+                '{"stages": [{"op": "normalize"}, {"op": "exact_dedup"},'
+                ' {"op": "decontaminate"}]}'
+            ),
+        )
+
+
+def test_pii_and_segment_stages_match_operators(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@corp.example now x y z BOILER SEG HERE"),
+            (2, "BOILER SEG HERE plus unique tail words go here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    spec = CurationSpec.from_json(
+        '{"stages": [{"op": "pii_scrub"},'
+        ' {"op": "segment_dedup", "segWords": 3}]}'
+    )
+    out = {r["doc_id"]: r["text"] for r in compile_curation(spark, docs, spec).collect()}
+    # email scrubbed, then 3-word segments deduped globally
+    assert "<EMAIL>" in out[1]
+    assert "bob@corp.example" not in out[1]
+    from dod_etl_spark.operators.segment_dedup import segment_dedup
+    from dod_etl_spark.queries.llm import _PII_PATTERNS
+
+    clean = F.col("text")
+    for _, pat, repl in _PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    want = {
+        r["doc_id"]: r["text_dedup"]
+        for r in segment_dedup(
+            docs.withColumn("text", clean), mode="words", seg_words=3
+        ).collect()
+    }
+    assert out == want
+
+
+def test_blocklist_gate(spark):
+    docs = spark.createDataFrame(
+        [(1, "clean words only here"), (2, "badword everywhere badword spam")],
+        "doc_id long, text string",
+    )
+    spec = CurationSpec.from_json(
+        '{"stages": [{"op": "blocklist_gate", "terms": ["badword"],'
+        ' "maxFraction": 0.1}]}'
+    )
+    out = compile_curation(spark, docs, spec)
+    assert [r["doc_id"] for r in out.collect()] == [1]

@@ -316,6 +316,16 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # scoring joins on the bigram key + per-doc fold; the BNLJ is
         # the 1-row Nbb scalar broadcast (q11 pattern).
         ("kn_lm_score_docs", 7, 0, 1),
+        # r8 third session. Clustering coefficient = triangle_counts'
+        # pinned shape (wedge joins on the checkpointed canonical edge
+        # set; SMJ are the edge-keyed big-big joins, correct at scale)
+        # + one integer projection.
+        ("knn_clustering_coeff", 6, 3, 0),
+        # Personalized PageRank: knn_pagerank's fixed-iteration shape
+        # with the seed column riding the checkpointed node frame —
+        # per-round one contribution agg + one node-keyed join (SMJ at
+        # this SF where stats don't broadcast the rank frame).
+        ("knn_ppr", 8, 5, 0),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):
