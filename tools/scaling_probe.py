@@ -388,13 +388,22 @@ def main() -> None:
         return
     max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     factors = [f for f in (1, 2, 4, 8, 16, 32) if f <= max_factor]
+    # SPARK_GRAFT_PROBE_QUERIES=a,b,c restricts the sweep (incremental
+    # rounds probe only their new queries; slopes are per-query, so a
+    # partial sweep composes with prior recorded rows).
+    only = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
+    probe_queries = (
+        [q for q in PROBE_QUERIES if q in set(only.split(","))]
+        if only
+        else PROBE_QUERIES
+    )
     spark = get_spark("scaling_probe")
-    results: dict[str, dict[int, float]] = {q: {} for q in PROBE_QUERIES}
-    rows_out: dict[str, dict[int, int]] = {q: {} for q in PROBE_QUERIES}
+    results: dict[str, dict[int, float]] = {q: {} for q in probe_queries}
+    rows_out: dict[str, dict[int, int]] = {q: {} for q in probe_queries}
     for factor in factors:
         sf_dir = build_fixture(spark, factor)
         ran = [
-            q for q in PROBE_QUERIES if factor <= QUERY_MAX_FACTOR.get(q, max_factor)
+            q for q in probe_queries if factor <= QUERY_MAX_FACTOR.get(q, max_factor)
         ]
         for name in ran:
             fn = QUERIES[name]
