@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     "knn_bfs_hops",
     "entity_golden_record",
     "value_autocorrelation",
+    # Asymmetric containment (quote/subset detection): df-bounded
+    # shingle pair join, both directions from one intersection count.
+    "containment_pairs_docs",
 ]
 
 

@@ -466,3 +466,99 @@ def knn_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dod_etl_spark.functions.scalar import stable_round
 
     return rank.select("vec_id", stable_round(F.col("rank"), 6).alias("rank"))
+
+
+# --- Asymmetric containment pairs (quote/subset detection) --------------------
+
+_CONT_T_PPM = 800_000  # containment >= 0.8
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                               i -> array_to_string(w[i : i + 2], ' '))) AS s
+  FROM toks
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_1 AS contained_id, id_2 AS container_id, i, sa.n AS n_contained,
+         (i * 1000000) // sa.n AS containment_ppm
+  FROM inter JOIN sz sa ON id_1 = sa.doc_id
+  UNION ALL
+  SELECT id_2 AS contained_id, id_1 AS container_id, i, sb.n AS n_contained,
+         (i * 1000000) // sb.n AS containment_ppm
+  FROM inter JOIN sz sb ON id_2 = sb.doc_id
+)
+SELECT contained_id, container_id, CAST(i AS BIGINT) AS n_shared,
+       CAST(n_contained AS BIGINT) AS n_contained,
+       CAST(containment_ppm AS BIGINT) AS containment_ppm
+FROM scored WHERE containment_ppm >= {_CONT_T_PPM}
+"""
+
+
+@query("containment_pairs_docs", _CONTAINMENT_ORACLE)
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-CONTAINMENT pairs: |A∩B| / |A| >= 0.8 over
+    distinct word-3-shingles — the asymmetric measure that catches a
+    short document quoted inside a long one, where symmetric Jaccard
+    (i / union) stays far below any dedup threshold. The standard
+    containment-dedup recipe (Broder's resemblance vs containment
+    distinction); emitted in exact integer ppm (integer div, the DSIR
+    convention). Scale shape: one distinct (doc, shingle) frame
+    (checkpointed — three consumers), a shingle-keyed pair join with
+    df-bounded fan-out (the source_overlap posture: quadratic pairs =
+    quadratic answer; production variants cap df like max_bucket_size),
+    and two metadata-sized size joins deriving BOTH directions from
+    the single undirected intersection count."""
+    docs = t(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))),
+            lambda i: F.array_join(F.slice(w, i, 3), " "),
+        )
+    )
+    sh = (
+        docs.select("doc_id", F.explode(shingles).alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_1"), "s")
+    b = sh.select(F.col("doc_id").alias("id_2"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sza = sz.select(F.col("doc_id").alias("id_1"), F.col("n").alias("_na"))
+    szb = sz.select(F.col("doc_id").alias("id_2"), F.col("n").alias("_nb"))
+    both = inter.join(F.broadcast(sza), "id_1").join(F.broadcast(szb), "id_2")
+    d1 = both.select(
+        F.col("id_1").alias("contained_id"),
+        F.col("id_2").alias("container_id"),
+        F.col("i").alias("n_shared"),
+        F.col("_na").alias("n_contained"),
+        F.expr("(i * 1000000) div _na").alias("containment_ppm"),
+    )
+    d2 = both.select(
+        F.col("id_2").alias("contained_id"),
+        F.col("id_1").alias("container_id"),
+        F.col("i").alias("n_shared"),
+        F.col("_nb").alias("n_contained"),
+        F.expr("(i * 1000000) div _nb").alias("containment_ppm"),
+    )
+    return d1.unionByName(d2).filter(
+        F.col("containment_ppm") >= _CONT_T_PPM
+    )

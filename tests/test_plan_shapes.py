@@ -326,6 +326,11 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # per-round one contribution agg + one node-keyed join (SMJ at
         # this SF where stats don't broadcast the rank frame).
         ("knn_ppr", 8, 5, 0),
+        # Containment: checkpointed (doc, shingle) frame -> shingle
+        # pair join + pair agg + broadcast size joins; both directions
+        # derived from the one undirected intersection count (a second
+        # pair join is the regression).
+        ("containment_pairs_docs", 6, 0, 0),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):
