@@ -220,8 +220,10 @@ class FrequencyStore:
 
     def merge_rows(self) -> int:
         """Maintenance: collapse both tables to the committed aggregate
-        under one synthetic batch; serves identically. Returns rows
-        removed."""
+        under one synthetic batch; serves identically. Original commit
+        records are kept (the QuantileStore posture): an old batch_id
+        replayed after checkpoint loss still short-circuits instead of
+        re-appending into merged history. Returns rows removed."""
         self._ensure_tables()
         cm = self.cm_cells().localCheckpoint(eager=True)
         cand = self.candidates().localCheckpoint(eager=True)
@@ -247,7 +249,7 @@ class FrequencyStore:
             self.cand_table, overwrite=True
         )
         self.spark.createDataFrame([(-1,)], "batch_id long").write.insertInto(
-            self.commits_table, overwrite=True
+            self.commits_table, overwrite=False
         )
         for t in (self.cm_table, self.cand_table, self.commits_table):
             self.spark.catalog.refreshTable(t)

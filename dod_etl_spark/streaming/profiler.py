@@ -92,7 +92,7 @@ class StreamingProfiler:
     def profile(
         self, probs: tuple[float, ...] = (0.5, 0.95, 0.99), k: int = 5
     ) -> DataFrame:
-        """(key, n_rows, n_distinct, q_* per prob, top_values): the
+        """(key, n_rows, n_distinct, q<pct> per prob, top_values): the
         live profile. n_rows is exact (histogram bin-count sum); quantile
         estimates are within sqrt(1+eps); n_distinct is HLL (~1.6%);
         top_values are the k dominant candidates with CM upper-bound
@@ -105,9 +105,7 @@ class StreamingProfiler:
             "p", [float(p) for p in probs]
         ).agg(F.first("estimate"))
         for p in probs:
-            qwide = qwide.withColumnRenamed(
-                str(float(p)), f"q_{str(p).replace('0.', '')}"
-            )
+            qwide = qwide.withColumnRenamed(str(float(p)), f"q{int(p * 100)}")
         hh = (
             self.freq.heavy_hitters(k)
             .groupBy("key")

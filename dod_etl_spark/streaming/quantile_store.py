@@ -225,8 +225,12 @@ class QuantileStore:
     def merge_rows(self) -> int:
         """Maintenance: collapse history to ONE row per (key, bin)
         under a single synthetic committed batch — serves identically
-        (counts are already the committed max-then-sum). Returns rows
-        removed. Combine with compact() for file hygiene."""
+        (counts are already the committed max-then-sum). The ORIGINAL
+        commit records are kept: an old batch_id replayed after a
+        checkpoint loss still short-circuits as already-committed
+        instead of re-appending into the merged history (its rows are
+        gone, but a committed id with zero rows is harmless). Returns
+        rows removed. Combine with compact() for file hygiene."""
         self._ensure_tables()
         hist = self.histogram().localCheckpoint(eager=True)
         before = self.spark.table(self.table).count()
@@ -242,7 +246,7 @@ class QuantileStore:
             self.table, overwrite=True
         )
         self.spark.createDataFrame([(-1,)], "batch_id long").write.insertInto(
-            self.commits_table, overwrite=True
+            self.commits_table, overwrite=False
         )
         self.spark.catalog.refreshTable(self.table)
         self.spark.catalog.refreshTable(self.commits_table)

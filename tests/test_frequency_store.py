@@ -232,7 +232,7 @@ def test_profiler_drive_and_consistency(spark, profiler, tmp_path):
         assert row["n_rows"] == exact_rows[k], k  # exact by construction
         rel = abs(row["n_distinct"] - exact_distinct[k]) / exact_distinct[k]
         assert rel <= 0.10, (k, row["n_distinct"], exact_distinct[k])
-        assert row["q_5"] is not None and row["q_5"] > 0
+        assert row["q50"] is not None and row["q50"] > 0
     # key 3's dominant value is the injected 7.0
     top3 = prof["3"]["top_values"]
     assert top3[0]["value"] == "7.0"

@@ -227,3 +227,19 @@ def test_streaming_drive(spark, store, tmp_path):
     )
     q.awaitTermination(120)
     assert len(_quant(store)) > 0
+
+
+def test_merge_keeps_commit_records_replay_after_merge_noop(spark, store):
+    """Post-merge replay of an OLD batch_id (checkpoint loss) must
+    short-circuit on its kept commit record — re-appending it into the
+    merged history would double every count."""
+    ev = _events(spark)
+    b0 = ev.where(F.floor(F.col("value") * 100).cast("long") % 2 == 0)
+    b1 = ev.where(F.floor(F.col("value") * 100).cast("long") % 2 == 1)
+    store.update_batch(b0, batch_id=0)
+    store.update_batch(b1, batch_id=1)
+    baseline = _hist(store)
+    store.merge_rows()
+    assert _hist(store) == baseline
+    assert store.update_batch(b0, batch_id=0) == 0  # old id still committed
+    assert _hist(store) == baseline
