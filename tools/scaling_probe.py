@@ -373,6 +373,48 @@ def cluster_store_probe(n_batches: int = 16, batch_edges: int = 20000) -> None:
     spark.stop()
 
 
+def bfs_probe(max_factor: int = 8) -> None:
+    """Isolate the BFS loop from the kNN-graph derivation: the main
+    probe's fixture replicates IDENTICAL vectors, so sign buckets
+    densify quadratically and the graph DERIVATION dominates
+    knn_bfs_hops' slope (pair fan-out — the pair-emitter family's
+    story). Here the edge list itself scales linearly (3 pseudo-random
+    out-edges per node, degree bounded), seeds scale with n, and the
+    measured slope is the frontier-delta loop alone."""
+    from dod_etl_spark.operators.graph import bfs_hops
+
+    spark = get_spark("bfs_probe")
+    base_n = 100_000
+    times = {}
+    for factor in (f for f in (1, 2, 4, 8) if f <= max_factor):
+        n = base_n * factor
+        ids = spark.range(n).select(F.col("id").alias("src"))
+        edges = None
+        for step in (1, 7, 97):
+            e = ids.select(
+                "src", ((F.col("src") + step) % n).alias("dst")
+            )
+            edges = e if edges is None else edges.unionByName(e)
+        seeds = spark.range(0, n, 1000).select(F.col("id").alias("node"))
+        bfs_hops(edges, seeds, rounds=4).count()  # warm
+        t0 = time.monotonic()
+        rows = bfs_hops(edges, seeds, rounds=4).count()
+        times[factor] = round(time.monotonic() - t0, 3)
+        print(json.dumps({"factor": factor, "n_nodes": n, "time_s": times[factor], "reached": rows}), flush=True)
+    fs = sorted(times)
+    if len(fs) >= 2:
+        import math as _m
+
+        xs = [_m.log2(f) for f in fs]
+        ys = [_m.log2(times[f]) for f in fs]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        print(json.dumps({"bfs_time_vs_nodes_slope": round(slope, 3)}))
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--bpe":
         bpe_round_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
@@ -382,6 +424,9 @@ def main() -> None:
             int(sys.argv[2]) if len(sys.argv) > 2 else 16,
             int(sys.argv[3]) if len(sys.argv) > 3 else 20000,
         )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--bfs":
+        bfs_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--substr":
         substr_guard_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
