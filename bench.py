@@ -129,6 +129,11 @@ BENCH_QUERIES = [
     # Asymmetric containment (quote/subset detection): df-bounded
     # shingle pair join, both directions from one intersection count.
     "containment_pairs_docs",
+    # Round-8 fourth session: exact-integer PMI collocations (two
+    # checkpointed count passes, vocab-bounded broadcasts) and the
+    # zero-exchange in-array phrase scan.
+    "pmi_collocations",
+    "phrase_match_docs",
 ]
 
 

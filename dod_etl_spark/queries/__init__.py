@@ -32,6 +32,7 @@ from dod_etl_spark.queries import quality as _quality  # noqa: E402,F401
 from dod_etl_spark.queries import evals as _evals  # noqa: E402,F401
 from dod_etl_spark.queries import signals as _signals  # noqa: E402,F401
 from dod_etl_spark.queries import corpus_ops as _corpus_ops  # noqa: E402,F401
+from dod_etl_spark.queries import lexicon as _lexicon  # noqa: E402,F401
 
 # The 50 queries the driver's correctness gate must see first.  Every
 # name here is oracle-paired (has an ORACLES entry).

@@ -1,0 +1,340 @@
+"""Round-8 fourth-session surface: corpus lexicon statistics — PMI
+collocations, exact phrase search, and vocabulary-growth (Heaps) curves.
+
+Beyond the reference's MES surface (its text handling stops at JSON
+field extraction, stp/DataTransformer.scala); these are the published
+corpus-linguistics recipes a training-data pipeline runs on every new
+crawl, re-expressed Spark-first with exact DuckDB oracles:
+
+- PMI collocations (Church & Hanks 1990): which word pairs co-occur
+  far above chance — the classic signal for multi-word expressions and
+  for spotting templated/boilerplate corpora before training.
+- Exact phrase search (positional-postings semantics, Manning et al.
+  IR ch. 2): batch form is a pure scan — every doc checks its own
+  token array, zero exchanges; the serve-time analog would intersect
+  PostingStore posting lists (streaming/posting_store.py).
+- Heaps-law vocabulary growth (Heaps 1978): distinct types vs corpus
+  size, the curve that says whether a crawl is still contributing new
+  vocabulary or has gone asymptotic (dedup/quality regression signal).
+
+Cross-engine determinism: association scores are exact-integer lifts
+(truncated ratio in ppm via DECIMAL `div` / HUGEINT `//` — verified
+identical truncation semantics for in-range positives), never libm
+log; positions and counts are BIGINTs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dod_etl_spark.queries.base import query, t
+
+# --- shared tokenization ------------------------------------------------------
+
+
+def _words(col: F.Column) -> F.Column:
+    """Whitespace tokens, empties dropped — string_split parity with
+    the DuckDB oracles (consecutive spaces yield empties on both
+    engines; both filter them)."""
+    return F.filter(F.split(F.lower(col), " "), lambda x: x != "")
+
+
+def _bigram_structs(w: F.Column) -> F.Column:
+    """Adjacent-pair structs from a token array, scan-stage (no
+    posexplode self-join): transform-with-index pairs each token with
+    its successor, try_element_at nulls the final sentinel out."""
+    return F.filter(
+        F.transform(
+            w,
+            lambda x, i: F.struct(
+                x.alias("w1"), F.try_element_at(w, i + F.lit(2)).alias("w2")
+            ),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+
+
+# --- PMI collocations ---------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+uni AS (SELECT unnest(w) AS tok FROM toks),
+uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM uc),
+bg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM toks, unnest(range(1, len(w))) AS t(i)
+),
+bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+btot AS (SELECT sum(c_xy) AS m FROM bc)
+SELECT bc.w1, bc.w2, bc.c_xy, u1.c AS c_x, u2.c AS c_y,
+       CAST(
+         (CAST(bc.c_xy AS HUGEINT) * n * n * 1000000)
+         // (CAST(m AS HUGEINT) * u1.c * u2.c)
+       AS BIGINT) AS lift_ppm
+FROM bc
+JOIN uc u1 ON bc.w1 = u1.tok
+JOIN uc u2 ON bc.w2 = u2.tok
+CROSS JOIN tot CROSS JOIN btot
+WHERE bc.c_xy >= {_PMI_MIN_COUNT}
+"""
+
+
+@query("pmi_collocations", _PMI_ORACLE)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram association: every adjacent pair seen >= 5 times
+    with its exact counts and lift = p(x,y)/(p(x)p(y)) in ppm
+    (PMI = ln(lift) is a monotone transform, so ranking by lift IS
+    ranking by PMI — emitted as a truncated integer ratio because ln is
+    libm-dependent across engines while DECIMAL `div` and HUGEINT `//`
+    truncate identically). Plan: one corpus scan per count branch
+    (unigram agg, bigram agg — both map-side combinable into
+    vocab-bounded frames; corpus text never crosses an exchange), the
+    unigram frame re-joined twice by broadcast (vocab-sized by
+    construction), totals as broadcast 1-row frames derived from the
+    count frames, NOT extra corpus passes. Exact-integer form is valid
+    to N ~ 3e9 tokens per partition-of-analysis (c_xy*N^2*1e6 <=
+    DECIMAL(38)); a 100 TB corpus computes per-shard lifts the same
+    way, or drops a common 10^k from num/den first (costs only ppm
+    precision), before a final merge of exact counts."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _words(F.col("text")).alias("w"))
+
+    # Checkpoint both count frames (vocab- and vocab^2-bounded): the
+    # totals and the two broadcast re-joins below would otherwise each
+    # replay the corpus tokenize+aggregate lineage (5 scans; with the
+    # checkpoints the corpus is scanned exactly twice).
+    uni = (
+        toks.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = uni.agg(F.sum("c").alias("_n"))
+    bg = (
+        toks.select(F.explode(_bigram_structs(F.col("w"))).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=True)
+    )
+    btot = bg.agg(F.sum("c_xy").alias("_m"))
+
+    return (
+        bg.where(F.col("c_xy") >= _PMI_MIN_COUNT)
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr(
+                "CAST(c_xy AS DECIMAL(38,0)) * _n * _n * 1000000"
+                " div (CAST(_m AS DECIMAL(38,0)) * c_x * c_y)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+# --- Exact phrase search ------------------------------------------------------
+
+# Plan literals: phrases chosen from the corpus generator's vocabulary
+# so every SF has matches (trigram frequencies 6-8 at sf0.01).
+_PHRASES = (
+    "slow hash batch",
+    "part filter scan",
+    "window fast query",
+    "customer join window",
+)
+
+
+def _phrase_values_sql() -> str:
+    rows = ", ".join(f"('{p}')" for p in _PHRASES)
+    return f"(VALUES {rows}) AS v(phrase)"
+
+
+_PHRASE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+ph AS (SELECT phrase, string_split(phrase, ' ') AS pw FROM {_phrase_values_sql()}),
+m AS (
+  SELECT t.doc_id, ph.phrase,
+         list_filter(range(1, len(w) + 1), i -> w[i:i + len(pw) - 1] = pw) AS pos
+  FROM toks t CROSS JOIN ph
+)
+SELECT doc_id, phrase,
+       CAST(len(pos) AS BIGINT) AS n_matches,
+       CAST(pos[1] AS BIGINT) AS first_pos
+FROM m WHERE len(pos) > 0
+"""
+
+
+def _phrase_match_struct(w: F.Column, phrase: str) -> F.Column:
+    words = phrase.split(" ")
+    k = len(words)
+
+    def is_match(i: F.Column) -> F.Column:
+        conds = [
+            F.try_element_at(w, i + F.lit(j)) == F.lit(tok)
+            for j, tok in enumerate(words)
+        ]
+        return reduce(lambda a, b: a & b, conds)
+
+    pos = F.filter(F.transform(w, lambda x, i: i + F.lit(1)), is_match)
+    return F.struct(
+        F.lit(phrase).alias("phrase"),
+        F.size(pos).cast("long").alias("n_matches"),
+        F.try_element_at(pos, F.lit(1)).cast("long").alias("first_pos"),
+    )
+
+
+@query("phrase_match_docs", _PHRASE_ORACLE)
+def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-word phrase search: for each (doc, phrase) with at
+    least one occurrence, the match count and first 1-based token
+    position. Positional-postings semantics (Manning et al. IR ch. 2)
+    in batch form: each document checks its own token array —
+    transform-with-index emits candidate start positions, a
+    conjunction of try_element_at lookups verifies the k-token window
+    (slice-equality without materializing slices). ZERO exchanges:
+    phrases are plan literals, no join, no aggregation; at 100 TB this
+    is a pure map over the corpus scan and the output is
+    match-sparse. The serve-time twin for ad-hoc phrases would
+    intersect PostingStore posting lists on (tok, doc_id) and verify
+    positions — same verification predicate, index-pruned scan."""
+    docs = t(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    arr = F.array(*[_phrase_match_struct(w, p) for p in _PHRASES])
+    return (
+        docs.select("doc_id", F.explode(arr).alias("m"))
+        .select("doc_id", "m.phrase", "m.n_matches", "m.first_pos")
+        .where(F.col("n_matches") > 0)
+    )
+
+
+# --- Heaps-law vocabulary growth ----------------------------------------------
+
+_GROWTH_BUCKET_DOCS = 100
+
+_GROWTH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+u AS (
+  SELECT tok, min(doc_id) AS fd
+  FROM (SELECT doc_id, unnest(w) AS tok FROM toks) GROUP BY 1
+),
+ub AS (SELECT fd // {_GROWTH_BUCKET_DOCS} AS bucket, count(*) AS nu FROM u GROUP BY 1),
+bgf AS (
+  SELECT w1, w2, min(doc_id) AS fd
+  FROM (
+    SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+    FROM toks, unnest(range(1, len(w))) AS t(i)
+  ) GROUP BY 1, 2
+),
+bb AS (SELECT fd // {_GROWTH_BUCKET_DOCS} AS bucket, count(*) AS nb FROM bgf GROUP BY 1),
+tb AS (
+  SELECT doc_id // {_GROWTH_BUCKET_DOCS} AS bucket, sum(len(w)) AS nt
+  FROM toks GROUP BY 1
+),
+j AS (
+  SELECT bucket, coalesce(nt, 0) AS nt, coalesce(nu, 0) AS nu, coalesce(nb, 0) AS nb
+  FROM tb FULL JOIN ub USING (bucket) FULL JOIN bb USING (bucket)
+)
+SELECT bucket,
+  CAST(sum(nt) OVER cum AS BIGINT) AS cum_tokens,
+  CAST(sum(nu) OVER cum AS BIGINT) AS cum_uni_types,
+  CAST(sum(nb) OVER cum AS BIGINT) AS cum_bi_types
+FROM j
+WINDOW cum AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("vocab_growth_docs", _GROWTH_ORACLE)
+def vocab_growth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth in doc_id ingest order: per
+    100-document bucket, cumulative token volume and cumulative
+    distinct unigram AND bigram types. The curve's shape is the
+    is-this-crawl-still-novel signal (a flattening type curve under a
+    growing token curve = the corpus has gone templated — exactly this
+    synthetic corpus's regime, 31 unigram types from bucket 0, bigram
+    types still accreting). Scale shape: "distinct types so far" is
+    NOT a running distinct-count — each type contributes one row at
+    its min(doc_id) first occurrence (map-side combinable agg), so the
+    cumulative curve is a prefix-sum over the BUCKET frame, which is
+    corpus_size/100 rows — the global-order window runs on a
+    metadata-sized frame (the quantile-store serve posture), never on
+    the corpus. Three count branches off one tokenized scan; text
+    never crosses an exchange."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    b = _GROWTH_BUCKET_DOCS
+
+    uni_b = (
+        toks.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy(F.expr(f"fd div {b}").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("nu"))
+    )
+    bi_b = (
+        toks.select("doc_id", F.explode(_bigram_structs(F.col("w"))).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy(F.expr(f"fd div {b}").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    tok_b = (
+        toks.select(
+            F.expr(f"doc_id div {b}").alias("bucket"),
+            F.size("w").cast("long").alias("_nt"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("_nt").alias("nt"))
+    )
+
+    # Union + re-aggregate instead of full-outer joins: same bucket
+    # frame, no join (a metadata-sized SMJ is harmless but pointless).
+    zero = F.lit(0).cast("long")
+    joined = (
+        tok_b.select("bucket", F.col("nt").cast("long").alias("nt"), zero.alias("nu"), zero.alias("nb"))
+        .unionByName(
+            uni_b.select("bucket", zero.alias("nt"), F.col("nu").cast("long").alias("nu"), zero.alias("nb"))
+        )
+        .unionByName(
+            bi_b.select("bucket", zero.alias("nt"), zero.alias("nu"), F.col("nb").cast("long").alias("nb"))
+        )
+        .groupBy("bucket")
+        .agg(F.sum("nt").alias("nt"), F.sum("nu").alias("nu"), F.sum("nb").alias("nb"))
+    )
+    # Single-partition window: the bucket frame is corpus/100 rows
+    # (metadata-sized at any SF that fits a cluster).
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "bucket",
+        F.sum("nt").over(cum).cast("long").alias("cum_tokens"),
+        F.sum("nu").over(cum).cast("long").alias("cum_uni_types"),
+        F.sum("nb").over(cum).cast("long").alias("cum_bi_types"),
+    )

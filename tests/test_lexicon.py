@@ -1,0 +1,140 @@
+"""Hand-fixture pins for the lexicon surface (queries/lexicon.py):
+PMI collocation arithmetic, phrase-match edge cases, and the
+vocabulary-growth bucketing.
+
+Corpus-level value parity is covered by test_oracle_parity; these pin
+behaviors the synthetic corpus can't exercise (overlapping phrase
+matches, docs shorter than the phrase, exact lift arithmetic on a
+countable corpus, multi-bucket type accretion) against hand-computed
+expectations.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dod_etl_spark.queries.lexicon import (
+    _bigram_structs,
+    _phrase_match_struct,
+    _words,
+    pmi_collocations,
+    vocab_growth_docs,
+)
+
+
+def _fixture_dir(spark, tmp_path, rows):
+    d = tmp_path / "lexfix"
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+# --- bigram construction ------------------------------------------------------
+
+
+def test_bigram_structs_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "x"), (3, ""), (4, "a  a")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id", _bigram_structs(_words(F.col("text"))).alias("p")
+    ).collect()
+    got = {r["doc_id"]: [(s["w1"], s["w2"]) for s in r["p"]] for r in out}
+    assert got[1] == [("a", "b"), ("b", "c"), ("c", "a"), ("a", "b")]
+    assert got[2] == []  # single token: no pair
+    assert got[3] == []  # empty doc
+    # double space collapses (empties filtered): adjacent pair survives
+    assert got[4] == [("a", "a")]
+
+
+# --- phrase matching ----------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text,phrase,positions",
+    [
+        ("a a a", "a a", [1, 2]),  # overlapping matches both count
+        ("x y z", "y z", [2]),  # match flush at doc end
+        ("y z", "x y z", []),  # doc shorter than phrase
+        ("a b a b a", "a b a", [1, 3]),  # self-overlapping trigram
+        ("q", "q", [1]),  # single-word phrase
+        ("a b", "b a", []),  # order matters
+    ],
+)
+def test_phrase_positions(spark, text, phrase, positions):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    m = df.select(
+        _phrase_match_struct(_words(F.col("text")), phrase).alias("m")
+    ).collect()[0]["m"]
+    assert m["n_matches"] == len(positions)
+    assert m["first_pos"] == (positions[0] if positions else None)
+
+
+# --- PMI lift arithmetic ------------------------------------------------------
+
+
+def test_pmi_lift_exact_on_countable_corpus(spark, tmp_path):
+    # 10 copies of "p q" and 10 of "p r": N=40 unigrams, M=20 bigrams,
+    # c(p)=20, c(q)=c(r)=10, c_xy=10 each.
+    # lift(p,q) = c_xy*N^2 / (M*c_p*c_q) = 10*1600/(20*20*10) = 4
+    #   -> 4_000_000 ppm exactly.
+    rows = [(i, "p q") for i in range(10)] + [(10 + i, "p r") for i in range(10)]
+    out = pmi_collocations(spark, _fixture_dir(spark, tmp_path, rows))
+    got = {(r["w1"], r["w2"]): r.asDict() for r in out.collect()}
+    assert set(got) == {("p", "q"), ("p", "r")}
+    for key in got:
+        assert got[key]["c_xy"] == 10
+        assert got[key]["c_x"] == 20
+        assert got[key]["c_y"] == 10
+        assert got[key]["lift_ppm"] == 4_000_000
+
+
+def test_pmi_lift_truncates_not_rounds(spark, tmp_path):
+    # 5 docs "a b" + 2 docs "b a": N=14, M=7, c(a)=c(b)=7, c_xy(a,b)=5.
+    # lift = 5*196/(7*7*7) = 980/343 = 2.857142857... -> 2_857_142 ppm
+    # (truncation; a rounding implementation would emit 2_857_143).
+    # (b,a) at c_xy=2 falls under the min-count cut.
+    rows = [(i, "a b") for i in range(5)] + [(5 + i, "b a") for i in range(2)]
+    out = pmi_collocations(spark, _fixture_dir(spark, tmp_path, rows))
+    got = {(r["w1"], r["w2"]): r.asDict() for r in out.collect()}
+    assert set(got) == {("a", "b")}
+    assert got[("a", "b")]["lift_ppm"] == 2_857_142
+
+
+def test_pmi_min_count_cut(spark, tmp_path):
+    # "u v" occurs 4 times < 5: filtered; "p q" at 5 survives.
+    rows = [(i, "p q") for i in range(5)] + [(5 + i, "u v") for i in range(4)]
+    out = pmi_collocations(spark, _fixture_dir(spark, tmp_path, rows))
+    assert {(r["w1"], r["w2"]) for r in out.collect()} == {("p", "q")}
+
+
+# --- vocabulary growth --------------------------------------------------------
+
+
+def test_vocab_growth_buckets_accrete(spark, tmp_path):
+    # Bucket 0 (docs 0-99 -> only doc 0): "a b" => 2 tokens, 2 uni
+    # types, 1 bigram type. Bucket 1 (doc 100): "b c b" adds type c and
+    # bigram types (b,c),(c,b). Bucket 2 (doc 250): "a b" adds nothing
+    # but tokens.
+    rows = [(0, "a b"), (100, "b c b"), (250, "a b")]
+    out = vocab_growth_docs(spark, _fixture_dir(spark, tmp_path, rows))
+    got = {r["bucket"]: r.asDict() for r in out.collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[0]["cum_tokens"], got[0]["cum_uni_types"], got[0]["cum_bi_types"]) == (
+        2,
+        2,
+        1,
+    )
+    assert (got[1]["cum_tokens"], got[1]["cum_uni_types"], got[1]["cum_bi_types"]) == (
+        5,
+        3,
+        3,
+    )
+    assert (got[2]["cum_tokens"], got[2]["cum_uni_types"], got[2]["cum_bi_types"]) == (
+        7,
+        3,
+        3,
+    )

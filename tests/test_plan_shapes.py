@@ -164,6 +164,18 @@ def _count(plan: str, op: str) -> int:
         # Golden record: survivorship agg + golden-field join; the CC
         # closure is behind its checkpoint boundary.
         ("entity_golden_record", 2),
+        # PMI: both count frames checkpointed (corpus scanned exactly
+        # twice, at checkpoint time); the two remaining exchanges are
+        # the 1-row total aggregates over those vocab-bounded frames.
+        ("pmi_collocations", 2),
+        # Phrase search is a pure scan — phrases are plan literals, the
+        # k-token window verifies in-array: any exchange is a
+        # regression.
+        ("phrase_match_docs", 0),
+        # Heaps curve: three map-combined count branches + bucket-frame
+        # full-outer joins and the cumulative window, all on
+        # corpus/100-row frames.
+        ("vocab_growth_docs", 7),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
