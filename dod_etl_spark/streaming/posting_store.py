@@ -100,8 +100,18 @@ class PostingStore:
             self.spark.createDataFrame([], "tok string, doc_id long, tf long, dl long"),
             deduped.select("doc_id", "dl").limit(0),
         )
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
         seen = self.spark.table(self.docs_table)
-        fresh = deduped.join(seen, "doc_id", "left_anti").localCheckpoint(eager=True)
+        # The tombstone anti-join closes the resurrection window: a
+        # replayed (or re-crawled) batch cannot re-admit a deleted
+        # doc_id even after purge_deleted() removed its commit record.
+        fresh = exclude_tombstoned(
+            self.spark,
+            deduped.join(seen, "doc_id", "left_anti"),
+            self.table,
+            "doc_id",
+        ).localCheckpoint(eager=True)
 
         postings = (
             fresh.select(
@@ -131,11 +141,17 @@ class PostingStore:
         return fresh.count()
 
     def stats(self) -> DataFrame:
-        """1-row (n_docs, avgdl) over the committed corpus — identical
-        arithmetic to the batch operator's stats frame."""
+        """1-row (n_docs, avgdl) over the committed, non-deleted corpus
+        — identical arithmetic to the batch operator's stats frame
+        (tombstoned docs excluded so idf/avgdl match a fresh index over
+        the retained corpus exactly)."""
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
         if not self.spark.catalog.tableExists(self.docs_table):
             return self.spark.createDataFrame([(0, None)], "n_docs long, avgdl double")
-        return self.spark.table(self.docs_table).select(
+        return exclude_tombstoned(
+            self.spark, self.spark.table(self.docs_table), self.table, "doc_id"
+        ).select(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             (
                 F.sum(F.col("dl")).cast("double") / F.count(F.lit(1)).cast("double")
@@ -164,9 +180,18 @@ class PostingStore:
             return self.spark.createDataFrame(
                 [], "query_id long, doc_id long, rank long, score double"
             )
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
         terms = query_terms(queries, query_id_col, query_text_col)
         toks_only = terms.select("tok").distinct()
-        committed = self.spark.table(self.docs_table).select("doc_id")
+        # Deleted docs leave the committed set BEFORE the df window, so
+        # document frequency (hence idf) reflects the retained corpus.
+        committed = exclude_tombstoned(
+            self.spark,
+            self.spark.table(self.docs_table).select("doc_id"),
+            self.table,
+            "doc_id",
+        )
         plists = (
             self.spark.table(self.table)
             .join(F.broadcast(toks_only), "tok", "left_semi")
@@ -195,6 +220,34 @@ class PostingStore:
             clean.write.insertInto(self.table, overwrite=True)
             self.spark.catalog.refreshTable(self.table)
         return before - after
+
+    def delete_docs(self, doc_ids) -> int:
+        """Compliance delete (right-to-be-forgotten): tombstone the
+        given doc_ids (DataFrame with `doc_id`, or an iterable of
+        ints). Serving excludes them immediately — rankings, df/idf and
+        avgdl all match a fresh index built without them (pinned in
+        tests/test_tombstones.py); storage is reclaimed later by
+        purge_deleted(). Idempotent; a tombstoned id can never be
+        re-indexed, even by an at-least-once replay after purge."""
+        from dod_etl_spark.streaming.tombstones import add_tombstones
+
+        return add_tombstones(self.spark, self.table, doc_ids, "doc_id")
+
+    def purge_deleted(self) -> dict:
+        """Maintenance-window physical removal of tombstoned docs from
+        both tables (checkpoint-then-overwrite, bucket layout
+        preserved). The tombstone table is deliberately RETAINED — it
+        is the re-admission guard for replayed source batches."""
+        from dod_etl_spark.streaming.tombstones import purge_table
+
+        return {
+            "postings_removed": purge_table(
+                self.spark, self.table, self.table, "doc_id"
+            ),
+            "docs_removed": purge_table(
+                self.spark, self.docs_table, self.table, "doc_id"
+            ),
+        }
 
     def n_docs(self) -> int:
         if not self.spark.catalog.tableExists(self.docs_table):

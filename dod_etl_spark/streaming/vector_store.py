@@ -113,8 +113,17 @@ class VectorIndexStore:
             .groupBy("vec_id")
             .agg(F.min("embedding").alias("embedding"))
         )
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
         seen = self.spark.table(self.vecs_table)
-        fresh = deduped.join(seen, "vec_id", "left_anti").localCheckpoint(eager=True)
+        # tombstone anti-join: a deleted vec_id can never be re-indexed
+        # (resurrection guard for replays after purge_deleted()).
+        fresh = exclude_tombstoned(
+            self.spark,
+            deduped.join(seen, "vec_id", "left_anti"),
+            self.table,
+            "vec_id",
+        ).localCheckpoint(eager=True)
         dim = _probe_dim(fresh, "embedding")
         if dim is None:  # empty or all-null batch: nothing to commit
             return 0
@@ -193,10 +202,17 @@ class VectorIndexStore:
         # Commit guard AFTER the bucket prune: the semi-join then runs
         # on the query-sized candidate frame, and the vecs side is a
         # bucketed scan on its join key — the corpus-sized bucket table
-        # itself never shuffles.
-        committed = self.spark.table(self.vecs_table).select(
-            F.col("vec_id").alias("neighbor_id")
-        )
+        # itself never shuffles. Tombstoned (deleted) vectors leave the
+        # committed set here, so served top-k equals a fresh index
+        # built without them.
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
+        committed = exclude_tombstoned(
+            self.spark,
+            self.spark.table(self.vecs_table).select("vec_id"),
+            self.table,
+            "vec_id",
+        ).select(F.col("vec_id").alias("neighbor_id"))
         scored = (
             F.broadcast(q)
             .join(c, "_bucket")
@@ -242,6 +258,30 @@ class VectorIndexStore:
             clean.write.insertInto(self.table, overwrite=True)
             self.spark.catalog.refreshTable(self.table)
         return before - after
+
+    def delete_vecs(self, vec_ids) -> int:
+        """Compliance delete: tombstone the given vec_ids. Serving
+        excludes them immediately (top-k equals a fresh index without
+        them); purge_deleted() reclaims storage later. Idempotent and
+        replay-durable (a tombstoned id can never be re-indexed)."""
+        from dod_etl_spark.streaming.tombstones import add_tombstones
+
+        return add_tombstones(self.spark, self.table, vec_ids, "vec_id")
+
+    def purge_deleted(self) -> dict:
+        """Maintenance-window physical removal of tombstoned vectors
+        from both tables; the tombstone table is RETAINED as the
+        re-admission guard."""
+        from dod_etl_spark.streaming.tombstones import purge_table
+
+        return {
+            "bucket_rows_removed": purge_table(
+                self.spark, self.table, self.table, "vec_id"
+            ),
+            "vecs_removed": purge_table(
+                self.spark, self.vecs_table, self.table, "vec_id"
+            ),
+        }
 
     def n_vecs(self) -> int:
         if not self.spark.catalog.tableExists(self.vecs_table):
@@ -342,8 +382,15 @@ class IvfVectorStore:
             .groupBy("vec_id")
             .agg(F.min("embedding").alias("embedding"))
         )
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
         seen = self.spark.table(self.vecs_table)
-        fresh = deduped.join(seen, "vec_id", "left_anti").localCheckpoint(eager=True)
+        fresh = exclude_tombstoned(
+            self.spark,
+            deduped.join(seen, "vec_id", "left_anti"),
+            self.table,
+            "vec_id",
+        ).localCheckpoint(eager=True)
         dim = _probe_dim(fresh, "embedding")
         if dim is None:
             return 0
@@ -403,9 +450,14 @@ class IvfVectorStore:
         sim = F.when(
             denom > 0, dot(F.col("_qv"), F.col("_cv"), dim) / denom
         ).otherwise(F.lit(0.0))
-        committed = self.spark.table(self.vecs_table).select(
-            F.col("vec_id").alias("neighbor_id")
-        )
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
+        committed = exclude_tombstoned(
+            self.spark,
+            self.spark.table(self.vecs_table).select("vec_id"),
+            self.table,
+            "vec_id",
+        ).select(F.col("vec_id").alias("neighbor_id"))
         scored = (
             F.broadcast(q)
             .join(c, "cell_id")
@@ -442,6 +494,26 @@ class IvfVectorStore:
             clean.write.insertInto(self.table, overwrite=True)
             self.spark.catalog.refreshTable(self.table)
         return before - after
+
+    def delete_vecs(self, vec_ids) -> int:
+        """Compliance delete — see VectorIndexStore.delete_vecs."""
+        from dod_etl_spark.streaming.tombstones import add_tombstones
+
+        return add_tombstones(self.spark, self.table, vec_ids, "vec_id")
+
+    def purge_deleted(self) -> dict:
+        """Physical removal of tombstoned vectors; tombstones RETAINED
+        as the re-admission guard."""
+        from dod_etl_spark.streaming.tombstones import purge_table
+
+        return {
+            "cell_rows_removed": purge_table(
+                self.spark, self.table, self.table, "vec_id"
+            ),
+            "vecs_removed": purge_table(
+                self.spark, self.vecs_table, self.table, "vec_id"
+            ),
+        }
 
     def n_vecs(self) -> int:
         if not self.spark.catalog.tableExists(self.vecs_table):
