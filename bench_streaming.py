@@ -50,6 +50,9 @@ WARMUP_S = float(os.environ.get("SPARK_GRAFT_STREAM_WARMUP", "10"))
 # accuracy), "profile" (the composed HLL+quantile+CM profiler),
 # "clusters" (incremental connected-components: edges/sec through
 # ClusterStore.add_edges, with ongoing cross-hub merges),
+# "tombstone" (posting-store ingestion with a 1%-of-batch compliance
+# delete interleaved into every micro-batch, plus timed
+# serve/purge/serve — the index scenario's head-to-head twin),
 # or "storm" (adversarial early-event scenario: a configurable fraction
 # of events arrives BEFORE its dimensions and must be held in gate
 # state — the reference's missing-data list reason for existing,
@@ -967,9 +970,141 @@ def main() -> None:
     )
 
 
+def main_tombstone() -> None:
+    """Compliance-delete overhead on the posting store: the `index`
+    scenario's pipeline with a delete interleaved into EVERY
+    micro-batch (1% of the batch's ids tombstoned right after they
+    commit — an aggressive takedown rate; real pipelines see far
+    less). Reports the interleaved indexing rate (comparable to the
+    `index` scenario's number head-to-head), plus timed serve-with-
+    tombstones, purge_deleted(), and serve-after-purge — and verifies
+    no tombstoned doc is ever served."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.session import get_spark
+    from dod_etl_spark.streaming.posting_store import PostingStore
+
+    spark = get_spark("dod_etl_spark_bench_tombstone")
+    tag = uuid.uuid4().hex[:8]
+    store = PostingStore(
+        spark, table=f"bench_tomb_{tag}", docs_table=f"bench_tombd_{tag}"
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_tomb_")
+
+    vocab = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+        "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    ]
+    varr = F.array(*[F.lit(w) for w in vocab])
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(RPS))
+        .option("numPartitions", str(spark.sparkContext.defaultParallelism))
+        .load()
+    )
+    v = F.col("value")
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda j: F.element_at(varr, ((v * 7 + j * (v % 5 + 1)) % 14 + 1).cast("int")),
+        ),
+        " ",
+    )
+    docs = rate.select(v.alias("doc_id"), text.alias("text"))
+
+    batches: list[tuple[float, int]] = []
+    deleted_total = [0]
+
+    def body(df, batch_id: int) -> None:
+        n = store.index_batch(df)
+        # takedown interleave: tombstone 1% of this batch's ids
+        dead = df.select("doc_id").where(F.col("doc_id") % 100 == 7)
+        deleted_total[0] += store.delete_docs(dead)
+        batches.append((time.perf_counter(), n))
+
+    q = (
+        docs.writeStream.foreachBatch(body)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    t0 = time.perf_counter()
+    deadline = t0 + WARMUP_S + WINDOW_S
+    while q.isActive and (time.perf_counter() < deadline or len(batches) < 3):
+        time.sleep(0.5)
+        if time.perf_counter() > t0 + 4 * (WARMUP_S + WINDOW_S):
+            break
+    snapshot = list(batches)
+    q.stop()
+    rows_total = sum(n for _, n in snapshot)
+    if len(snapshot) >= 2:
+        rows_window = sum(n for _, n in snapshot[1:])
+        window = max(snapshot[-1][0] - snapshot[0][0], 1e-9)
+    else:
+        rows_window = rows_total
+        window = max((snapshot[-1][0] - t0) if snapshot else 1e-9, 1e-9)
+    dps = rows_window / window
+
+    queries = spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "kilo lima mike")],
+        "query_id long, query_text string",
+    )
+
+    def timed_search():
+        t = time.perf_counter()
+        rows = store.search(queries, k=10).collect()
+        return time.perf_counter() - t, rows
+
+    pre_s, pre_rows = timed_search()
+    t = time.perf_counter()
+    removed = store.purge_deleted()
+    purge_s = time.perf_counter() - t
+    post_s, post_rows = timed_search()
+
+    served_ids = {r["doc_id"] for r in pre_rows} | {r["doc_id"] for r in post_rows}
+    leaked = [i for i in served_ids if i % 100 == 7]
+    assert not leaked, f"tombstoned docs served: {leaked}"
+    assert sorted(map(tuple, pre_rows)) == sorted(map(tuple, post_rows)), (
+        "purge changed serving"
+    )
+
+    spark.sql(f"DROP TABLE IF EXISTS {store.table}")
+    spark.sql(f"DROP TABLE IF EXISTS {store.docs_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {store.table}_tombstones")
+    print(
+        json.dumps(
+            {
+                "metric": "tombstone_index_docs_per_sec",
+                "value": round(dps, 1),
+                "unit": "docs/sec",
+                "queries": {"posting_store_index_with_deletes": round(dps, 1)},
+                "sf": 0.0,
+                "rows_total": rows_total,
+                "docs_deleted": deleted_total[0],
+                "postings_removed_by_purge": removed["postings_removed"],
+                "micro_batches": len(snapshot),
+                "rows_per_sec_offered": RPS,
+                "window_s": round(window, 1),
+                "search_with_tombstones_s": round(pre_s, 3),
+                "purge_s": round(purge_s, 3),
+                "search_after_purge_s": round(post_s, 3),
+                "protocol": {
+                    "source": "rate (oversupplied), ~24-token synthetic docs",
+                    "sink": "index_batch + delete_docs(1% of batch) per micro-batch",
+                    "measure": "docs after first batch / batch-boundary window; "
+                    "serve equality pre/post purge asserted, no tombstoned doc served",
+                },
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if SCENARIO == "index":
         main_index()
+    elif SCENARIO == "tombstone":
+        main_tombstone()
     elif SCENARIO == "vector":
         main_vector()
     elif SCENARIO == "storm":

@@ -562,3 +562,87 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d1.unionByName(d2).filter(
         F.col("containment_ppm") >= _CONT_T_PPM
     )
+
+
+# --- Degree assortativity of the kNN graph ------------------------------------
+
+
+def _assort_oracle() -> str:
+    from dod_etl_spark.queries.llm import _KNN_GRAPH_ORACLE
+
+    return f"""
+WITH graph AS ({_KNN_GRAPH_ORACLE}),
+e0 AS (
+  SELECT DISTINCT least(vec_id, neighbor_id) AS u,
+         greatest(vec_id, neighbor_id) AS v
+  FROM graph WHERE vec_id <> neighbor_id
+),
+e AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v AS s, u AS d FROM e0),
+deg AS (SELECT s AS node, count(*) AS deg FROM e GROUP BY 1),
+p AS (
+  SELECT d1.deg AS x, d2.deg AS y
+  FROM e JOIN deg d1 ON d1.node = e.s JOIN deg d2 ON d2.node = e.d
+),
+m AS (SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx, sum(x * y) AS sxy FROM p)
+SELECT CAST(n AS BIGINT) AS n_edge_ends,
+       {sround_sql("CAST(n * sxy - sx * sx AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)", 6)} AS assortativity
+FROM m
+"""
+
+
+@query("knn_assortativity", _assort_oracle())
+def knn_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the undirected kNN graph: the
+    Pearson correlation of endpoint degrees over all directed edge
+    ends (each undirected edge counted in both orientations, so the x
+    and y marginals coincide and r = (n*sxy - sx^2)/(n*sxx - sx^2)).
+    Negative r = hub-leaf structure (near-dup stars around template
+    documents), positive r = degree-homophilous communities — a
+    one-number structural fingerprint of the dedup graph that
+    complements the per-node clustering coefficient. All moments are
+    exact BIGINT sums (value_hour_correlation convention: the only
+    float ops are the final subtraction/division on exact operands);
+    degrees join BROADCAST (node-sized frame), so beyond the
+    checkpointed edge derivation the plan is one degree count plus a
+    1-row map-combined moment aggregate."""
+    from dod_etl_spark.operators.similarity import knn_graph
+
+    emb = t(spark, sf_dir, "embeddings")
+    g = knn_graph(emb, k=3, sign_dims=4)
+    e0 = (
+        g.where(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            F.least("vec_id", "neighbor_id").alias("u"),
+            F.greatest("vec_id", "neighbor_id").alias("v"),
+        )
+        .distinct()
+    )
+    e = (
+        e0.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionByName(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    p = (
+        e.join(F.broadcast(deg), "s")
+        .withColumnRenamed("deg", "x")
+        .join(
+            F.broadcast(deg.select(F.col("s").alias("d"), F.col("deg").alias("y"))),
+            "d",
+        )
+    )
+    m = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    from dod_etl_spark.functions.scalar import stable_round
+
+    return m.select(
+        F.col("n").cast("long").alias("n_edge_ends"),
+        stable_round(r, 6).alias("assortativity"),
+    )

@@ -338,3 +338,64 @@ def vocab_growth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nu").over(cum).cast("long").alias("cum_uni_types"),
         F.sum("nb").over(cum).cast("long").alias("cum_bi_types"),
     )
+
+
+# --- Zipf rank-frequency coverage ---------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+uc AS (SELECT tok, count(*) AS c FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM uc),
+r AS (
+  SELECT tok, c,
+         row_number() OVER (ORDER BY c DESC, tok ASC) AS rank,
+         sum(c) OVER (ORDER BY c DESC, tok ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM uc
+)
+SELECT CAST(rank AS BIGINT) AS rank, tok, c,
+       CAST((CAST(cum AS HUGEINT) * 1000000) // n AS BIGINT) AS coverage_ppm
+FROM r CROSS JOIN tot
+"""
+
+
+@query("zipf_coverage_docs", _ZIPF_ORACLE)
+def zipf_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency table with cumulative token coverage: for
+    each type in frequency order (ties on tok ASC — total-order
+    deterministic), its rank, exact count, and the ppm of all corpus
+    tokens covered by ranks 1..r. The coverage curve answers the
+    curation question "how many types carry 90% of the tokens" — a
+    head-heavy curve means templated text; the integer division is the
+    cross-engine-exact DSIR convention. Plan: one map-combined count
+    aggregate (corpus scanned once; checkpointed so the total is
+    derived without a rescan), then rank + prefix sum as a
+    single-partition window over the VOCAB-sized frame — types, not
+    tokens (the Heaps curve above shows why that's bounded)."""
+    docs = t(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(_words(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = uni.agg(F.sum("c").alias("_n"))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    return (
+        uni.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "tok",
+            "c",
+            F.expr("CAST(cum AS DECIMAL(38,0)) * 1000000 div _n").alias(
+                "coverage_ppm"
+            ),
+        )
+    )

@@ -20,6 +20,7 @@ from dod_etl_spark.queries.lexicon import (
     _words,
     pmi_collocations,
     vocab_growth_docs,
+    zipf_coverage_docs,
 )
 
 
@@ -138,3 +139,24 @@ def test_vocab_growth_buckets_accrete(spark, tmp_path):
         3,
         3,
     )
+
+
+# --- Zipf coverage ------------------------------------------------------------
+
+
+def test_zipf_coverage_ranks_and_ppm(spark, tmp_path):
+    # tokens: a x6, b x3, c x1 -> N=10.
+    # rank 1 a cum 6 -> 600000 ppm; rank 2 b cum 9 -> 900000;
+    # rank 3 c cum 10 -> 1000000.
+    rows = [(0, "a a a b"), (1, "a b c"), (2, "a a b")]
+    out = zipf_coverage_docs(spark, _fixture_dir(spark, tmp_path, rows))
+    got = sorted((r["rank"], r["tok"], r["c"], r["coverage_ppm"]) for r in out.collect())
+    assert got == [(1, "a", 6, 600_000), (2, "b", 3, 900_000), (3, "c", 1, 1_000_000)]
+
+
+def test_zipf_rank_ties_break_on_token(spark, tmp_path):
+    # equal counts: rank order must be alphabetical (deterministic).
+    rows = [(0, "z y x")]
+    out = zipf_coverage_docs(spark, _fixture_dir(spark, tmp_path, rows))
+    got = [(r["rank"], r["tok"]) for r in sorted(out.collect(), key=lambda r: r["rank"])]
+    assert got == [(1, "x"), (2, "y"), (3, "z")]

@@ -176,6 +176,13 @@ def _count(plan: str, op: str) -> int:
         # full-outer joins and the cumulative window, all on
         # corpus/100-row frames.
         ("vocab_growth_docs", 7),
+        # Zipf: count frame checkpointed (corpus scanned once); the two
+        # exchanges are the 1-row total and the vocab-sized rank window
+        # single-partition move.
+        ("zipf_coverage_docs", 2),
+        # Assortativity: post-checkpoint one degree count + broadcast
+        # degree joins + 1-row moment aggregate.
+        ("knn_assortativity", 3),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
