@@ -223,10 +223,18 @@ def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersect PostingStore posting lists on (tok, doc_id) and verify
     positions — same verification predicate, index-pruned scan."""
     docs = t(spark, sf_dir, "documents")
-    w = _words(F.col("text"))
+    # Tokenize in a SEPARATE projection and reference the column: the
+    # match expressions below read `w` dozens of times (positions x
+    # phrase tokens), and higher-order functions evaluate interpreted
+    # (no codegen subexpression elimination) — inlining the tokenize
+    # expression re-splits the text per element access (measured 20x
+    # slower). CollapseProject keeps the boundary because the alias is
+    # non-cheap and multiply-referenced.
+    toks = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    w = F.col("w")
     arr = F.array(*[_phrase_match_struct(w, p) for p in _PHRASES])
     return (
-        docs.select("doc_id", F.explode(arr).alias("m"))
+        toks.select("doc_id", F.explode(arr).alias("m"))
         .select("doc_id", "m.phrase", "m.n_matches", "m.first_pos")
         .where(F.col("n_matches") > 0)
     )
