@@ -266,3 +266,224 @@ class PostingStore:
             {self.table: "tok", self.docs_table: "doc_id"},
             self.n_buckets,
         )
+
+
+@dataclass
+class PositionalPostingStore:
+    """Append-only POSITIONAL index: the phrase-search serve path
+    (queries/lexicon.py phrase_match_docs names this as its
+    serve-time twin — batch form is a corpus scan; ad-hoc phrases over
+    a standing corpus want posting-list intersection instead).
+
+    Same two-table discipline as PostingStore (postings bucketed by
+    tok; (doc_id, dl) commit records bucketed by doc_id; postings
+    append first, commit record last; replays anti-join to empty;
+    tombstone deletes supported), but each posting row carries the
+    token's SORTED 1-based position list. phrase_search() prunes to
+    the phrase vocabulary's posting lists (a pushed tok IN (...)
+    filter on the bucket layout), aligns each term's positions by
+    subtracting its phrase offset, and intersects — the classic
+    positional-postings phrase algorithm (Manning et al. IR ch. 2),
+    with the intersection running inside one per-doc aggregate row.
+    Results are pinned BIT-IDENTICAL to the batch scan
+    (tests/test_positional_store.py), including overlapping matches
+    and repeated-term phrases ("a a" in "a a a" matches at 1 and 2).
+
+    Scale: serve cost is bounded by the phrase terms' posting lists
+    (never the corpus); the one exchange per phrase is the per-doc
+    group of those pruned lists. A stop-word phrase term costs its
+    full posting list — the standard positional-index caveat; cap or
+    reorder rare-term-first at the application layer."""
+
+    spark: SparkSession
+    table: str = "positional_postings"
+    docs_table: str = "positional_docs"
+    n_buckets: int = 64
+
+    def _ensure_tables(self) -> None:
+        if not self.spark.catalog.tableExists(self.table):
+            (
+                self.spark.createDataFrame(
+                    [], "tok string, doc_id long, positions array<bigint>, dl long"
+                )
+                .write.format("parquet")
+                .bucketBy(self.n_buckets, "tok")
+                .sortBy("tok")
+                .saveAsTable(self.table)
+            )
+        if not self.spark.catalog.tableExists(self.docs_table):
+            (
+                self.spark.createDataFrame([], "doc_id long, dl long")
+                .write.format("parquet")
+                .bucketBy(self.n_buckets, "doc_id")
+                .sortBy("doc_id")
+                .saveAsTable(self.docs_table)
+            )
+
+    def index_batch(
+        self,
+        batch: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> int:
+        """foreachBatch body: index the never-seen, never-deleted
+        documents of `batch`; returns how many were added."""
+        from dod_etl_spark.streaming.maintenance import bucket_align
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
+        self._ensure_tables()
+        deduped = (
+            batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+            .groupBy("doc_id")
+            .agg(F.min("_t").alias("_t"))
+            .select(
+                "doc_id",
+                F.col("_t").alias("_text"),
+                F.size(doc_tokens("_t")).cast("long").alias("dl"),
+            )
+        )
+        seen = self.spark.table(self.docs_table)
+        fresh = exclude_tombstoned(
+            self.spark,
+            deduped.join(seen, "doc_id", "left_anti"),
+            self.table,
+            "doc_id",
+        ).localCheckpoint(eager=True)
+
+        postings = (
+            fresh.select(
+                "doc_id",
+                "dl",
+                F.posexplode(doc_tokens("_text")).alias("_p0", "tok"),
+            )
+            .groupBy("doc_id", "tok")
+            .agg(
+                F.sort_array(F.collect_list(F.col("_p0") + 1)).alias("positions"),
+                F.max("dl").alias("dl"),
+            )
+            .select("tok", "doc_id", F.col("positions").cast("array<bigint>").alias("positions"), "dl")
+        )
+        bucket_align(postings, "tok", self.n_buckets).write.insertInto(
+            self.table, overwrite=False
+        )
+        bucket_align(
+            fresh.select("doc_id", "dl"), "doc_id", self.n_buckets
+        ).write.insertInto(self.docs_table, overwrite=False)
+        self.spark.catalog.refreshTable(self.table)
+        self.spark.catalog.refreshTable(self.docs_table)
+        return fresh.count()
+
+    def phrase_search(self, phrases: list[str]) -> DataFrame:
+        """(doc_id, phrase, n_matches, first_pos) for every committed,
+        non-deleted document with at least one exact occurrence —
+        bit-identical to the batch in-array scan over the same corpus.
+        Per phrase: pruned posting scan -> offset-align -> per-doc
+        intersection; a doc matches only if ALL k terms are present
+        (count==k) and the aligned intersection is non-empty."""
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
+        out_schema = "doc_id long, phrase string, n_matches long, first_pos long"
+        if not self.spark.catalog.tableExists(self.table):
+            return self.spark.createDataFrame([], out_schema)
+        committed = exclude_tombstoned(
+            self.spark,
+            self.spark.table(self.docs_table).select("doc_id"),
+            self.table,
+            "doc_id",
+        )
+        store = self.spark.table(self.table)
+        branches = []
+        for phrase in phrases:
+            terms = [w for w in phrase.lower().split(" ") if w]
+            k = len(terms)
+            pruned = (
+                store.where(F.col("tok").isin(sorted(set(terms))))
+                .join(committed, "doc_id", "left_semi")
+            )
+            def _shift_by(j: int):
+                # NB: must be a ONE-argument lambda — pyspark passes
+                # (element, index) to two-argument lambdas, so a
+                # default-arg binding (lambda p, _j=j: ...) silently
+                # receives the array index instead of the offset.
+                return lambda p: p - F.lit(j)
+
+            per_j = None
+            for j, tok in enumerate(terms):
+                b = pruned.where(F.col("tok") == tok).select(
+                    "doc_id",
+                    F.transform(F.col("positions"), _shift_by(j)).alias("shifted"),
+                )
+                per_j = b if per_j is None else per_j.unionByName(b)
+            grouped = per_j.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("_nterms"),
+                F.collect_list("shifted").alias("_arrs"),
+            )
+            inter = F.expr(
+                "aggregate(_arrs, _arrs[0], (acc, x) -> array_intersect(acc, x))"
+            )
+            branches.append(
+                grouped.where(F.col("_nterms") == k)
+                .select(
+                    "doc_id",
+                    F.lit(phrase).alias("phrase"),
+                    F.size(inter).cast("long").alias("n_matches"),
+                    F.array_min(inter).cast("long").alias("first_pos"),
+                )
+                .where(F.col("n_matches") > 0)
+            )
+        if not branches:
+            return self.spark.createDataFrame([], out_schema)
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
+
+    def delete_docs(self, doc_ids) -> int:
+        """Compliance delete — PostingStore.delete_docs semantics."""
+        from dod_etl_spark.streaming.tombstones import add_tombstones
+
+        return add_tombstones(self.spark, self.table, doc_ids, "doc_id")
+
+    def purge_deleted(self) -> dict:
+        from dod_etl_spark.streaming.tombstones import purge_table
+
+        return {
+            "postings_removed": purge_table(
+                self.spark, self.table, self.table, "doc_id"
+            ),
+            "docs_removed": purge_table(
+                self.spark, self.docs_table, self.table, "doc_id"
+            ),
+        }
+
+    def repair(self) -> int:
+        """Remove orphan postings left by a crash between the two
+        appends (PostingStore.repair discipline)."""
+        if not self.spark.catalog.tableExists(self.table):
+            return 0
+        postings = self.spark.table(self.table)
+        docs = self.spark.table(self.docs_table).select("doc_id")
+        clean = postings.join(docs, "doc_id", "left_semi").select(
+            "tok", "doc_id", "positions", "dl"
+        )
+        before = postings.count()
+        after = clean.count()
+        if after != before:
+            clean = clean.localCheckpoint(eager=True)
+            clean.write.insertInto(self.table, overwrite=True)
+            self.spark.catalog.refreshTable(self.table)
+        return before - after
+
+    def n_docs(self) -> int:
+        if not self.spark.catalog.tableExists(self.docs_table):
+            return 0
+        return self.spark.table(self.docs_table).count()
+
+    def compact(self) -> dict:
+        from dod_etl_spark.streaming.maintenance import compact_store
+
+        return compact_store(
+            self.spark,
+            {self.table: "tok", self.docs_table: "doc_id"},
+            self.n_buckets,
+        )
