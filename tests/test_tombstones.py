@@ -257,3 +257,26 @@ def test_ivf_delete_equals_fresh_index(spark, ivf_store):
         )
         served = ivf_store.search(q, k=K, n_probe=n_probe)
         assert _vrows(served) == _vrows(adhoc), f"n_probe={n_probe}"
+
+
+# --- runbook order: purge then compact, serving invariant ---------------------
+
+
+def test_posting_purge_then_compact_serving_invariant(spark, pstore):
+    """docs/SCALE.md runbook order (repair -> purge_deleted ->
+    compact): after a delete, physical purge AND file compaction, the
+    serve result is still bit-identical to the pre-purge tombstone
+    view, and the bucket layout survives for the serve plan."""
+    b1 = spark.createDataFrame(B1, "doc_id long, text string")
+    b2 = spark.createDataFrame(B2, "doc_id long, text string")
+    pstore.index_batch(b1)
+    pstore.index_batch(b2)
+    pstore.delete_docs(DEAD)
+    before = _prows(pstore.search(_q(spark), k=10))
+
+    pstore.purge_deleted()
+    pstore.compact()
+    assert _prows(pstore.search(_q(spark), k=10)) == before
+    # post-compaction replays still blocked
+    assert pstore.index_batch(b1) == 0
+    assert _prows(pstore.search(_q(spark), k=10)) == before

@@ -71,6 +71,9 @@ PROBE_QUERIES = [
     "hard_triplet_mining",         # r8: broadcast-anchor corpus pass
     "segment_dedup_docs",          # r8: global winner agg + reassembly
     "knn_bfs_hops",                # r8: frontier-delta BFS rounds
+    "pmi_collocations",            # r8s4: two count passes (vocab fixed)
+    "phrase_match_docs",           # r8s4: zero-exchange in-array scan
+    "zipf_coverage_docs",          # r8s4: one count pass + vocab window
 ]
 
 # Exact pair-emitters: OUTPUT (and therefore time) is inherently
