@@ -167,6 +167,7 @@ class PostingStore:
         rational_idf: bool = False,
         query_id_col: str = "query_id",
         query_text_col: str = "query_text",
+        exclude_self: bool = False,
     ) -> DataFrame:
         """BM25 top-k against the stored index. Serve cost is bounded
         by the query vocabulary's posting lists: the store prunes
@@ -199,7 +200,9 @@ class PostingStore:
             .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
         )
         joined = plists.join(F.broadcast(terms), "tok")
-        return bm25_score_and_rank(joined, self.stats(), k, k1, b, rational_idf)
+        return bm25_score_and_rank(
+            joined, self.stats(), k, k1, b, rational_idf, exclude_self
+        )
 
     def repair(self) -> int:
         """Remove orphan postings (doc_id absent from the commit
