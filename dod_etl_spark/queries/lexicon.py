@@ -407,3 +407,175 @@ def zipf_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Cross-source token-distribution TVD --------------------------------------
+
+_STVD_ORACLE = """
+WITH toks AS (
+  SELECT source, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+c AS (
+  SELECT source, tok, count(*) AS c
+  FROM (SELECT source, unnest(w) AS tok FROM toks) GROUP BY 1, 2
+),
+n AS (SELECT source, sum(c) AS n FROM c GROUP BY 1),
+m AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         sum(abs(CAST(a.c AS HUGEINT) * nb.n - CAST(b.c AS HUGEINT) * na.n)) AS mm,
+         sum(a.c) AS ma, sum(b.c) AS mb
+  FROM c a
+  JOIN c b ON a.tok = b.tok AND a.source < b.source
+  JOIN n na ON na.source = a.source
+  JOIN n nb ON nb.source = b.source
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT na.source AS source_a, nb.source AS source_b,
+         na.n AS na, nb.n AS nb
+  FROM n na CROSS JOIN n nb WHERE na.source < nb.source
+)
+SELECT source_a, source_b,
+       CAST(
+         ((coalesce(mm, 0) + CAST(na - coalesce(ma, 0) AS HUGEINT) * nb
+           + CAST(nb - coalesce(mb, 0) AS HUGEINT) * na)
+          * 1000000) // (2 * CAST(na AS HUGEINT) * nb)
+       AS BIGINT) AS tvd_ppm
+FROM grid LEFT JOIN m USING (source_a, source_b)
+"""
+
+
+@query("source_token_tvd", _STVD_ORACLE)
+def source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total variation distance between each source pair's UNIGRAM
+    distribution, as an exact integer: TVD = sum|p_a - p_b|/2 =
+    sum|c_a*N_b - c_b*N_a| / (2*N_a*N_b) — the numerator is a BIGINT
+    sum, the single division is the truncated-ppm convention, so the
+    headline drift number (is source X's language different from
+    source Y's?) is bit-identical cross-engine with NO float
+    accumulation (source_drift_tvd's events twin documents the
+    decimal swap past ~1e9 counts; same note applies). Tokens present
+    in only one source are folded in CLOSED FORM — (N_a - matched_a)
+    contributes at probability 0 on the other side — so the pair join
+    only carries the vocabulary intersection. Plan: one (source, tok)
+    count (map-combined), totals derived from it; the pair join and
+    everything after run on the sources x vocab frame (metadata-sized:
+    rule 3, global decisions come back as broadcast rows)."""
+    docs = t(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(_words(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    # Checkpoint the per-source totals too: they are referenced four
+    # times below (two joins on each of na/nb) and would otherwise
+    # re-aggregate per reference.
+    n = (
+        c.groupBy("source")
+        .agg(F.sum("c").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    a = c.select(F.col("source").alias("source_a"), "tok", F.col("c").alias("ca"))
+    b = c.select(F.col("source").alias("source_b"), "tok", F.col("c").alias("cb"))
+    na = n.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    m = (
+        a.join(F.broadcast(b), "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("ca").cast("decimal(38,0)") * F.col("nb")
+                    - F.col("cb").cast("decimal(38,0)") * F.col("na")
+                )
+            ).alias("mm"),
+            F.sum("ca").alias("ma"),
+            F.sum("cb").alias("mb"),
+        )
+    )
+    # The matched aggregate only sees pairs sharing >= 1 token — a pair
+    # with DISJOINT vocabularies (TVD exactly 1) would vanish from an
+    # inner-join shape, so the full pair grid comes from the totals
+    # frame and the matched sums default to zero (fixture-pinned).
+    grid = na.crossJoin(F.broadcast(nb)).where(
+        F.col("source_a") < F.col("source_b")
+    )
+    return (
+        grid.join(F.broadcast(m), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.expr(
+                "CAST(((coalesce(mm, CAST(0 AS DECIMAL(38,0))))"
+                " + CAST(na - coalesce(ma, 0) AS DECIMAL(38,0)) * nb"
+                " + CAST(nb - coalesce(mb, 0) AS DECIMAL(38,0)) * na) * 1000000"
+                " div (2 * CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+            ).alias("tvd_ppm"),
+        )
+    )
+
+
+# --- Token burstiness (Fano factor) -------------------------------------------
+
+_BURST_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+dc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS tok FROM toks) GROUP BY 1, 2
+),
+nd AS (SELECT count(*) AS n FROM documents),
+m AS (
+  SELECT tok, count(*) AS n_docs_with, sum(c) AS sx,
+         sum(CAST(c AS HUGEINT) * c) AS sxx
+  FROM dc GROUP BY 1
+)
+SELECT tok, CAST(n_docs_with AS BIGINT) AS n_docs_with, CAST(sx AS BIGINT) AS sx,
+       CAST(((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) * 1000000)
+            // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS fano_ppm
+FROM m CROSS JOIN nd
+"""
+
+
+@query("token_burstiness", _BURST_ORACLE)
+def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token burstiness as the Fano factor (variance/mean of the
+    per-document count, zeros included — Church & Gale 1995: content
+    words are bursty, function words Poisson-like; in curation a
+    suddenly-bursty token flags template injection). With integer
+    moment sums over the (doc, tok) count frame the factor is
+    (n*sxx - sx^2)/(n*sx) exactly — emitted in truncated ppm
+    (Poisson = 1_000_000; above = bursty), zero float ops. Documents
+    NOT containing the token enter in closed form (they add zero to
+    both moments; n is the corpus total). Plan: one (doc, tok) count,
+    one per-token moment aggregate (both map-combined), the 1-row doc
+    total broadcast — two shuffles of scalar rows, text never moves."""
+    docs = t(spark, sf_dir, "documents")
+    dc = (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("_n"))
+    m = dc.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_docs_with"),
+        F.sum("c").alias("sx"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sxx"),
+    )
+    return m.crossJoin(F.broadcast(nd)).select(
+        "tok",
+        F.col("n_docs_with").cast("long").alias("n_docs_with"),
+        F.col("sx").cast("long").alias("sx"),
+        F.expr(
+            "CAST(((CAST(_n AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx) * 1000000)"
+            " div (CAST(_n AS DECIMAL(38,0)) * sx) AS BIGINT)"
+        ).alias("fano_ppm"),
+    )

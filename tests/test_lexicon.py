@@ -160,3 +160,56 @@ def test_zipf_rank_ties_break_on_token(spark, tmp_path):
     out = zipf_coverage_docs(spark, _fixture_dir(spark, tmp_path, rows))
     got = [(r["rank"], r["tok"]) for r in sorted(out.collect(), key=lambda r: r["rank"])]
     assert got == [(1, "x"), (2, "y"), (3, "z")]
+
+
+# --- source TVD and burstiness ------------------------------------------------
+
+
+def _fixture_dir_src(spark, tmp_path, rows):
+    d = tmp_path / "lexsrc"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_source_token_tvd_exact(spark, tmp_path):
+    from dod_etl_spark.queries.lexicon import source_token_tvd
+
+    # s1: "a a b" (N=3: a 2/3, b 1/3); s2: "a c" (N=2: a 1/2, c 1/2).
+    # TVD = (|2/3-1/2| + |1/3-0| + |0-1/2|)/2 = 1/2 -> 500000 ppm
+    # (numerator |ca*Nb - cb*Na|: a=1, b=2, c=3 -> 6; den 2*3*2=12).
+    rows = [(1, "a a b", "s1"), (2, "a c", "s2")]
+    out = source_token_tvd(spark, _fixture_dir_src(spark, tmp_path, rows))
+    got = [(r["source_a"], r["source_b"], r["tvd_ppm"]) for r in out.collect()]
+    assert got == [("s1", "s2", 500_000)]
+
+
+def test_source_token_tvd_bounds(spark, tmp_path):
+    from dod_etl_spark.queries.lexicon import source_token_tvd
+
+    # identical distributions -> 0; disjoint vocabularies -> 1e6.
+    rows = [
+        (1, "a b", "same1"),
+        (2, "a b", "same2"),
+        (3, "x y", "other"),
+    ]
+    out = source_token_tvd(spark, _fixture_dir_src(spark, tmp_path, rows))
+    got = {(r["source_a"], r["source_b"]): r["tvd_ppm"] for r in out.collect()}
+    assert got[("same1", "same2")] == 0
+    assert got[("other", "same1")] == 1_000_000
+    assert got[("other", "same2")] == 1_000_000
+
+
+def test_token_burstiness_fano(spark, tmp_path):
+    from dod_etl_spark.queries.lexicon import token_burstiness
+
+    # 4 docs: "a a a a" in one doc -> a is maximally bursty;
+    # "b" spread one-per-doc in the other three -> sub-Poisson.
+    # a: n=4, sx=4, sxx=16 -> (4*16-16)*1e6/(4*4) = 3_000_000.
+    # b: n=4, sx=3, sxx=3 -> (12-9)*1e6/12 = 250_000.
+    rows = [(1, "a a a a"), (2, "b"), (3, "b"), (4, "b")]
+    out = token_burstiness(spark, _fixture_dir(spark, tmp_path, rows))
+    got = {r["tok"]: (r["n_docs_with"], r["sx"], r["fano_ppm"]) for r in out.collect()}
+    assert got["a"] == (1, 4, 3_000_000)
+    assert got["b"] == (3, 3, 250_000)

@@ -183,6 +183,12 @@ def _count(plan: str, op: str) -> int:
         # Assortativity: post-checkpoint one degree count + broadcast
         # degree joins + 1-row moment aggregate.
         ("knn_assortativity", 3),
+        # Source TVD: counts and totals checkpointed; vocab-sized pair
+        # join broadcast; the one exchange is the pair aggregation.
+        ("source_token_tvd", 1),
+        # Burstiness: (doc,tok) count + per-token moments + 1-row doc
+        # total, all map-combined.
+        ("token_burstiness", 3),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
