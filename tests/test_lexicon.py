@@ -213,3 +213,38 @@ def test_token_burstiness_fano(spark, tmp_path):
     got = {r["tok"]: (r["n_docs_with"], r["sx"], r["fano_ppm"]) for r in out.collect()}
     assert got["a"] == (1, 4, 3_000_000)
     assert got["b"] == (3, 3, 250_000)
+
+
+# --- null-text robustness (dirty-corpus convention) ---------------------------
+
+
+def test_lexicon_null_text_docs(spark, tmp_path):
+    """A null-text doc must not crash any lexicon query and must count
+    as an empty doc exactly as the DuckDB oracles treat it (unnest of
+    NULL emits nothing; count(*) still counts the document row)."""
+    from dod_etl_spark.queries.lexicon import (
+        phrase_match_docs,
+        source_token_tvd,
+        token_burstiness,
+        zipf_coverage_docs,
+    )
+
+    d = tmp_path / "lexnull"
+    spark.createDataFrame(
+        [(1, "a b a b a b a b a b", "s1"), (2, None, "s1"), (3, "a b", "s2")],
+        "doc_id long, text string, source string",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    sf = str(d)
+
+    zipf = {r["tok"]: r["c"] for r in zipf_coverage_docs(spark, sf).collect()}
+    assert zipf == {"a": 6, "b": 6}
+    assert phrase_match_docs(spark, sf).count() == 0  # phrases absent
+    fano = {r["tok"]: r["n_docs_with"] for r in token_burstiness(spark, sf).collect()}
+    assert fano == {"a": 2, "b": 2}
+    tvd = source_token_tvd(spark, sf).collect()
+    assert [(r["source_a"], r["source_b"], r["tvd_ppm"]) for r in tvd] == [
+        ("s1", "s2", 0)
+    ]
+
+    growth = vocab_growth_docs(spark, sf).collect()
+    assert [(r["bucket"], r["cum_tokens"]) for r in growth] == [(0, 12)]
