@@ -130,10 +130,12 @@ BENCH_QUERIES = [
     # shingle pair join, both directions from one intersection count.
     "containment_pairs_docs",
     # Round-8 fourth session: exact-integer PMI collocations (two
-    # checkpointed count passes, vocab-bounded broadcasts) and the
-    # zero-exchange in-array phrase scan.
+    # checkpointed count passes, vocab-bounded broadcasts), the
+    # zero-exchange in-array phrase scan, and the exact-integer
+    # cross-source distribution drift matrix.
     "pmi_collocations",
     "phrase_match_docs",
+    "source_token_tvd",
 ]
 
 
