@@ -3690,3 +3690,167 @@ def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("long").alias("distinct_tokens"),
     )
     return pareto_frontier(m, "n_tokens", "distinct_tokens")
+
+
+# --- Curation audit: per-document drop attribution -----------------------------
+
+_AUDIT_ORACLE = f"""
+WITH RECURSIVE normed AS (
+  SELECT doc_id,
+         {_CUR_NORM_SQL} AS norm_text,
+         {sround_sql(_QCUT_Q_EXPR, 6)} AS q,
+         {hash_bucket_sql('doc_id', 7)} AS b
+  FROM documents
+), fp AS (
+  SELECT doc_id, norm_text, q, b, md5(norm_text) AS norm_fp FROM normed
+), train AS (
+  SELECT * FROM fp WHERE b >= 1000 AND q >= 0.25
+), win AS (
+  SELECT norm_fp, min(doc_id) AS win_doc FROM train GROUP BY norm_fp
+), holdout AS (
+  SELECT DISTINCT norm_fp FROM fp WHERE b < 1000
+), kept AS (
+  SELECT norm_fp, min(doc_id) AS doc_id, min(norm_text) AS norm_text
+  FROM train GROUP BY norm_fp
+), decon AS (
+  SELECT * FROM kept WHERE norm_fp NOT IN (SELECT norm_fp FROM holdout)
+), pairs AS (
+  SELECT id_1, id_2
+  FROM ({{minhash}})
+), cedges AS (
+  SELECT id_1 AS s, id_2 AS d FROM pairs
+  UNION ALL
+  SELECT id_2 AS s, id_1 AS d FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM decon
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN cedges e ON e.s = r.node
+), assign AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT f.doc_id,
+       CASE WHEN f.b < 1000 THEN 'holdout_split'
+            WHEN f.q < 0.25 THEN 'quality_gate'
+            WHEN f.doc_id <> w.win_doc THEN 'exact_dup'
+            WHEN f.norm_fp IN (SELECT norm_fp FROM holdout) THEN 'decontaminated'
+            WHEN a.cluster_id <> f.doc_id THEN 'near_dup'
+            ELSE 'kept' END AS reason
+FROM fp f
+LEFT JOIN win w ON w.norm_fp = f.norm_fp
+LEFT JOIN assign a ON a.doc_id = f.doc_id
+"""
+
+
+def _audit_oracle() -> str:
+    return _AUDIT_ORACLE.format(
+        minhash=_minhash_oracle(band_size=4, table="decon", text="norm_text")
+    )
+
+
+def _audit_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document audit of the flagship curation pipeline: every doc
+    labeled with the FIRST stage that removed it (stage predicates and
+    winner rules byte-identical to curation_pipeline_docs), or 'kept'.
+    Priority: holdout_split > quality_gate > exact_dup >
+    decontaminated > near_dup > kept — the pipeline's own execution
+    order, so sum(reason='kept') == the pipeline's output cardinality
+    (pinned in tests/test_curation_audit.py)."""
+    from dod_etl_spark.operators.text_dedup import minhash_cluster_edges as _edges
+
+    docs = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[\\x00-\\x1F\\x7F]", ""),
+            " +",
+            " ",
+        )
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    q = stable_round(
+        F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
+        * (
+            F.lit(1.0)
+            - punct_count(F.col("text")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)).cast("double")
+        ),
+        6,
+    )
+    fp = docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        q.alias("q"),
+        hash_bucket(F.col("doc_id"), 7).alias("_b"),
+    ).withColumn("norm_fp", F.md5(F.col("norm_text").cast("binary")))
+
+    train = fp.where((F.col("_b") >= 1000) & (F.col("q") >= 0.25))
+    win = train.groupBy("norm_fp").agg(F.min("doc_id").alias("win_doc"))
+    holdout = (
+        fp.where(F.col("_b") < 1000).select("norm_fp").distinct()
+    )
+    kept = train.groupBy("norm_fp").agg(
+        F.min("doc_id").alias("doc_id"), F.min("norm_text").alias("norm_text")
+    )
+    decon = kept.join(F.broadcast(holdout), "norm_fp", "left_anti").localCheckpoint(
+        eager=True
+    )
+    edges = _edges(
+        decon, text_col="norm_text", num_hashes=8, band_size=4, shingle_len=5
+    )
+    assign = dedup_cluster_assignments(decon.select("doc_id"), edges)
+
+    contaminated = F.broadcast(
+        holdout.select("norm_fp", F.lit(1).alias("_in_holdout"))
+    )
+    reason = (
+        F.when(F.col("_b") < 1000, F.lit("holdout_split"))
+        .when(F.col("q") < 0.25, F.lit("quality_gate"))
+        .when(F.col("doc_id") != F.col("win_doc"), F.lit("exact_dup"))
+        .when(F.col("_in_holdout").isNotNull(), F.lit("decontaminated"))
+        .when(F.col("cluster_id") != F.col("doc_id"), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        fp.join(win, "norm_fp", "left")
+        .join(contaminated, "norm_fp", "left")
+        .join(assign, "doc_id", "left")
+        .select("doc_id", reason.alias("reason"))
+    )
+
+
+@query("curation_audit_docs", _audit_oracle())
+def curation_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why did the pipeline drop my document? — the explainability
+    query every production curation run needs (a takedown dispute, a
+    recall investigation, a gate-tuning loop all start here). One row
+    per CORPUS document with the first-removing stage, replaying
+    curation_pipeline_docs' exact predicates; the oracle recomputes
+    the same attribution through the recursive-closure SQL, so the
+    whole decision surface is hash-checked, not just the survivor
+    set. Scale shape: the stage flags are the pipeline's own frames
+    re-joined (winner rule on the fp-keyed shuffle, holdout and
+    contamination flags broadcast, cluster assignment behind its
+    checkpoint); the audit adds joins of metadata-sized or fp-keyed
+    frames, never a new corpus shuffle."""
+    return _audit_frame(spark, sf_dir)
+
+
+_ATTRITION_ORACLE = f"""
+WITH audit AS ({{audit}})
+SELECT reason, CAST(count(*) AS BIGINT) AS n_docs
+FROM audit GROUP BY reason
+"""
+
+
+@query(
+    "curation_stage_attrition",
+    _ATTRITION_ORACLE.format(audit=_audit_oracle()),
+)
+def curation_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline funnel: documents lost per stage (the number a
+    curation dashboard plots per crawl). Derived from the per-doc
+    audit by one vocabulary-of-stages-sized aggregation."""
+    return (
+        _audit_frame(spark, sf_dir)
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

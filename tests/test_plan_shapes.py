@@ -356,6 +356,15 @@ def test_no_scale_killers(spark, name, max_exchanges):
         # derived from the one undirected intersection count (a second
         # pair join is the regression).
         ("containment_pairs_docs", 6, 0, 0),
+        # r8 fourth session. Curation audit: the pipeline's own frames
+        # re-joined per doc; the SMJ is the fp-keyed winner join-back
+        # (corpus-sized both sides — correct at scale, AQE skew-split
+        # handles a mega-duplicated fingerprint; a window over
+        # norm_fp would hit the same reducer WITHOUT the skew
+        # handling). Holdout/contamination flags broadcast; the
+        # cluster assignment rides its checkpoint.
+        ("curation_audit_docs", 4, 1, 0),
+        ("curation_stage_attrition", 5, 1, 0),
     ],
 )
 def test_heavy_plan_budgets(spark, name, max_exchanges, max_smj, max_bnlj):

@@ -74,6 +74,8 @@ PROBE_QUERIES = [
     "pmi_collocations",            # r8s4: two count passes (vocab fixed)
     "phrase_match_docs",           # r8s4: zero-exchange in-array scan
     "zipf_coverage_docs",          # r8s4: one count pass + vocab window
+    "source_token_tvd",            # r8s4: pair grid on totals frame
+    "token_burstiness",            # r8s4: two map-combined moment aggs
 ]
 
 # Exact pair-emitters: OUTPUT (and therefore time) is inherently
