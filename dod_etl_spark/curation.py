@@ -206,3 +206,78 @@ def compile_curation(
         else:  # pragma: no cover - from_json validates
             raise ValueError(f"unknown curation op: {op!r}")
     return df
+
+
+def compile_curation_audit(
+    spark: SparkSession, docs: DataFrame, spec: CurationSpec
+) -> DataFrame:
+    """Diagnostics twin of compile_curation: run the SAME stage
+    sequence but return one row per INPUT document with the first
+    stage that dropped it (the stage's `op` name, suffixed `#i` with
+    its position when a spec repeats an op), or 'kept'. Transforming
+    stages (normalize, pii_scrub, segment_dedup, project_tokens) never
+    drop and never appear as reasons.
+
+    Mechanics: after every filtering stage the survivor id set
+    anti-joins the previous id set; the dropped ids take that stage's
+    label. Each filtering stage adds one id-frame checkpoint + one
+    anti-join of id columns — audit runs cost roughly 2x the pipeline
+    and are a diagnostics mode, not the production path. For the
+    flagship spec this attribution is pinned identical to the
+    hand-written curation_audit_docs (label-mapped) in
+    tests/test_curation_audit.py."""
+    ops = [st["op"] for st in spec.stages]
+
+    def label(i: int) -> str:
+        op = ops[i]
+        return op if ops.count(op) == 1 else f"{op}#{i}"
+
+    df = docs
+    holdout_fps: DataFrame | None = None
+    prev_ids = docs.select("doc_id").localCheckpoint(eager=True)
+    dropped_parts: list[DataFrame] = []
+    filtering = {
+        "quality_gate",
+        "holdout_split",
+        "exact_dedup",
+        "decontaminate",
+        "near_dedup",
+        "blocklist_gate",
+    }
+
+    for i, st in enumerate(spec.stages):
+        op = st["op"]
+        one = CurationSpec((st,))
+        if op == "holdout_split":
+            # replicate inline (compile_curation tracks holdout_fps as
+            # side state across stages)
+            _require(df, "norm_text", op)
+            cut = int(st.get("permille", 100)) * 10
+            seed = int(st.get("seed", 7))
+            df = df.withColumn("_b", hash_bucket(F.col("doc_id"), seed))
+            holdout_fps = (
+                df.where(F.col("_b") < cut)
+                .select(F.md5(F.col("norm_text").cast("binary")).alias("norm_fp"))
+                .distinct()
+            )
+            df = df.where(F.col("_b") >= cut)
+        elif op == "decontaminate":
+            if holdout_fps is None:
+                raise ValueError("decontaminate needs a holdout_split stage first")
+            _require(df, "norm_fp", op)
+            df = df.join(F.broadcast(holdout_fps), "norm_fp", "left_anti")
+        else:
+            df = compile_curation(spark, df, one)
+        if op in filtering:
+            cur_ids = df.select("doc_id").localCheckpoint(eager=True)
+            dropped_parts.append(
+                prev_ids.join(cur_ids, "doc_id", "left_anti").select(
+                    "doc_id", F.lit(label(i)).alias("reason")
+                )
+            )
+            prev_ids = cur_ids
+
+    out = prev_ids.select("doc_id", F.lit("kept").alias("reason"))
+    for part in dropped_parts:
+        out = out.unionByName(part)
+    return out

@@ -78,3 +78,80 @@ def test_audit_all_six_reasons_on_fixture(spark, tmp_path):
     assert set(got.values()) >= {
         "holdout_split", "quality_gate", "exact_dup", "decontaminated", "near_dup", "kept",
     }
+
+
+def test_spec_audit_matches_hand_audit_on_flagship(spark):
+    """The generic spec-compiler audit (compile_curation_audit) must
+    attribute every document to the same stage the hand-written
+    flagship audit does (label-mapped: the spec's op names vs the
+    audit's reason names), and 'kept' must equal the compiled
+    pipeline's survivor ids."""
+    from dod_etl_spark.catalog import load_table
+    from dod_etl_spark.curation import (
+        CurationSpec,
+        compile_curation,
+        compile_curation_audit,
+    )
+    from tests.test_curation_spec import FLAGSHIP_SPEC
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spec = CurationSpec.from_json(FLAGSHIP_SPEC)
+    spec_audit = {
+        r["doc_id"]: r["reason"]
+        for r in compile_curation_audit(spark, docs, spec).collect()
+    }
+    hand = {
+        r["doc_id"]: r["reason"]
+        for r in curation_audit_docs(spark, SF_SMOKE).collect()
+    }
+    mapping = {
+        "exact_dedup": "exact_dup",
+        "decontaminate": "decontaminated",
+        "near_dedup": "near_dup",
+    }
+    assert set(spec_audit) == set(hand)
+    for doc_id, reason in spec_audit.items():
+        assert mapping.get(reason, reason) == hand[doc_id], doc_id
+
+    kept_ids = {d for d, r in spec_audit.items() if r == "kept"}
+    pipe_ids = {
+        r["doc_id"] for r in compile_curation(spark, docs, spec).collect()
+    }
+    assert kept_ids == pipe_ids
+
+
+def test_spec_audit_generic_stages(spark):
+    """Audit labels for the generic gates on a hand corpus: blocklist
+    drops, repeated ops get #i suffixes, transforming stages never
+    appear."""
+    from dod_etl_spark.curation import CurationSpec, compile_curation_audit
+
+    spec = CurationSpec.from_json(
+        '{"stages": ['
+        '{"op": "blocklist_gate", "terms": ["bad"], "maxFraction": 0.0},'
+        '{"op": "normalize"},'
+        '{"op": "quality_gate", "minScore": 0.1},'
+        '{"op": "blocklist_gate", "terms": ["worse"], "maxFraction": 0.0}'
+        "]}"
+    )
+    long = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, long),                      # kept
+            (2, "bad " + long),             # first blocklist
+            (3, "x ..................."),   # quality gate
+            (4, "worse " + long),           # second blocklist
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["reason"]
+        for r in compile_curation_audit(spark, docs, spec).collect()
+    }
+    assert got == {
+        1: "kept",
+        2: "blocklist_gate#0",
+        3: "quality_gate",
+        4: "blocklist_gate#3",
+    }
