@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "pmi_collocations",
     "phrase_match_docs",
     "source_token_tvd",
+    # The pipeline explainability twin: flagship stage predicates
+    # re-joined per doc (fp-keyed winner SMJ + broadcast flags).
+    "curation_audit_docs",
 ]
 
 
