@@ -25,8 +25,6 @@ log; positions and counts are BIGINTs.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -190,21 +188,30 @@ FROM m WHERE len(pos) > 0
 
 
 def _phrase_match_struct(w: F.Column, phrase: str) -> F.Column:
-    words = phrase.split(" ")
-    k = len(words)
-
-    def is_match(i: F.Column) -> F.Column:
-        conds = [
-            F.try_element_at(w, i + F.lit(j)) == F.lit(tok)
-            for j, tok in enumerate(words)
-        ]
-        return reduce(lambda a, b: a & b, conds)
-
-    pos = F.filter(F.transform(w, lambda x, i: i + F.lit(1)), is_match)
+    """Match count + first 1-based token position of `phrase` in the
+    token array `w` — computed as CODEGEN string ops, not in-array
+    higher-order functions: the tokens re-join single-spaced, and a
+    pure-lookahead regex `(?= \\Qphrase\\E )` over the space-wrapped
+    string tests every character position (zero-width, so overlapping
+    occurrences like "a a" in "a a a" both count — the same semantics
+    the in-array form had). first_pos = the number of spaces in the
+    prefix up to the first match (each token is preceded by exactly
+    one space in the wrapped form). The earlier transform/filter
+    implementation was interpreted (HOFs fall out of whole-stage
+    codegen) and degraded ~3-10x under executor heap pressure in long
+    sessions; regexp_count/regexp_instr stay in codegen."""
+    joined = F.concat(F.lit(" "), F.array_join(w, " "), F.lit(" "))
+    pat = F.lit(f"(?= \\Q{phrase}\\E )")
+    n = F.regexp_count(joined, pat)
+    first_char = F.regexp_instr(joined, pat)
+    prefix = F.substring(joined, 1, first_char)
+    first_tok = (
+        F.length(prefix) - F.length(F.regexp_replace(prefix, " ", ""))
+    ).cast("long")
     return F.struct(
         F.lit(phrase).alias("phrase"),
-        F.size(pos).cast("long").alias("n_matches"),
-        F.try_element_at(pos, F.lit(1)).cast("long").alias("first_pos"),
+        n.cast("long").alias("n_matches"),
+        F.when(n > 0, first_tok).alias("first_pos"),
     )
 
 

@@ -3775,12 +3775,22 @@ def _audit_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    fp = docs.select(
-        "doc_id",
-        norm.alias("norm_text"),
-        q.alias("q"),
-        hash_bucket(F.col("doc_id"), 7).alias("_b"),
-    ).withColumn("norm_fp", F.md5(F.col("norm_text").cast("binary")))
+    # Checkpointed once: the audit reads this frame from four branches
+    # (winner rule, holdout fps, decon corpus, final attribution join)
+    # — without the checkpoint the normalize+md5 corpus scan replays
+    # per branch (measured ~1.6x the whole audit at sf0.1). The audit
+    # is a diagnostics run; the corpus-sized checkpoint is its
+    # documented cost.
+    fp = (
+        docs.select(
+            "doc_id",
+            norm.alias("norm_text"),
+            q.alias("q"),
+            hash_bucket(F.col("doc_id"), 7).alias("_b"),
+        )
+        .withColumn("norm_fp", F.md5(F.col("norm_text").cast("binary")))
+        .localCheckpoint(eager=True)
+    )
 
     train = fp.where((F.col("_b") >= 1000) & (F.col("q") >= 0.25))
     win = train.groupBy("norm_fp").agg(F.min("doc_id").alias("win_doc"))
