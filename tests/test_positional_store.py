@@ -128,3 +128,17 @@ def test_empty_store_schema(spark, store):
         "n_matches",
         "first_pos",
     ]
+
+
+def test_purge_then_compact_serving_invariant(spark, store):
+    """Runbook order on the positional store: delete -> purge ->
+    compact leaves phrase results bit-identical and replays blocked."""
+    b1 = spark.createDataFrame(B1, "doc_id long, text string")
+    store.index_batch(b1)
+    store.delete_docs([1])
+    before = _rows(store.phrase_search(PHRASES))
+    store.purge_deleted()
+    store.compact()
+    assert _rows(store.phrase_search(PHRASES)) == before
+    assert store.index_batch(b1) == 0
+    assert _rows(store.phrase_search(PHRASES)) == before

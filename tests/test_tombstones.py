@@ -280,3 +280,15 @@ def test_posting_purge_then_compact_serving_invariant(spark, pstore):
     # post-compaction replays still blocked
     assert pstore.index_batch(b1) == 0
     assert _prows(pstore.search(_q(spark), k=10)) == before
+
+
+def test_vector_purge_then_compact_serving_invariant(spark, vstore):
+    emb = _emb(spark)
+    vstore.index_batch(emb.where(F.col("vec_id") < 120))
+    vstore.delete_vecs([4, 5, 6])
+    before = _vrows(vstore.search(_vqueries(spark), k=K, probe_bits=2))
+    vstore.purge_deleted()
+    vstore.compact()
+    assert _vrows(vstore.search(_vqueries(spark), k=K, probe_bits=2)) == before
+    assert vstore.index_batch(emb.where(F.col("vec_id") < 120)) == 0
+    assert _vrows(vstore.search(_vqueries(spark), k=K, probe_bits=2)) == before
