@@ -586,3 +586,125 @@ def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(_n AS DECIMAL(38,0)) * sx) AS BIGINT)"
         ).alias("fano_ppm"),
     )
+
+
+# --- Skipgram (windowed) co-occurrence lift -----------------------------------
+
+_SG_WINDOW = 2
+_SG_MIN_COUNT = 5
+
+_SG_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+uni AS (SELECT unnest(w) AS tok FROM toks),
+uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM uc),
+sg AS (
+  SELECT w[i] AS w1, w[i + d] AS w2
+  FROM toks,
+       unnest(range(1, len(w) + 1)) AS t(i),
+       unnest(range(1, {_SG_WINDOW} + 1)) AS o(d)
+  WHERE i + d <= len(w)
+),
+sc AS (SELECT w1, w2, count(*) AS c_xy FROM sg GROUP BY 1, 2),
+stot AS (SELECT sum(c_xy) AS m FROM sc)
+SELECT sc.w1, sc.w2, sc.c_xy, u1.c AS c_x, u2.c AS c_y,
+       CAST(
+         (CAST(sc.c_xy AS HUGEINT) * n * n * 1000000)
+         // (CAST(m AS HUGEINT) * u1.c * u2.c)
+       AS BIGINT) AS lift_ppm
+FROM sc
+JOIN uc u1 ON sc.w1 = u1.tok
+JOIN uc u2 ON sc.w2 = u2.tok
+CROSS JOIN tot CROSS JOIN stot
+WHERE sc.c_xy >= {_SG_MIN_COUNT}
+"""
+
+
+def _skipgram_structs(w: F.Column, window: int) -> F.Column:
+    """All (w[i], w[i+d]) pairs for d in 1..window, scan-stage: one
+    transform-with-index per offset, concatenated — the word2vec-style
+    co-occurrence context, directed left-to-right (each unordered pair
+    within the window is counted once per orientation occurrence)."""
+    def _pair_at(d: int):
+        # two-parameter lambda EXACTLY (pyspark derives the HOF arity
+        # from the Python signature; a default-arg third parameter
+        # makes it a 3-arg lambda transform() rejects — the inverse of
+        # the _shift_by footgun, same rule: close over the offset).
+        def f(x: F.Column, i: F.Column) -> F.Column:
+            return F.struct(
+                x.alias("w1"),
+                F.try_element_at(w, i + F.lit(d + 1)).alias("w2"),
+            )
+
+        return f
+
+    parts = []
+    for d in range(1, window + 1):
+        parts.append(
+            F.filter(
+                F.transform(w, _pair_at(d)),
+                lambda s: s["w2"].isNotNull(),
+            )
+        )
+    return F.concat(*parts)
+
+
+@query("skipgram_lift", _SG_ORACLE)
+def skipgram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence association (the word2vec/GloVe context
+    statistic): every ordered token pair within +/-2 positions seen
+    >= 5 times, with the same exact-integer lift the adjacent-pair
+    PMI query emits — near-window association catches collocations
+    with an intervening word ("slow ... batch") that bigram PMI
+    misses. NB: the two-parameter transform lambdas receive
+    (element, index) — the offset binds via a captured default on the
+    THIRD parameter (the _shift_by lesson, streaming/posting_store).
+    Same plan as pmi_collocations: two checkpointed count passes
+    (pair frame bounded by vocab^2 x window), vocab-bounded broadcast
+    re-joins, 1-row totals."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _words(F.col("text")).alias("w"))
+
+    uni = (
+        toks.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = uni.agg(F.sum("c").alias("_n"))
+    sg = (
+        toks.select(F.explode(_skipgram_structs(F.col("w"), _SG_WINDOW)).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=True)
+    )
+    stot = sg.agg(F.sum("c_xy").alias("_m"))
+
+    return (
+        sg.where(F.col("c_xy") >= _SG_MIN_COUNT)
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(stot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr(
+                "CAST(c_xy AS DECIMAL(38,0)) * _n * _n * 1000000"
+                " div (CAST(_m AS DECIMAL(38,0)) * c_x * c_y)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -248,3 +248,33 @@ def test_lexicon_null_text_docs(spark, tmp_path):
 
     growth = vocab_growth_docs(spark, sf).collect()
     assert [(r["bucket"], r["cum_tokens"]) for r in growth] == [(0, 12)]
+
+
+# --- skipgram lift ------------------------------------------------------------
+
+
+def test_skipgram_pairs_and_window(spark, tmp_path):
+    from dod_etl_spark.queries.lexicon import skipgram_lift, _skipgram_structs
+
+    # pair construction: "a b c d" window 2 ->
+    # (a,b)(b,c)(c,d) at d=1 + (a,c)(b,d) at d=2
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = [
+        (s["w1"], s["w2"])
+        for s in df.select(
+            _skipgram_structs(_words(F.col("text")), 2).alias("p")
+        ).collect()[0]["p"]
+    ]
+    assert got == [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("b", "d")]
+
+    # exact lift on a countable corpus: 5 docs "p q r".
+    # skipgrams/doc: (p,q)(q,r)(p,r) -> each c_xy=5, M=15, N=15, c=5 each.
+    # lift = 5*225*1e6/(15*5*5) = 3_000_000 for every pair.
+    rows = [(i, "p q r") for i in range(5)]
+    out = skipgram_lift(spark, _fixture_dir(spark, tmp_path, rows))
+    got2 = {(r["w1"], r["w2"]): r["lift_ppm"] for r in out.collect()}
+    assert got2 == {
+        ("p", "q"): 3_000_000,
+        ("q", "r"): 3_000_000,
+        ("p", "r"): 3_000_000,
+    }

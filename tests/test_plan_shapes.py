@@ -189,6 +189,9 @@ def _count(plan: str, op: str) -> int:
         # Burstiness: (doc,tok) count + per-token moments + 1-row doc
         # total, all map-combined.
         ("token_burstiness", 3),
+        # Skipgram lift: pmi_collocations' checkpointed-counts shape
+        # with the windowed pair frame (vocab^2 x window bounded).
+        ("skipgram_lift", 2),
     ],
 )
 def test_no_scale_killers(spark, name, max_exchanges):
