@@ -76,6 +76,7 @@ PROBE_QUERIES = [
     "zipf_coverage_docs",          # r8s4: one count pass + vocab window
     "source_token_tvd",            # r8s4: pair grid on totals frame
     "token_burstiness",            # r8s4: two map-combined moment aggs
+    "skipgram_lift",               # r8s4: windowed pair counts (vocab^2)
 ]
 
 # Exact pair-emitters: OUTPUT (and therefore time) is inherently
