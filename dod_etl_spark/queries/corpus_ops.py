@@ -601,10 +601,12 @@ def knn_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-number structural fingerprint of the dedup graph that
     complements the per-node clustering coefficient. All moments are
     exact BIGINT sums (value_hour_correlation convention: the only
-    float ops are the final subtraction/division on exact operands);
-    degrees join BROADCAST (node-sized frame), so beyond the
-    checkpointed edge derivation the plan is one degree count plus a
-    1-row map-combined moment aggregate."""
+    float ops are the final subtraction/division on exact operands).
+    The degree frame is NODE-sized (one row per embedding), so it gets
+    no broadcast hint — AQE broadcasts it at test scale, and at 10^9
+    nodes the joins degrade gracefully to shuffles on s/d instead of
+    OOMing the driver; the moment aggregate is a 1-row map-combined
+    fold either way."""
     from dod_etl_spark.operators.similarity import knn_graph
 
     emb = t(spark, sf_dir, "embeddings")
@@ -622,12 +624,17 @@ def knn_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
         .localCheckpoint(eager=True)
     )
+    # deg has one row per graph NODE (corpus-sized, not metadata-sized),
+    # so no F.broadcast hint: at sf0.1 AQE picks a broadcast join on its
+    # own, and at 10^9 nodes these become shuffle joins on s/d — the
+    # only safe shape. A forced broadcast here would OOM the driver at
+    # exactly the scale this operator is for.
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     p = (
-        e.join(F.broadcast(deg), "s")
+        e.join(deg, "s")
         .withColumnRenamed("deg", "x")
         .join(
-            F.broadcast(deg.select(F.col("s").alias("d"), F.col("deg").alias("y"))),
+            deg.select(F.col("s").alias("d"), F.col("deg").alias("y")),
             "d",
         )
     )

@@ -220,23 +220,24 @@ def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-word phrase search: for each (doc, phrase) with at
     least one occurrence, the match count and first 1-based token
     position. Positional-postings semantics (Manning et al. IR ch. 2)
-    in batch form: each document checks its own token array —
-    transform-with-index emits candidate start positions, a
-    conjunction of try_element_at lookups verifies the k-token window
-    (slice-equality without materializing slices). ZERO exchanges:
-    phrases are plan literals, no join, no aggregation; at 100 TB this
-    is a pure map over the corpus scan and the output is
-    match-sparse. The serve-time twin for ad-hoc phrases would
-    intersect PostingStore posting lists on (tok, doc_id) and verify
-    positions — same verification predicate, index-pruned scan."""
+    in batch form, computed as CODEGEN string ops: the token array
+    re-joins single-spaced and a zero-width lookahead regex
+    `(?= \\Qphrase\\E )` over the space-wrapped string counts every
+    occurrence (regexp_count) and locates the first (regexp_instr →
+    space-count of the prefix = 1-based token position); see
+    _phrase_match_struct. ZERO exchanges: phrases are plan literals,
+    no join, no aggregation; at 100 TB this is a pure map over the
+    corpus scan and the output is match-sparse. The serve-time twin
+    for ad-hoc phrases (PositionalPostingStore.phrase_search)
+    intersects posting lists on (tok, doc_id) and verifies offsets —
+    index-pruned instead of scan-everything, same match semantics."""
     docs = t(spark, sf_dir, "documents")
-    # Tokenize in a SEPARATE projection and reference the column: the
-    # match expressions below read `w` dozens of times (positions x
-    # phrase tokens), and higher-order functions evaluate interpreted
-    # (no codegen subexpression elimination) — inlining the tokenize
-    # expression re-splits the text per element access (measured 20x
-    # slower). CollapseProject keeps the boundary because the alias is
-    # non-cheap and multiply-referenced.
+    # Tokenize in a SEPARATE projection and reference the column: each
+    # phrase's struct re-reads `w` (one array_join per phrase), and
+    # inlining the tokenize expression would re-split the text once per
+    # read (measured 21x slower in the interpreted-HOF era; still a
+    # per-phrase re-split today). CollapseProject keeps the boundary
+    # because the alias is non-cheap and multiply-referenced.
     toks = docs.select("doc_id", _words(F.col("text")).alias("w"))
     w = F.col("w")
     arr = F.array(*[_phrase_match_struct(w, p) for p in _PHRASES])
@@ -659,9 +660,11 @@ def skipgram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 5 times, with the same exact-integer lift the adjacent-pair
     PMI query emits — near-window association catches collocations
     with an intervening word ("slow ... batch") that bigram PMI
-    misses. NB: the two-parameter transform lambdas receive
-    (element, index) — the offset binds via a captured default on the
-    THIRD parameter (the _shift_by lesson, streaming/posting_store).
+    misses. NB: the transform lambdas are two-parameter
+    (element, index) and CLOSE OVER the offset — a default-arg third
+    parameter would change the Python arity and make transform()
+    reject the lambda (see _pair_at's inline comment; inverse of the
+    _shift_by footgun in streaming/posting_store).
     Same plan as pmi_collocations: two checkpointed count passes
     (pair frame bounded by vocab^2 x window), vocab-bounded broadcast
     re-joins, 1-row totals."""

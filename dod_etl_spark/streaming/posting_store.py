@@ -253,9 +253,17 @@ class PostingStore:
         }
 
     def n_docs(self) -> int:
+        """Serving-corpus size: commit records minus tombstones, so the
+        number agrees with search()/stats() even in the delete-to-purge
+        window (a tombstoned doc is already out of BM25's df/avgdl).
+        Physical pre-purge row counts are a storage detail; read the
+        docs table directly if that's what you need."""
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
         if not self.spark.catalog.tableExists(self.docs_table):
             return 0
-        return self.spark.table(self.docs_table).count()
+        docs = self.spark.table(self.docs_table)
+        return exclude_tombstoned(self.spark, docs, self.table, "doc_id").count()
 
     def compact(self) -> dict:
         """Rewrite postings and commit records to ~one file per bucket
@@ -398,6 +406,11 @@ class PositionalPostingStore:
         branches = []
         for phrase in phrases:
             terms = [w for w in phrase.lower().split(" ") if w]
+            if not terms:
+                # An empty / whitespace-only phrase matches nothing;
+                # without this guard the per-term loop below never runs
+                # and per_j stays None (AttributeError on groupBy).
+                continue
             k = len(terms)
             pruned = (
                 store.where(F.col("tok").isin(sorted(set(terms))))
@@ -478,9 +491,17 @@ class PositionalPostingStore:
         return before - after
 
     def n_docs(self) -> int:
+        """Serving-corpus size: commit records minus tombstones, so the
+        number agrees with search()/stats() even in the delete-to-purge
+        window (a tombstoned doc is already out of BM25's df/avgdl).
+        Physical pre-purge row counts are a storage detail; read the
+        docs table directly if that's what you need."""
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
         if not self.spark.catalog.tableExists(self.docs_table):
             return 0
-        return self.spark.table(self.docs_table).count()
+        docs = self.spark.table(self.docs_table)
+        return exclude_tombstoned(self.spark, docs, self.table, "doc_id").count()
 
     def compact(self) -> dict:
         from dod_etl_spark.streaming.maintenance import compact_store

@@ -284,9 +284,16 @@ class VectorIndexStore:
         }
 
     def n_vecs(self) -> int:
+        """Serving-corpus size: commit records minus tombstones —
+        consistent with search()/stats() in the delete-to-purge window
+        (physical pre-purge row counts are a storage detail, not a
+        corpus size)."""
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
         if not self.spark.catalog.tableExists(self.vecs_table):
             return 0
-        return self.spark.table(self.vecs_table).count()
+        vecs = self.spark.table(self.vecs_table)
+        return exclude_tombstoned(self.spark, vecs, self.table, "vec_id").count()
 
     def compact(self) -> dict:
         """Rewrite bucket rows and commit records to ~one file per
@@ -516,9 +523,14 @@ class IvfVectorStore:
         }
 
     def n_vecs(self) -> int:
+        """Serving-corpus size (tombstones excluded) — see
+        VectorIndexStore.n_vecs."""
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
         if not self.spark.catalog.tableExists(self.vecs_table):
             return 0
-        return self.spark.table(self.vecs_table).count()
+        vecs = self.spark.table(self.vecs_table)
+        return exclude_tombstoned(self.spark, vecs, self.table, "vec_id").count()
 
     def compact(self) -> dict:
         """Cell-table twin of VectorIndexStore.compact(); the centroid

@@ -180,9 +180,11 @@ def _count(plan: str, op: str) -> int:
         # exchanges are the 1-row total and the vocab-sized rank window
         # single-partition move.
         ("zipf_coverage_docs", 2),
-        # Assortativity: post-checkpoint one degree count + broadcast
-        # degree joins + 1-row moment aggregate.
-        ("knn_assortativity", 3),
+        # Assortativity: post-checkpoint one degree count + two
+        # shuffle joins of the NODE-sized degree frame onto the edge
+        # ends (no broadcast hint — AQE broadcasts at small scale,
+        # shuffles at 10^9 nodes) + 1-row moment aggregate.
+        ("knn_assortativity", 5),
         # Source TVD: counts and totals checkpointed; vocab-sized pair
         # join broadcast; the one exchange is the pair aggregation.
         ("source_token_tvd", 1),

@@ -142,3 +142,18 @@ def test_purge_then_compact_serving_invariant(spark, store):
     assert _rows(store.phrase_search(PHRASES)) == before
     assert store.index_batch(b1) == 0
     assert _rows(store.phrase_search(PHRASES)) == before
+
+
+def test_empty_and_whitespace_phrases_match_nothing(spark, store):
+    """An empty or whitespace-only phrase tokenizes to zero terms and
+    must return no rows (not crash building a zero-branch plan —
+    ADVICE r8), alone or mixed with real phrases."""
+    store.index_batch(spark.createDataFrame(B1, "doc_id long, text string"))
+    assert store.phrase_search([""]).count() == 0
+    assert store.phrase_search(["   "]).count() == 0
+    mixed = store.phrase_search(["", "a b", "  "])
+    assert _rows(mixed) == _rows(
+        _batch_expected(
+            spark.createDataFrame(B1, "doc_id long, text string"), ["a b"]
+        )
+    )

@@ -292,3 +292,28 @@ def test_vector_purge_then_compact_serving_invariant(spark, vstore):
     assert _vrows(vstore.search(_vqueries(spark), k=K, probe_bits=2)) == before
     assert vstore.index_batch(emb.where(F.col("vec_id") < 120)) == 0
     assert _vrows(vstore.search(_vqueries(spark), k=K, probe_bits=2)) == before
+
+
+def test_counts_exclude_tombstones_pre_purge(spark, pstore, vstore):
+    """n_docs()/n_vecs() report the SERVING corpus in the
+    delete-to-purge window — consistent with search()/stats(), which
+    already exclude tombstoned ids (ADVICE r8: a caller reading
+    n_docs() as retained-corpus size must not see deleted docs)."""
+    b1 = spark.createDataFrame(B1, "doc_id long, text string")
+    b2 = spark.createDataFrame(B2, "doc_id long, text string")
+    pstore.index_batch(b1)
+    pstore.index_batch(b2)
+    assert pstore.n_docs() == 5
+    pstore.delete_docs(DEAD)
+    assert pstore.n_docs() == 3  # BEFORE purge: tombstones excluded
+    assert pstore.stats().collect()[0]["n_docs"] == 3
+    pstore.purge_deleted()
+    assert pstore.n_docs() == 3
+
+    emb = _emb(spark)
+    vstore.index_batch(emb.where(F.col("vec_id") < 100))
+    assert vstore.n_vecs() == 100
+    vstore.delete_vecs([1, 2, 3])
+    assert vstore.n_vecs() == 97  # BEFORE purge
+    vstore.purge_deleted()
+    assert vstore.n_vecs() == 97
