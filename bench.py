@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     # The pipeline explainability twin: flagship stage predicates
     # re-joined per doc (fp-keyed winner SMJ + broadcast flags).
     "curation_audit_docs",
+    # Round-9: product-quantization ADC top-k — the third ANN scale
+    # path (codes-only corpus side after a zero-exchange encode).
+    "pq_adc_topk",
 ]
 
 

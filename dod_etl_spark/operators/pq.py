@@ -1,0 +1,272 @@
+"""Product quantization (PQ) for approximate nearest neighbor search.
+
+Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011) — the FAISS IndexPQ design. The embedding space
+splits into M contiguous subspaces; each subspace gets its own K-entry
+codebook; a vector compresses to M small codes (here one byte each).
+Search is ASYMMETRIC distance computation (ADC): the query stays
+full-precision and is compared against the quantized corpus, so the
+only approximation error is on the corpus side.
+
+Why this is the third ANN scale path (alongside LSH buckets and IVF
+cells, operators/similarity.py): LSH and IVF shrink the CANDIDATE SET
+per query; PQ shrinks the BYTES PER CANDIDATE. At 100 TB the corpus
+scan/shuffle is dominated by moving D floats per row (64 dims = 256 B);
+PQ moves M bytes (8 B here, 32× less) and reconstructs distance from
+codebooks that are plan literals. The three composition points:
+
+- encode is a ZERO-SHUFFLE projection (codes are pure expressions over
+  the vector column with literal centroids — the _cell_assigner lesson:
+  assembled as ONE SQL string, parsed once, whole-stage codegen);
+- training is k-means per subspace with the same contract as
+  kmeans_centroids: assignment distributed, the update step collects
+  only M*K*ds numbers (metadata) to the driver — FAISS trains its
+  quantizers the same way, the corpus never moves;
+- ADC scoring reads codes + literal codebooks only. This module scores
+  via the reconstruction identity so the DuckDB oracle can replay it
+  EXACTLY: because the subspaces tile the dimensions in order,
+  sum_m ||q_m - c_m||^2 = q·q - 2·q·recon + recon·recon where recon is
+  the concatenation of the chosen centroids — three full-width
+  sequential dots, the same left-to-right double fold the oracle's
+  list_dot_product computes (proven hash-identical in cosine_topk).
+
+Determinism: the seed codebook for subspace m is the sub-slice of the
+K lowest-id corpus vectors (same id-stable convention as
+seed_centroids), code assignment breaks distance ties on the smallest
+code, and every sum is a fixed-order double fold — so the whole
+operator, training included (decimal-exact means), is replayable in
+ANSI SQL and cross-engine hash-exact.
+
+Reference parity note: the reference engine (Scala/Beam/H2, see
+SURVEY.md §2) has no vector search at all; this belongs to the
+LLM-training-data surface the brief adds on top (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dod_etl_spark.catalog import spread
+from dod_etl_spark.functions.scalar import stable_round
+from dod_etl_spark.operators.similarity import _dbl, _probe_dim, dot
+
+Codebooks = list[list[list[float]]]  # [m][k][j] -> centroid value
+
+
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):  # sequential fold — engines' summation order
+        acc = acc + x * y
+    return acc
+
+
+def seed_pq_codebooks(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Codebooks:
+    """Deterministic seed: codebook[m][k] = subspace-m slice of the
+    vector whose id is k (the n_codes lowest ids) — id-stable across
+    engines, so the oracle can rebuild the identical codebooks
+    relationally. Collects n_codes rows (metadata-sized)."""
+    dim = _probe_dim(corpus, vec_col)
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    ds = dim // n_sub
+    rows = (
+        corpus.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("k"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    byid = {int(r["k"]): [float(x) for x in r["v"]] for r in rows}
+    return [
+        [byid[k][m * ds : (m + 1) * ds] for k in sorted(byid)]
+        for m in range(n_sub)
+    ]
+
+
+def _encode_exprs(codebooks: Codebooks, vec_col: str) -> list[str]:
+    """Per-subspace argmin-code SQL expressions (referencing the
+    precomputed per-subspace self-dot column `_sd{m}`).
+
+    d(s, c_k) = s·s - 2·s·c_k + c_k·c_k with every dot a left-to-right
+    fold (matches DuckDB's list_dot_product on the slice); ties break
+    on the smallest k via the struct sort."""
+    exprs = []
+    ds = len(codebooks[0][0])
+    for m, cb in enumerate(codebooks):
+        entries = []
+        for k, c in enumerate(cb):
+            sdc = " + ".join(
+                f"CAST({vec_col}[{m * ds + j}] AS DOUBLE) * {_dbl(c[j])}"
+                for j in range(ds)
+            )
+            cc = _dbl(_seq_dot(c, c))
+            entries.append(
+                f"named_struct('d', _sd{m} - 2 * ({sdc}) + {cc}, 'k', {k})"
+            )
+        exprs.append(f"element_at(sort_array(array({', '.join(entries)})), 1).k")
+    return exprs
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(id, codes array<int>) — ZERO exchanges: code assignment is a
+    pure projection with literal centroids (one parsed SQL string; the
+    Column-API equivalent costs thousands of py4j round-trips). At
+    scale this runs inside the corpus scan stage; the output is M small
+    ints per row, the 32x scan-compression PQ exists for."""
+    n_sub = len(codebooks)
+    ds = len(codebooks[0][0])
+    sd = [
+        " + ".join(
+            f"CAST({vec_col}[{m * ds + j}] AS DOUBLE) * CAST({vec_col}[{m * ds + j}] AS DOUBLE)"
+            for j in range(ds)
+        )
+        for m in range(n_sub)
+    ]
+    staged = df.selectExpr(
+        id_col,
+        vec_col,
+        *[f"({sd[m]}) AS _sd{m}" for m in range(n_sub)],
+    )
+    codes = _encode_exprs(codebooks, vec_col)
+    keep = [id_col, vec_col] if keep_vec else [id_col]
+    return staged.selectExpr(
+        *keep, f"array({', '.join(codes)}) AS codes"
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Codebooks:
+    """Lloyd refinement of the seed codebooks, all subspaces in one
+    distributed pass per iteration: encode (projection, zero shuffle),
+    then ONE map-combined groupBy over (subspace, code) producing
+    decimal-exact elementwise sums — M*K*ds numbers collected to the
+    driver (metadata; k-means' own contract). Empty cells keep their
+    previous centroid. iters=0 returns the seed unchanged."""
+    dim = _probe_dim(corpus, vec_col)
+    ds = dim // n_sub
+    cbs = seed_pq_codebooks(corpus, n_sub, n_codes, id_col, vec_col)
+    if iters <= 0:
+        return cbs
+    body = spread(corpus)
+    for _ in range(iters):
+        enc = pq_encode(body, cbs, id_col, vec_col, keep_vec=True)
+        # one row per (vector, subspace): the M-fold explode keeps the
+        # update a single shuffle instead of M jobs
+        sub = enc.select(
+            F.posexplode(
+                F.array(*[
+                    F.struct(
+                        F.col("codes").getItem(m).alias("code"),
+                        F.slice(F.col(vec_col), m * ds + 1, ds).alias("s"),
+                    )
+                    for m in range(len(cbs))
+                ])
+            ).alias("m", "e")
+        ).select("m", F.col("e.code").alias("code"), F.col("e.s").alias("s"))
+        aggs = [F.count(F.lit(1)).alias("_cnt")] + [
+            F.sum(
+                F.col("s").getItem(j).cast("double").cast("decimal(30,9)")
+            ).alias(f"_s{j}")
+            for j in range(ds)
+        ]
+        rows = sub.groupBy("m", "code").agg(*aggs).collect()
+        refined = {
+            (int(r["m"]), int(r["code"])): [
+                float(r[f"_s{j}"]) / int(r["_cnt"]) for j in range(ds)
+            ]
+            for r in rows
+        }
+        cbs = [
+            [refined.get((m, k), c) for k, c in enumerate(cb)]
+            for m, cb in enumerate(cbs)
+        ]
+    return cbs
+
+
+def _recon_expr(codebooks: Codebooks) -> str:
+    """SQL for the reconstructed vector: concat of the chosen centroid
+    per subspace (literal array-of-arrays, indexed by the code)."""
+    parts = []
+    for m, cb in enumerate(codebooks):
+        arrs = ", ".join(
+            "array(" + ", ".join(_dbl(x) for x in c) + ")" for c in cb
+        )
+        parts.append(f"element_at(array({arrs}), codes[{m}] + 1)")
+    return f"concat({', '.join(parts)})"
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    codebooks: Codebooks | None = None,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 3,
+) -> DataFrame:
+    """ADC top-k by squared L2: for each query (full precision), the k
+    corpus vectors with the smallest asymmetric distance to their PQ
+    reconstruction; ties break on neighbor id.
+
+    dist(q, v) = q·q - 2·q·recon(v) + recon(v)·recon(v) — equal to
+    sum_m ||q_m - c_{v,m}||^2 because the subspaces tile the dims, and
+    expressed as three full-width sequential dots so the oracle's
+    list_dot_product replays it bit-exactly.
+
+    Plan shape = brute_force_topk's (broadcast queries, per-query
+    window top-k: ONE exchange), but the corpus side carries M bytes of
+    codes instead of D floats past the encode projection — at 100 TB
+    the scan stays, the shuffle/candidate bytes drop 32x. Recall is
+    bounded by quantization error only (no candidate pruning); compose
+    with IVF cells for the FAISS IVF-PQ posture when N/k ratios demand
+    candidate cuts too."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, n_sub, n_codes, iters, id_col, vec_col
+        )
+    dim = _probe_dim(corpus, vec_col)
+    enc = pq_encode(spread(corpus), codebooks, id_col, vec_col).selectExpr(
+        f"{id_col} AS neighbor_id", f"{_recon_expr(codebooks)} AS _r"
+    )
+    q = queries.selectExpr(
+        f"{id_col} AS query_id", f"{vec_col} AS _qv"
+    ).withColumn("_qq", dot(F.col("_qv"), F.col("_qv"), dim))
+    d = (
+        F.col("_qq")
+        - F.lit(2.0) * dot(F.col("_qv"), F.col("_r"), dim)
+        + dot(F.col("_r"), F.col("_r"), dim)
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(enc)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dist", stable_round(d, round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "dist", "rk")
+    )

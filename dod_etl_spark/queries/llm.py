@@ -679,6 +679,73 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_cells=8, n_probe=2)
 
 
+# --- Product-quantization ADC top-k -------------------------------------------
+
+# The oracle rebuilds the PQ index relationally: codebook[m][k] = the
+# subspace-m slice of the vector with id k (the operator's deterministic
+# seed), code assignment = argmin over the 16 entries of
+# s·s - 2·s·c + c·c (ties -> smallest k), and ADC distance uses the
+# reconstruction identity sum_m ||q_m - c_m||^2 = q·q - 2·q·r + r·r —
+# all full-width sequential dots (list_dot_product's fold order), so the
+# whole quantize-then-search path is hash-exact across engines.
+_PQ_ADC_ORACLE = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ms AS (SELECT unnest(range(8)) AS m),
+cb AS (
+  SELECT m, vec_id AS k, list_slice(v, m*8 + 1, m*8 + 8) AS c
+  FROM emb CROSS JOIN ms WHERE vec_id < 16
+),
+subs AS (
+  SELECT vec_id, m, list_slice(v, m*8 + 1, m*8 + 8) AS s
+  FROM emb CROSS JOIN ms
+),
+best AS (
+  SELECT vec_id, m, k,
+         row_number() OVER (
+           PARTITION BY vec_id, m
+           ORDER BY list_dot_product(s, s) - 2 * list_dot_product(s, c)
+                    + list_dot_product(c, c), k) AS rn
+  FROM subs JOIN cb USING (m)
+),
+recon AS (
+  SELECT b.vec_id, flatten(list(c ORDER BY b.m)) AS r
+  FROM best b JOIN cb ON b.m = cb.m AND b.k = cb.k
+  WHERE b.rn = 1 GROUP BY b.vec_id
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, rr.vec_id AS neighbor_id,
+         {sround_sql('''list_dot_product(qv, qv) - 2 * list_dot_product(qv, r)
+                + list_dot_product(r, r)''', 3)} AS dist
+  FROM q CROSS JOIN recon rr WHERE query_id <> rr.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, dist, rk FROM ranked WHERE rk <= 5
+"""
+
+
+@query("pq_adc_topk", _PQ_ADC_ORACLE)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (operators/pq.py): the corpus
+    compresses to 8 one-byte codes per vector against deterministic
+    seed codebooks; queries stay full-precision and rank by asymmetric
+    squared-L2 to the reconstructions. The third ANN scale path — LSH
+    and IVF cut CANDIDATES, PQ cuts BYTES PER CANDIDATE (32x here) —
+    and the entire quantize-encode-search path is oracle-replayed
+    hash-exact (vs ivf_kmeans_topk's rows-only trained twin)."""
+    from dod_etl_spark.operators.pq import pq_adc_topk, seed_pq_codebooks
+
+    emb = t(spark, sf_dir, "embeddings")
+    cbs = seed_pq_codebooks(emb, n_sub=8, n_codes=16)
+    return pq_adc_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, codebooks=cbs
+    )
+
+
 # --- End-to-end training-data prep pipeline -----------------------------------
 
 _PREP_ORACLE = """

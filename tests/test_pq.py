@@ -1,0 +1,145 @@
+"""Product quantization (operators/pq.py): encode determinism, Lloyd
+refinement monotonicity, ADC recall floor vs the exact L2 top-k, and
+the plan shapes (encode = zero-exchange projection; ADC = the
+brute-force single-exchange shape with a codes-only corpus side).
+
+The registered query `pq_adc_topk` is hash-checked against its DuckDB
+oracle by tests/test_oracle_parity.py — these tests cover what the
+oracle can't: the trained (kmeans) path and the scale posture."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dod_etl_spark.catalog import load_table
+from dod_etl_spark.operators.pq import (
+    pq_adc_topk,
+    pq_encode,
+    seed_pq_codebooks,
+    train_pq_codebooks,
+)
+from dod_etl_spark.operators.similarity import dot
+from tests.conftest import SF_SMOKE
+
+M, K, DIM = 8, 16, 64
+DS = DIM // M
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def _exact_l2_topk(spark, emb, k=5):
+    qs = emb.filter(F.col("vec_id") < 10)
+    j = (
+        F.broadcast(qs.selectExpr("vec_id AS query_id", "embedding AS qv"))
+        .crossJoin(emb.selectExpr("vec_id AS neighbor_id", "embedding AS cv"))
+        .filter("query_id != neighbor_id")
+    )
+    d = (
+        dot(F.col("qv"), F.col("qv"), DIM)
+        - F.lit(2.0) * dot(F.col("qv"), F.col("cv"), DIM)
+        + dot(F.col("cv"), F.col("cv"), DIM)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        j.withColumn("d2", d)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(f"rk <= {k}")
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _mean_qerr(emb, cbs):
+    from dod_etl_spark.operators.pq import _recon_expr
+
+    r = pq_encode(emb, cbs, keep_vec=True).selectExpr(
+        "embedding AS v", _recon_expr(cbs) + " AS r"
+    )
+    d = (
+        dot(F.col("v"), F.col("v"), DIM)
+        - F.lit(2.0) * dot(F.col("v"), F.col("r"), DIM)
+        + dot(F.col("r"), F.col("r"), DIM)
+    )
+    return r.select(F.avg(d).alias("e")).collect()[0]["e"]
+
+
+def test_codebook_shape_and_seed_identity(spark, emb):
+    cbs = seed_pq_codebooks(emb, M, K)
+    assert len(cbs) == M and all(len(cb) == K for cb in cbs)
+    assert all(len(c) == DS for cb in cbs for c in cb)
+    # seed entry k of subspace m IS the slice of vector k
+    v0 = [float(x) for x in emb.filter("vec_id = 3").collect()[0]["embedding"]]
+    assert cbs[2][3] == v0[2 * DS : 3 * DS]
+
+
+def test_dim_not_divisible_raises(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        seed_pq_codebooks(emb, n_sub=7)
+
+
+def test_encode_deterministic_and_in_range(spark, emb):
+    cbs = seed_pq_codebooks(emb, M, K)
+    a = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cbs).collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cbs).collect()}
+    assert a == b
+    assert all(len(c) == M and all(0 <= x < K for x in c) for c in a.values())
+    # a codebook seed vector encodes to ITSELF in every subspace
+    # (distance 0 beats everything; ties break on smallest k)
+    assert a[7] == [7] * M
+
+
+def test_lloyd_refinement_reduces_quantization_error(spark, emb):
+    """Each Lloyd iteration (assign-to-nearest, then decimal-exact
+    means) must not increase mean reconstruction error — k-means'
+    monotonicity, measured end-to-end through the distributed path."""
+    e0 = _mean_qerr(emb, train_pq_codebooks(emb, M, K, iters=0))
+    e1 = _mean_qerr(emb, train_pq_codebooks(emb, M, K, iters=1))
+    e2 = _mean_qerr(emb, train_pq_codebooks(emb, M, K, iters=2))
+    assert e1 <= e0 * (1 + 1e-9)
+    assert e2 <= e1 * (1 + 1e-9)
+    # and the first step actually moves (seed = raw data vectors)
+    assert e1 < e0 * 0.95
+
+
+def test_adc_recall_floor_vs_exact(spark, emb):
+    """Recall@5 against the exact L2 top-5. Random gaussian embeddings
+    are PQ's worst case (no cluster structure to exploit; 8 bytes per
+    64-dim vector), so the floor is modest — but it must beat chance
+    (~0.05 here) by a wide margin. Measured 0.22 seed / 0.22 refined."""
+    exact = set(map(tuple, _exact_l2_topk(spark, emb).collect()))
+    cbs = seed_pq_codebooks(emb, M, K)
+    got = set(
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_adc_topk(
+            emb.filter("vec_id < 10"), emb, 5, codebooks=cbs
+        ).collect()
+    )
+    assert len(got & exact) / len(exact) >= 0.12
+
+
+def test_plan_shapes(spark, emb):
+    """Encode is a ZERO-exchange projection (codes computable inside
+    the corpus scan stage); ADC adds one exchange for the per-query
+    top-k window — the brute-force shape with 32x less corpus data
+    moving — plus spread()'s tiny-input repartition, which exists only
+    at test scale (a 100 TB input already carries >= cores splits)."""
+    cbs = seed_pq_codebooks(emb, M, K)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(mode)
+
+    enc = plan(pq_encode(emb, cbs))
+    adc = plan(pq_adc_topk(emb.filter("vec_id < 10"), emb, 5, codebooks=cbs))
+    count = lambda p: len(re.findall(r"\bExchange\b[^\n(]*\(\d+\)", p))
+    assert count(enc) == 0
+    assert count(adc) <= 2  # spread() repartition + top-k window
+    assert "CartesianProduct" not in adc  # broadcast queries, never NxN
