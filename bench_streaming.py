@@ -50,6 +50,8 @@ WARMUP_S = float(os.environ.get("SPARK_GRAFT_STREAM_WARMUP", "10"))
 # accuracy), "profile" (the composed HLL+quantile+CM profiler),
 # "clusters" (incremental connected-components: edges/sec through
 # ClusterStore.add_edges, with ongoing cross-hub merges),
+# "lm" (incremental KN language model: train docs/sec through
+# NgramLmStore.update_batch plus a timed live-model serve),
 # "tombstone" (posting-store ingestion with a 1%-of-batch compliance
 # delete interleaved into every micro-batch, plus timed
 # serve/purge/serve — the index scenario's head-to-head twin),
@@ -742,6 +744,116 @@ def main_profile() -> None:
     )
 
 
+def main_lm() -> None:
+    """NgramLmStore ingestion throughput: rate source -> synthetic
+    documents (~24 deterministic vocab tokens, the index scenario's
+    generator so numbers compare head-to-head) -> foreachBatch
+    NgramLmStore.update_batch (commit check + doc-guard anti-join +
+    bigram count agg + three appends). A timed serve (score 1k docs
+    against the live model) lands at the end so model freshness is
+    measured, not assumed."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.session import get_spark
+    from dod_etl_spark.streaming.lm_store import NgramLmStore
+
+    spark = get_spark("dod_etl_spark_bench_lm")
+    tag = uuid.uuid4().hex[:8]
+    store = NgramLmStore(
+        spark,
+        table=f"bench_lmb_{tag}",
+        docs_table=f"bench_lmd_{tag}",
+        commits_table=f"bench_lmc_{tag}",
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_lm_")
+
+    vocab = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+        "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    ]
+    varr = F.array(*[F.lit(w) for w in vocab])
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(RPS))
+        .option("numPartitions", str(spark.sparkContext.defaultParallelism))
+        .load()
+    )
+    v = F.col("value")
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda j: F.element_at(varr, ((v * 7 + j * (v % 5 + 1)) % 14 + 1).cast("int")),
+        ),
+        " ",
+    )
+    docs = rate.select(v.alias("doc_id"), text.alias("text"))
+
+    batches: list[tuple[float, int]] = []
+
+    def body(df, batch_id: int) -> None:
+        n = store.update_batch(df, batch_id)
+        batches.append((time.perf_counter(), n))
+
+    q = (
+        docs.writeStream.foreachBatch(body)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    t0 = time.perf_counter()
+    deadline = t0 + WARMUP_S + WINDOW_S
+    while q.isActive and (time.perf_counter() < deadline or len(batches) < 3):
+        time.sleep(0.5)
+        if time.perf_counter() > t0 + 4 * (WARMUP_S + WINDOW_S):
+            break
+    snapshot = list(batches)
+    q.stop()
+    rows_total = sum(n for _, n in snapshot)
+    if len(snapshot) >= 2:
+        rows_window = sum(n for _, n in snapshot[1:])
+        window = max(snapshot[-1][0] - snapshot[0][0], 1e-9)
+    else:
+        rows_window = rows_total
+        window = max((snapshot[-1][0] - t0) if snapshot else 1e-9, 1e-9)
+    dps = rows_window / window
+    n_types = store.model().count()
+    t_serve = time.perf_counter()
+    scored = store.score(
+        spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("alpha bravo charlie delta echo unknownword").alias("text"),
+        )
+    ).count()
+    serve_s = time.perf_counter() - t_serve
+    for t in (store.table, store.docs_table, store.commits_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    print(
+        json.dumps(
+            {
+                "metric": "lm_store_train_docs_per_sec",
+                "value": round(dps, 1),
+                "unit": "docs/sec",
+                "queries": {"lm_store_update": round(dps, 1)},
+                "sf": 0.0,
+                "rows_total": rows_total,
+                "bigram_types": n_types,
+                "serve_score_1k_s": round(serve_s, 2),
+                "serve_rows": scored,
+                "micro_batches": len(snapshot),
+                "rows_per_sec_offered": RPS,
+                "window_s": round(window, 1),
+                "protocol": {
+                    "source": "rate (oversupplied), ~24-token synthetic docs",
+                    "sink": "NgramLmStore.update_batch (bucketed appends, commit-gated)",
+                    "measure": "docs after first batch / batch-boundary window; "
+                    "then one timed KN serve of 1k docs against the live model",
+                },
+            }
+        )
+    )
+
+
 def main_clusters() -> None:
     """Incremental-CC store ingestion throughput: rate source ->
     (v, block-start) stars over contiguous 2048-value blocks, plus one
@@ -1117,5 +1229,7 @@ if __name__ == "__main__":
         main_profile()
     elif SCENARIO == "clusters":
         main_clusters()
+    elif SCENARIO == "lm":
+        main_lm()
     else:
         main()

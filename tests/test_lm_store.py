@@ -1,0 +1,157 @@
+"""Incremental KN language model (streaming/lm_store.py): store-served
+scores must be BIT-IDENTICAL to the from-scratch batch plan
+(kn_lm_score_docs) over the same train corpus under ANY batch split;
+replays and re-crawls add nothing; torn batches are inert; merge and
+compact preserve the model; the serve plan never exchanges the store
+scan."""
+
+from __future__ import annotations
+
+import re
+import shutil
+import uuid
+from urllib.parse import urlparse
+
+import pytest
+from pyspark.sql import functions as F
+
+from dod_etl_spark.catalog import load_table
+from dod_etl_spark.queries import QUERIES
+from dod_etl_spark.queries.quality import _KN_SEED, _KN_TRAIN_CUT
+from dod_etl_spark.streaming.lm_store import NgramLmStore
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def store(spark):
+    tag = uuid.uuid4().hex[:8]
+    s = NgramLmStore(
+        spark,
+        table=f"lmb_{tag}",
+        docs_table=f"lmd_{tag}",
+        commits_table=f"lmc_{tag}",
+        n_buckets=4,
+    )
+    yield s
+    from dod_etl_spark.streaming.maintenance import _staging_name
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in (s.table, s.docs_table, s.commits_table):
+        for n in (name, _staging_name(name)):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+            shutil.rmtree(f"{wh}/{n}", ignore_errors=True)
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+
+
+def _train(spark):
+    """The batch query's train split (content-hash bucket >= cut)."""
+    from dod_etl_spark.operators.sampling import hash_bucket
+
+    return _docs(spark).filter(
+        hash_bucket(F.col("doc_id"), _KN_SEED) >= _KN_TRAIN_CUT
+    )
+
+
+def _scores(df):
+    return sorted(
+        (r["doc_id"], r["n_bigrams"], r["n_oov_ctx"], r["avg_microprob"])
+        for r in df.collect()
+    )
+
+
+def test_store_scores_equal_batch_plan_any_split(spark, store):
+    """The headline contract: ingest the batch query's train split in
+    three micro-batches, score ALL documents — every row equals the
+    one-shot batch plan, including the smoothing paths (unseen bigram
+    under seen context, unseen context)."""
+    train = _train(spark)
+    for i in range(3):
+        store.update_batch(train.filter(F.col("doc_id") % 3 == i), batch_id=i)
+    got = _scores(store.score(_docs(spark)))
+    want = _scores(QUERIES["kn_lm_score_docs"](spark, SF_SMOKE))
+    assert got == want
+    # holdout docs are being scored against a model that never saw
+    # them (the smoothing paths run; at sf0.001 every CONTEXT happens
+    # to be in-vocab, so assert scored coverage, not n_oov_ctx > 0)
+    assert len(want) > store.n_train_docs()
+
+
+def test_single_batch_equals_three(spark, store):
+    train = _train(spark)
+    store.update_batch(train, batch_id=0)
+    one = _scores(store.score(_docs(spark)))
+    want = _scores(QUERIES["kn_lm_score_docs"](spark, SF_SMOKE))
+    assert one == want
+
+
+def test_committed_replay_and_recrawl_add_nothing(spark, store):
+    train = _train(spark)
+    store.update_batch(train, batch_id=0)
+    m0 = sorted(tuple(r) for r in store.model().collect())
+    n0 = store.n_train_docs()
+    # same batch_id: short-circuit
+    assert store.update_batch(train, batch_id=0) == 0
+    # re-crawl under a NEW batch_id: the doc-level guard absorbs it
+    assert store.update_batch(train, batch_id=1) == 0
+    assert sorted(tuple(r) for r in store.model().collect()) == m0
+    assert store.n_train_docs() == n0
+
+
+def test_torn_batch_inert_then_replay_converges(spark, store):
+    """Counts appended, commit record missing: invisible to the model;
+    the replay's byte-identical duplicates collapse via max-per-batch
+    and the final state equals a clean single ingest."""
+    train = _train(spark)
+    a = train.filter(F.col("doc_id") % 2 == 0)
+    b = train.filter(F.col("doc_id") % 2 == 1)
+    store.update_batch(a, batch_id=0)
+    baseline = sorted(tuple(r) for r in store.model().collect())
+
+    # simulate the torn append for batch 1: count rows, NO commit
+    from dod_etl_spark.streaming.lm_store import _doc_bigrams
+    from dod_etl_spark.streaming.maintenance import bucket_align
+
+    torn = (
+        _doc_bigrams(b, "doc_id", "text")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .select(F.lit(1).cast("long").alias("batch_id"), "w1", "w2", "c2")
+    )
+    bucket_align(torn, "w1", store.n_buckets).write.insertInto(
+        store.table, overwrite=False
+    )
+    spark.catalog.refreshTable(store.table)
+    assert sorted(tuple(r) for r in store.model().collect()) == baseline
+
+    # replay through the normal path; duplicates must be inert
+    store.update_batch(b, batch_id=1)
+    replayed = _scores(store.score(_docs(spark)))
+    want = _scores(QUERIES["kn_lm_score_docs"](spark, SF_SMOKE))
+    assert replayed == want
+
+
+def test_merge_batches_preserves_model_and_guard(spark, store):
+    train = _train(spark)
+    for i in range(3):
+        store.update_batch(train.filter(F.col("doc_id") % 3 == i), batch_id=i)
+    baseline = _scores(store.score(_docs(spark)))
+    removed = store.merge_batches()
+    assert removed >= 0
+    assert _scores(store.score(_docs(spark))) == baseline
+    # the replay guard survives the merge: an old batch re-delivered
+    # after its commit record was collapsed still adds nothing
+    assert store.update_batch(train.filter(F.col("doc_id") % 3 == 0), batch_id=0) == 0
+    assert _scores(store.score(_docs(spark))) == baseline
+    stats = store.compact()[store.table]
+    assert stats["files_after"] <= store.n_buckets
+    assert _scores(store.score(_docs(spark))) == baseline
+
+
+def test_model_plan_aggregates_in_bucket_layout(spark, store):
+    store.update_batch(_train(spark), batch_id=0)
+    plan = store.model()._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert not re.search(r"Exchange hashpartitioning\(w1", plan), plan
