@@ -1143,6 +1143,91 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(*cols, F.md5(clean.cast("binary")).alias("clean_fp"))
 
 
+# --- Luhn-validated card-number detection ------------------------------------
+
+# Detection needs ARITHMETIC, not just a regex: a 16-digit run is a
+# card number only if it passes the Luhn mod-10 checksum, and flagging
+# every digit run would flood an audit with order ids and timestamps.
+# The checksum is integer-only (double every second digit from the
+# right, subtract 9 above 9, sum mod 10), so both engines compute it
+# exactly — the whole detector is oracle hash-checkable.
+_CARD_PAT = r"\d(?:[ -]?\d){12,18}"
+# Spark SQL string literals process backslash escapes ('\d' -> 'd');
+# DuckDB's don't. Double them for expressions spliced into Spark SQL.
+_CARD_PAT_SPARK = _CARD_PAT.replace("\\", "\\\\")
+
+_LUHN_ORACLE = f"""
+WITH occ AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_CARD_PAT}')) AS c
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, regexp_replace(c, '[^0-9]', '', 'g') AS d FROM occ
+),
+uniq AS (SELECT DISTINCT d FROM norm),
+digits AS (
+  SELECT d, unnest(range(1, length(d) + 1)) AS i FROM uniq
+),
+lu AS (
+  SELECT d,
+         sum(CASE WHEN (length(d) - i) % 2 = 1
+              THEN CASE WHEN 2 * CAST(substring(d, i, 1) AS INT) > 9
+                        THEN 2 * CAST(substring(d, i, 1) AS INT) - 9
+                        ELSE 2 * CAST(substring(d, i, 1) AS INT) END
+              ELSE CAST(substring(d, i, 1) AS INT) END) % 10 = 0 AS ok
+  FROM digits GROUP BY d
+),
+per_doc AS (
+  SELECT n.doc_id,
+         count(*) AS n_cand,
+         sum(CASE WHEN lu.ok THEN 1 ELSE 0 END) AS n_valid
+  FROM norm n JOIN lu USING (d) GROUP BY n.doc_id
+)
+SELECT doc_id,
+       CAST(coalesce(p.n_cand, 0) AS BIGINT) AS n_card_candidates,
+       CAST(coalesce(p.n_valid, 0) AS BIGINT) AS n_luhn_valid
+FROM documents LEFT JOIN per_doc p USING (doc_id)
+"""
+
+# Spark evaluates per row with nested higher-order functions (the
+# oracle unnests relationally — same arithmetic, different shape, which
+# is exactly what the hash check proves equivalent).
+_LUHN_VALID_EXPR = f"""
+size(filter(
+  transform(regexp_extract_all(text, '{_CARD_PAT_SPARK}', 0),
+            c -> regexp_replace(c, '[^0-9]', '')),
+  d -> aggregate(
+         transform(sequence(1, length(d)),
+                   i -> CASE WHEN (length(d) - i) % 2 = 1
+                             THEN IF(2 * CAST(substring(d, i, 1) AS INT) > 9,
+                                     2 * CAST(substring(d, i, 1) AS INT) - 9,
+                                     2 * CAST(substring(d, i, 1) AS INT))
+                             ELSE CAST(substring(d, i, 1) AS INT) END),
+         0, (a, x) -> a + x) % 10 = 0))
+"""
+
+
+@query("pii_card_numbers_docs", _LUHN_ORACLE)
+def pii_card_numbers_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated payment-card detection: per document, how many
+    13-19-digit runs (optional single space/dash separators) appear,
+    and how many pass the mod-10 checksum — the high-precision PII
+    signal pii_scrub_docs' regexes can't express. ZERO exchanges: a
+    pure codegen scan (regexp_extract_all + integer HOF fold per row);
+    at 100 TB this is grep-plus-arithmetic over the corpus scan.
+    Checksum behavior is pinned on real card-shaped fixtures AND
+    against a pure-Python Luhn over random digit strings
+    (tests/test_pii_luhn.py); the synthetic corpus exercises the
+    zero/absent path."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"CAST(size(regexp_extract_all(text, '{_CARD_PAT_SPARK}', 0)) AS BIGINT)"
+        " AS n_card_candidates",
+        f"CAST(({_LUHN_VALID_EXPR}) AS BIGINT) AS n_luhn_valid",
+    )
+
+
 # --- Repetition-ratio quality signal ----------------------------------------
 
 _REPETITION_ORACLE = f"""
