@@ -85,8 +85,14 @@ class FrequencyStore:
                 "parquet"
             ).saveAsTable(self.commits_table)
 
-    def _committed(self) -> DataFrame:
-        return self.spark.table(self.commits_table).select("batch_id").distinct()
+    def _committed(self, as_of_batch: int | None = None) -> DataFrame:
+        """Committed batch_ids; `as_of_batch` time-travels to batches
+        <= it (merge_rows() collapses history to sentinel -1 and
+        forfeits pre-merge granularity)."""
+        out = self.spark.table(self.commits_table).select("batch_id").distinct()
+        if as_of_batch is not None:
+            out = out.filter(F.col("batch_id") <= as_of_batch)
+        return out
 
     def update_batch(
         self,
@@ -161,13 +167,13 @@ class FrequencyStore:
             self.spark.catalog.refreshTable(t)
         return n_cands
 
-    def cm_cells(self) -> DataFrame:
+    def cm_cells(self, as_of_batch: int | None = None) -> DataFrame:
         """(key, depth, bucket, n) over all COMMITTED batches —
         max-per-batch (replay-duplicate collapse) then cross-batch sum,
-        both through the bucket layout."""
+        both through the bucket layout. `as_of_batch` time-travels."""
         self._ensure_tables()
         rows = self.spark.table(self.cm_table).join(
-            F.broadcast(self._committed()), "batch_id", "left_semi"
+            F.broadcast(self._committed(as_of_batch)), "batch_id", "left_semi"
         )
         return (
             rows.groupBy("key", "depth", "bucket", "batch_id")
@@ -176,22 +182,24 @@ class FrequencyStore:
             .agg(F.sum("n").alias("n"))
         )
 
-    def candidates(self) -> DataFrame:
+    def candidates(self, as_of_batch: int | None = None) -> DataFrame:
         """(key, value) committed candidate union (distinct)."""
         self._ensure_tables()
         rows = self.spark.table(self.cand_table).join(
-            F.broadcast(self._committed()), "batch_id", "left_semi"
+            F.broadcast(self._committed(as_of_batch)), "batch_id", "left_semi"
         )
         return rows.select("key", "value").distinct()
 
-    def heavy_hitters(self, k: int = 10) -> DataFrame:
+    def heavy_hitters(
+        self, k: int = 10, as_of_batch: int | None = None
+    ) -> DataFrame:
         """(key, value, est, rank): top-k candidate values per key by
         CM estimate (min across depth rows — an upper bound on the true
         count, exact when the key's values don't collide in any row).
         The probe set is (keys x top_m) rows — broadcast into the CM
         frame; ties break on value for determinism."""
-        cm = self.cm_cells()
-        probes = self.candidates().select(
+        cm = self.cm_cells(as_of_batch)
+        probes = self.candidates(as_of_batch).select(
             "key",
             "value",
             F.explode(

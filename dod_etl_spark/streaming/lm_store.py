@@ -142,12 +142,19 @@ class NgramLmStore:
                 "parquet"
             ).saveAsTable(self.commits_table)
 
-    def _committed(self) -> DataFrame:
-        return self.spark.table(self.commits_table).select("batch_id").distinct()
+    def _committed(self, as_of_batch: int | None = None) -> DataFrame:
+        """Committed batch_ids; `as_of_batch` time-travels to batches
+        <= it — "score with yesterday's model" is a filter on the
+        commit log, not a rebuild. merge_batches() collapses history
+        to sentinel -1 and forfeits pre-merge granularity."""
+        out = self.spark.table(self.commits_table).select("batch_id").distinct()
+        if as_of_batch is not None:
+            out = out.filter(F.col("batch_id") <= as_of_batch)
+        return out
 
-    def _committed_docs(self) -> DataFrame:
+    def _committed_docs(self, as_of_batch: int | None = None) -> DataFrame:
         return self.spark.table(self.docs_table).join(
-            F.broadcast(self._committed()), "batch_id", "left_semi"
+            F.broadcast(self._committed(as_of_batch)), "batch_id", "left_semi"
         )
 
     def update_batch(
@@ -200,14 +207,16 @@ class NgramLmStore:
             self.spark.catalog.refreshTable(t)
         return n_docs
 
-    def model(self) -> DataFrame:
+    def model(self, as_of_batch: int | None = None) -> DataFrame:
         """(w1, w2, c2) over all COMMITTED batches: semi-filter to the
         broadcast commit set, collapse torn-replay duplicates with max
         per (key, batch), sum across batches — every grouping contains
-        the bucket key, so the store scan never exchanges."""
+        the bucket key, so the store scan never exchanges.
+        `as_of_batch` serves the model as of that batch's commit
+        (pinned equal to a fresh store fed the same prefix)."""
         self._ensure_tables()
         rows = self.spark.table(self.table).join(
-            F.broadcast(self._committed()), "batch_id", "left_semi"
+            F.broadcast(self._committed(as_of_batch)), "batch_id", "left_semi"
         )
         return (
             rows.groupBy("w1", "w2", "batch_id")
@@ -217,18 +226,24 @@ class NgramLmStore:
         )
 
     def score(
-        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        as_of_batch: int | None = None,
     ) -> DataFrame:
         """(doc_id, n_bigrams, n_oov_ctx, avg_microprob) for `docs`
-        against the CURRENT model — bit-identical to the batch
-        kn_lm_score_docs plan trained on the same ingested corpus."""
+        against the current model (or the model as of `as_of_batch` —
+        reproducing a historical filter decision exactly) —
+        bit-identical to the batch kn_lm_score_docs plan trained on
+        the same ingested corpus."""
         return kn_score_frame(
-            _doc_bigrams(docs, id_col, text_col), self.model()
+            _doc_bigrams(docs, id_col, text_col), self.model(as_of_batch)
         )
 
-    def n_train_docs(self) -> int:
+    def n_train_docs(self, as_of_batch: int | None = None) -> int:
         self._ensure_tables()
-        return self._committed_docs().count()
+        return self._committed_docs(as_of_batch).count()
 
     def stats(self) -> DataFrame:
         """1-row model-size summary (distinct bigrams, contexts,

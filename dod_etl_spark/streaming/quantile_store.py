@@ -114,8 +114,16 @@ class QuantileStore:
                 "parquet"
             ).saveAsTable(self.commits_table)
 
-    def _committed(self) -> DataFrame:
-        return self.spark.table(self.commits_table).select("batch_id").distinct()
+    def _committed(self, as_of_batch: int | None = None) -> DataFrame:
+        """Committed batch_ids; with `as_of_batch`, only batches <= it —
+        the time-travel window (the commit log IS a version history,
+        so serving any historical prefix is a filter, not a rebuild).
+        merge_rows() collapses history to sentinel -1 and forfeits
+        pre-merge granularity: the storage-bound trade."""
+        out = self.spark.table(self.commits_table).select("batch_id").distinct()
+        if as_of_batch is not None:
+            out = out.filter(F.col("batch_id") <= as_of_batch)
+        return out
 
     def update_batch(
         self,
@@ -161,14 +169,16 @@ class QuantileStore:
         self.spark.catalog.refreshTable(self.commits_table)
         return n_cells
 
-    def histogram(self) -> DataFrame:
+    def histogram(self, as_of_batch: int | None = None) -> DataFrame:
         """(key, bin, n) over all COMMITTED batches: semi-filter to the
         broadcast commit set, collapse replay duplicates with max, sum
         across batches — both grouped on bucket-key supersets, so the
-        store scan never exchanges."""
+        store scan never exchanges. `as_of_batch` time-travels to the
+        state after that batch committed (pinned equal to a fresh
+        store fed the same prefix)."""
         self._ensure_tables()
         rows = self.spark.table(self.table).join(
-            F.broadcast(self._committed()), "batch_id", "left_semi"
+            F.broadcast(self._committed(as_of_batch)), "batch_id", "left_semi"
         )
         return (
             rows.groupBy("key", "bin", "batch_id")
@@ -177,13 +187,15 @@ class QuantileStore:
             .agg(F.sum("n").alias("n"))
         )
 
-    def quantiles(self, probs: list[float]) -> DataFrame:
+    def quantiles(
+        self, probs: list[float], as_of_batch: int | None = None
+    ) -> DataFrame:
         """(key, p, n_total, bin, estimate) per requested probability:
         the bin holding the ceil(p*n)-th smallest value (exact integer
         rank walk over the sorted cells) and its geometric-midpoint
         estimate. Cells-per-key is bounded by the bin count (a design
         constant), so the per-key collect_list is metadata-sized."""
-        hist = self.histogram()
+        hist = self.histogram(as_of_batch)
         packed = hist.groupBy("key").agg(
             F.array_sort(F.collect_list(F.struct("bin", "n"))).alias("cells"),
             F.sum("n").alias("n_total"),

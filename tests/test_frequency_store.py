@@ -237,3 +237,33 @@ def test_profiler_drive_and_consistency(spark, profiler, tmp_path):
     top3 = prof["3"]["top_values"]
     assert top3[0]["value"] == "7.0"
     assert top3[0]["est"] >= 300
+
+
+def test_as_of_batch_time_travel(spark, store):
+    """heavy_hitters(as_of_batch=k) equals a fresh store fed only
+    batches 0..k."""
+    b0 = _mk(spark, [("k", "a")] * 5 + [("k", "b")] * 2)
+    b1 = _mk(spark, [("k", "b")] * 9)
+    store.update_batch(b0, batch_id=0)
+    store.update_batch(b1, batch_id=1)
+
+    tag = uuid.uuid4().hex[:8]
+    clean = FrequencyStore(
+        spark,
+        cm_table=f"fcm_{tag}",
+        cand_table=f"fcd_{tag}",
+        commits_table=f"fco_{tag}",
+        n_buckets=4,
+        top_m=8,
+    )
+    try:
+        clean.update_batch(b0, batch_id=0)
+        got = {
+            (r["key"], r["value"]): (r["est"], r["rank"])
+            for r in store.heavy_hitters(10, as_of_batch=0).collect()
+        }
+        assert got == _hh(clean)
+        assert got[("k", "a")][1] == 1  # a led before batch 1
+        assert _hh(store)[("k", "b")][1] == 1  # b leads now
+    finally:
+        _cleanup(spark, clean.cm_table, clean.cand_table, clean.commits_table)

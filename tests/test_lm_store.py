@@ -155,3 +155,43 @@ def test_model_plan_aggregates_in_bucket_layout(spark, store):
     plan = store.model()._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in plan
     assert not re.search(r"Exchange hashpartitioning\(w1", plan), plan
+
+
+def test_as_of_batch_time_travel(spark, store):
+    """model(as_of_batch=k) / score(as_of_batch=k) equal a fresh store
+    fed only batches 0..k — the commit log doubles as a version
+    history, so historical filter decisions replay exactly."""
+    train = _train(spark)
+    parts = [train.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, p in enumerate(parts):
+        store.update_batch(p, batch_id=i)
+
+    import uuid
+    from urllib.parse import urlparse
+    import shutil
+
+    tag = uuid.uuid4().hex[:8]
+    fresh = NgramLmStore(
+        spark,
+        table=f"lmb_{tag}",
+        docs_table=f"lmd_{tag}",
+        commits_table=f"lmc_{tag}",
+        n_buckets=4,
+    )
+    try:
+        fresh.update_batch(parts[0], batch_id=0)
+        fresh.update_batch(parts[1], batch_id=1)
+        want_m = sorted(tuple(r) for r in fresh.model().collect())
+        got_m = sorted(tuple(r) for r in store.model(as_of_batch=1).collect())
+        assert got_m == want_m
+        got_s = _scores(store.score(_docs(spark), as_of_batch=1))
+        want_s = _scores(fresh.score(_docs(spark)))
+        assert got_s == want_s
+        assert store.n_train_docs(as_of_batch=1) == fresh.n_train_docs()
+        # before anything committed: empty model
+        assert store.model(as_of_batch=-5).count() == 0
+    finally:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for n in (fresh.table, fresh.docs_table, fresh.commits_table):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+            shutil.rmtree(f"{wh}/{n}", ignore_errors=True)

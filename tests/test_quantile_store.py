@@ -243,3 +243,32 @@ def test_merge_keeps_commit_records_replay_after_merge_noop(spark, store):
     assert _hist(store) == baseline
     assert store.update_batch(b0, batch_id=0) == 0  # old id still committed
     assert _hist(store) == baseline
+
+
+def test_as_of_batch_time_travel(spark, store):
+    """histogram/quantiles(as_of_batch=k) equal a fresh store fed only
+    batches 0..k (the commit log as version history)."""
+    ev = _events(spark)
+    lo, hi = ev.where(F.col("value") < 100), ev.where(F.col("value") >= 100)
+    store.update_batch(lo, batch_id=0)
+    store.update_batch(hi, batch_id=1)
+
+    tag = uuid.uuid4().hex[:8]
+    clean = QuantileStore(
+        spark, table=f"qh_{tag}", commits_table=f"qc_{tag}", n_buckets=4
+    )
+    try:
+        clean.update_batch(lo, batch_id=0)
+        assert sorted(
+            tuple(r) for r in store.histogram(as_of_batch=0).collect()
+        ) == _hist(clean)
+        assert {
+            (r["key"], r["p"]): (r["bin"], r["n_total"], r["estimate"])
+            for r in store.quantiles(PROBS, as_of_batch=0).collect()
+        } == _quant(clean)
+        assert _hist(store) != _hist(clean)  # the travel actually moved
+    finally:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for n in (clean.table, clean.commits_table):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+            shutil.rmtree(f"{wh}/{n}", ignore_errors=True)
