@@ -140,8 +140,11 @@ BENCH_QUERIES = [
     # re-joined per doc (fp-keyed winner SMJ + broadcast flags).
     "curation_audit_docs",
     # Round-9: product-quantization ADC top-k — the third ANN scale
-    # path (codes-only corpus side after a zero-exchange encode).
+    # path (codes-only corpus side after a zero-exchange encode) —
+    # and the composed FAISS IVF-PQ posture (cell pruning x code
+    # compression, fully oracle-replayed).
     "pq_adc_topk",
+    "ivfpq_topk",
 ]
 
 

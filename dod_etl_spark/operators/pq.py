@@ -118,14 +118,17 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_vec: bool = False,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, codes array<int>) — ZERO exchanges: code assignment is a
-    pure projection with literal centroids (one parsed SQL string; the
-    Column-API equivalent costs thousands of py4j round-trips). At
-    scale this runs inside the corpus scan stage; the output is M small
-    ints per row, the 32x scan-compression PQ exists for."""
+    """(id[, extra_cols], codes array<int>) — ZERO exchanges: code
+    assignment is a pure projection with literal centroids (one parsed
+    SQL string; the Column-API equivalent costs thousands of py4j
+    round-trips). At scale this runs inside the corpus scan stage; the
+    output is M small ints per row, the 32x scan-compression PQ exists
+    for."""
     n_sub = len(codebooks)
     ds = len(codebooks[0][0])
+    extra = list(extra_cols or [])
     sd = [
         " + ".join(
             f"CAST({vec_col}[{m * ds + j}] AS DOUBLE) * CAST({vec_col}[{m * ds + j}] AS DOUBLE)"
@@ -136,10 +139,11 @@ def pq_encode(
     staged = df.selectExpr(
         id_col,
         vec_col,
+        *extra,
         *[f"({sd[m]}) AS _sd{m}" for m in range(n_sub)],
     )
     codes = _encode_exprs(codebooks, vec_col)
-    keep = [id_col, vec_col] if keep_vec else [id_col]
+    keep = ([id_col, vec_col] if keep_vec else [id_col]) + extra
     return staged.selectExpr(
         *keep, f"array({', '.join(codes)}) AS codes"
     )
@@ -259,6 +263,89 @@ def pq_adc_topk(
     scored = (
         F.broadcast(q)
         .crossJoin(enc)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dist", stable_round(d, round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "dist", "rk")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    codebooks: Codebooks | None = None,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 3,
+) -> DataFrame:
+    """IVF-PQ: the FAISS IndexIVFPQ composition — IVF cells cut the
+    CANDIDATE COUNT (each query scores ~n_probe/n_cells of the corpus),
+    PQ codes cut the CANDIDATE WIDTH (M bytes instead of D floats) —
+    the posture a 100 TB vector corpus actually ships with, assembled
+    from this package's two primitives with no new moving parts:
+
+    - corpus: coarse cell assignment (literal-centroid projection,
+      operators/similarity._cell_assigner — the ivf_topk path) then PQ
+      encode then reconstruction, ALL zero-exchange scan-stage work;
+    - queries: probe their n_probe best cells (same assigner), ride a
+      broadcast into the cell-pruned join;
+    - scoring: asymmetric squared-L2 to the reconstruction (the
+      pq_adc_topk identity: three sequential full-width dots), ranked
+      ascending with neighbor-id ties.
+
+    Every stage (cosine cell argmax, code argmin, ADC distance) is the
+    deterministic arithmetic its standalone oracle already replays, so
+    the COMPOSED index is hash-exact against a relational DuckDB
+    oracle too — quantizer, codes, pruning and ranking all checked.
+    Quantizes raw vectors (FAISS by_residual=false); residual encoding
+    is the documented refinement (codebooks trained on v - centroid,
+    recon = centroid + pq_recon), same plan shape."""
+    from dod_etl_spark.operators.similarity import (
+        _cell_assigner,
+        _probe_dim,
+        seed_centroids,
+    )
+
+    dim = _probe_dim(corpus, vec_col)
+    cents = seed_centroids(corpus, n_cells, id_col, vec_col)
+    if codebooks is None:
+        codebooks = seed_pq_codebooks(corpus, n_sub, n_codes, id_col, vec_col)
+    with_cells = _cell_assigner(cents, dim, id_col, vec_col)
+
+    c = with_cells(spread(corpus), "neighbor_id", "_cv", "_cn", 1)
+    cand = pq_encode(
+        c.selectExpr(f"neighbor_id AS {id_col}", "cell_id", f"_cv AS {vec_col}"),
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        extra_cols=["cell_id"],
+    ).selectExpr(
+        f"{id_col} AS neighbor_id",
+        "cell_id",
+        f"{_recon_expr(codebooks)} AS _r",
+    )
+    q = with_cells(queries, "query_id", "_qv", "_qn", n_probe).withColumn(
+        "_qq", dot(F.col("_qv"), F.col("_qv"), dim)
+    )
+    d = (
+        F.col("_qq")
+        - F.lit(2.0) * dot(F.col("_qv"), F.col("_r"), dim)
+        + dot(F.col("_r"), F.col("_r"), dim)
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("dist", stable_round(d, round_digits))
     )

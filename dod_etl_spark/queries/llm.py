@@ -746,6 +746,105 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF-PQ composed ANN -------------------------------------------------------
+
+# The FAISS IndexIVFPQ posture: IVF cells prune candidates, PQ codes
+# shrink them. Every stage is deterministic arithmetic the standalone
+# oracles already replay (cosine cell argmax from _IVF_ANN_ORACLE, code
+# argmin + reconstruction from _PQ_ADC_ORACLE), so the COMPOSED path is
+# hash-exact too.
+_IVFPQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cell, v AS cv, n AS cn FROM e WHERE vec_id < 8),
+corpus_cell AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_IVF_SIM.format(an="e.n", bn="cent.cn", av="e.v", bv="cent.cv")} DESC,
+                      cent.cell
+           ) AS crk
+    FROM e CROSS JOIN cent
+  ) WHERE crk = 1
+),
+query_cells AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_IVF_SIM.format(an="e.n", bn="cent.cn", av="e.v", bv="cent.cv")} DESC,
+                      cent.cell
+           ) AS crk
+    FROM e CROSS JOIN cent
+    WHERE e.vec_id < 10
+  ) WHERE crk <= 2
+),
+ms AS (SELECT unnest(range(8)) AS m),
+cb AS (
+  SELECT m, vec_id AS kk, list_slice(v, m*8 + 1, m*8 + 8) AS c
+  FROM e CROSS JOIN ms WHERE vec_id < 16
+),
+subs AS (
+  SELECT vec_id, m, list_slice(v, m*8 + 1, m*8 + 8) AS s
+  FROM e CROSS JOIN ms
+),
+best AS (
+  SELECT vec_id, m, kk,
+         row_number() OVER (
+           PARTITION BY vec_id, m
+           ORDER BY list_dot_product(s, s) - 2 * list_dot_product(s, c)
+                    + list_dot_product(c, c), kk) AS rn
+  FROM subs JOIN cb USING (m)
+),
+recon AS (
+  SELECT b.vec_id, flatten(list(c ORDER BY b.m)) AS r
+  FROM best b JOIN cb ON b.m = cb.m AND b.kk = cb.kk
+  WHERE b.rn = 1 GROUP BY b.vec_id
+),
+scored AS (
+  SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id,
+         {sround_sql('''list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, rr.r)
+                + list_dot_product(rr.r, rr.r)''', 3)} AS dist
+  FROM query_cells q
+  JOIN corpus_cell cc ON q.cell = cc.cell AND q.vec_id <> cc.vec_id
+  JOIN recon rr ON rr.vec_id = cc.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, dist, rk FROM ranked WHERE rk <= 5
+"""
+
+
+@query("ivfpq_topk", _IVFPQ_ORACLE)
+def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 (operators/pq.py ivfpq_topk): the composed FAISS
+    posture — 8 IVF cells prune candidates to ~n_probe/n_cells of the
+    corpus, PQ codes cut the surviving candidates to 8 bytes each, and
+    the asymmetric distance ranks the pruned set. Quantizer, codes,
+    pruning, and ranking are ALL replayed relationally, so the whole
+    composed index is hash-checked (candidate-count × candidate-width
+    reduction with zero black boxes)."""
+    from dod_etl_spark.operators.pq import ivfpq_topk, seed_pq_codebooks
+
+    emb = t(spark, sf_dir, "embeddings")
+    cbs = seed_pq_codebooks(emb, n_sub=8, n_codes=16)
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        k=5,
+        n_cells=8,
+        n_probe=2,
+        codebooks=cbs,
+    )
+
+
 # --- End-to-end training-data prep pipeline -----------------------------------
 
 _PREP_ORACLE = """
