@@ -68,3 +68,37 @@ def quality_score(text: Column) -> Column:
         "double"
     )
     return F.least(nt / F.lit(100.0), F.lit(1.0)) * (F.lit(1.0) - punct_ratio)
+
+
+def soundex_sql(col: str, engine: str = "spark") -> str:
+    """American Soundex as ENGINE-NEUTRAL SQL text (upper/strip,
+    translate-to-digits, H/W elision, adjacent-run collapse, vowel
+    removal, first-letter + 3 digits zero-padded) — the same
+    arithmetic evaluates in Spark and in a DuckDB oracle, so
+    phonetic-blocked queries hash-check end-to-end. Verified against
+    the canonical test vectors (Robert/Rupert→R163, Ashcraft→A261,
+    Tymczak→T522, Pfister→P236, Honeyman→H555, Washington→W252) and
+    against Spark's builtin soundex() on real tokens
+    (tests/test_phonetic.py).
+
+    The one cross-engine trap (found live): DuckDB's regexp_replace
+    is FIRST-MATCH-ONLY without the 'g' flag, Spark's is always
+    global — hence the engine parameter instead of one shared string.
+    The run-collapse uses per-digit patterns ('11+'→'1', …) because
+    RE2 (DuckDB) has no backreferences."""
+    g = ", 'g'" if engine == "duckdb" else ""
+    u = f"regexp_replace(upper({col}), '[^A-Z]', ''{g})"
+    t0 = f"translate({u}, 'AEIOUYBFPVCGJKQSXZDTLMNR', '000000111122222222334556')"
+    c = f"replace(replace({t0}, 'H', ''), 'W', '')"
+    for d in range(7):
+        c = f"regexp_replace({c}, '{d}{d}+', '{d}'{g})"
+    first = f"substr({u}, 1, 1)"
+    # the first letter's own code participates in adjacent collapsing
+    # and is then dropped — unless the first letter is H/W, which never
+    # entered the digit stream (Holmes → H452, not H520)
+    body = f"CASE WHEN {first} IN ('H', 'W') THEN {c} ELSE substr({c}, 2) END"
+    noz = f"replace({body}, '0', '')"
+    return (
+        f"(CASE WHEN length({u}) = 0 THEN '' "
+        f"ELSE {first} || rpad(substr({noz}, 1, 3), 3, '0') END)"
+    )

@@ -1810,6 +1810,60 @@ def fuzzy_name_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(part, "p_name", max_distance=2)
 
 
+# --- Phonetic blocking (American Soundex) --------------------------------------
+
+from dod_etl_spark.functions.text import soundex_sql  # noqa: E402
+
+
+def _phonetic_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS tok FROM part
+),
+coded AS (
+  SELECT tok, {soundex_sql('tok', 'duckdb')} AS code
+  FROM toks WHERE tok <> ''
+)
+SELECT a.code AS code, a.tok AS tok_1, b.tok AS tok_2,
+       CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS lev
+FROM coded a JOIN coded b ON a.code = b.code AND a.tok < b.tok
+"""
+
+
+@query("phonetic_token_pairs", _phonetic_oracle())
+def phonetic_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sound-alike token pairs by American Soundex blocking — the
+    classic record-linkage blocking key (Odell/Russell; every MDM
+    system ships it) and the complement to SymSpell edit-distance
+    blocking: 'chocolate'/'chocolade' is d=1, but 'smith'/'smythe' is
+    d=2 with zero shared deletions while their codes collide at S530.
+    Both engines evaluate the SAME generated SQL text
+    (functions/text.soundex_sql), so the whole phonetic key — not just
+    the pair list — is hash-checked. Scale: one distinct-token pass,
+    then a self-join blocked on the code; fan-out is bounded per block
+    by the phonetic space (<= 26*7^3 codes), never all-pairs. The
+    levenshtein column is deliberately UNFILTERED: downstream ER picks
+    its own verify radius."""
+    part = t(spark, sf_dir, "part")
+    toks = (
+        part.select(F.explode(F.split(F.col("p_name"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    coded = toks.selectExpr("tok", soundex_sql("tok", "spark") + " AS code")
+    a = coded.selectExpr("code", "tok AS tok_1")
+    b = coded.selectExpr("code AS code_b", "tok AS tok_2")
+    return (
+        a.join(b, (F.col("code") == F.col("code_b")) & (F.col("tok_1") < F.col("tok_2")))
+        .select(
+            "code",
+            "tok_1",
+            "tok_2",
+            F.levenshtein("tok_1", "tok_2").cast("long").alias("lev"),
+        )
+    )
+
+
 # --- PRF query expansion (RM3-lite, two chained BM25 rounds) -------------------
 
 _PRF_ORACLE = f"""
