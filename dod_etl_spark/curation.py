@@ -55,6 +55,7 @@ _KNOWN_OPS = (
     "near_dedup",
     "project_tokens",
     "pii_scrub",
+    "pii_card_gate",
     "segment_dedup",
     "blocklist_gate",
 )
@@ -182,6 +183,14 @@ def compile_curation(
             for _, pat, repl in _PII_PATTERNS:
                 clean = F.regexp_replace(clean, pat, repl)
             df = df.withColumn("text", clean)
+        elif op == "pii_card_gate":
+            # Compliance gate: drop documents carrying a Luhn-VALID
+            # payment-card number (queries/llm.py pii_card_numbers_docs
+            # is the audit query; regex-only scrubbing can't make this
+            # call — the checksum can). Zero-exchange codegen filter.
+            from dod_etl_spark.queries.llm import _LUHN_VALID_EXPR
+
+            df = df.where(F.expr(_LUHN_VALID_EXPR) == 0)
         elif op == "segment_dedup":
             from dod_etl_spark.operators.segment_dedup import segment_dedup
 
@@ -243,6 +252,7 @@ def compile_curation_audit(
         "decontaminate",
         "near_dedup",
         "blocklist_gate",
+        "pii_card_gate",
     }
 
     for i, st in enumerate(spec.stages):

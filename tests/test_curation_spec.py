@@ -110,3 +110,33 @@ def test_blocklist_gate(spark):
     )
     out = compile_curation(spark, docs, spec)
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_pii_card_gate(spark):
+    """The Luhn compliance gate drops exactly the docs carrying a
+    VALID card number (checksum decides, not the digit-run regex), and
+    the audit compiler attributes them to the stage."""
+    from dod_etl_spark.curation import compile_curation_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "pay 4111111111111111 now"),   # valid -> dropped
+            (2, "bad 4111111111111112 here"),  # digit run, bad checksum -> kept
+            (3, "no numbers at all"),
+            (4, "amex 378282246310005"),        # valid -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    spec = CurationSpec.from_json('{"stages": [{"op": "pii_card_gate"}]}')
+    kept = sorted(r["doc_id"] for r in compile_curation(spark, docs, spec).collect())
+    assert kept == [2, 3]
+    audit = {
+        r["doc_id"]: r["reason"]
+        for r in compile_curation_audit(spark, docs, spec).collect()
+    }
+    assert audit == {
+        1: "pii_card_gate",
+        2: "kept",
+        3: "kept",
+        4: "pii_card_gate",
+    }

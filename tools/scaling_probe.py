@@ -77,6 +77,8 @@ PROBE_QUERIES = [
     "source_token_tvd",            # r8s4: pair grid on totals frame
     "token_burstiness",            # r8s4: two map-combined moment aggs
     "skipgram_lift",               # r8s4: windowed pair counts (vocab^2)
+    "pq_adc_topk",                 # r9: zero-exchange encode + ADC scan
+    "ivfpq_topk",                  # r9: cell-pruned ADC (composed FAISS)
 ]
 
 # Exact pair-emitters: OUTPUT (and therefore time) is inherently
