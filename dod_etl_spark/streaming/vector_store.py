@@ -583,3 +583,270 @@ class IvfVectorStore:
             "top_decile_frac": round(sum(sizes[:top_decile]) / n, 4),
             "imbalance": round(sizes[0] * len(sizes) / n, 2),
         }
+
+
+@dataclass
+class IvfPqVectorStore:
+    """The composed serving index: IVF cells for candidate pruning, PQ
+    codes for candidate width — `ivfpq_topk` (operators/pq.py) as a
+    maintain-don't-rebuild store, completing the family (LSH store,
+    IVF store, and now the FAISS IVF-PQ posture).
+
+    The storage dividend is the point: the cell table carries 8 ints
+    per vector instead of 64 floats + a norm (the IvfVectorStore row),
+    so the index a 100 TB corpus serves from is ~30x smaller and the
+    probe-pruned serve scan moves codes, not vectors. Reconstruction
+    arithmetic rides in the PLAN (literal codebooks), never in storage.
+
+    Both the coarse quantizer AND the codebooks are build-time
+    commitments persisted in their own tables (a restarted session
+    serves the identical index; changing either is a NEW index — the
+    cell_balance() rebuild posture). Same replay guard, torn-batch
+    duplicate-collapse, tombstone, repair() and compact() discipline as
+    the sibling stores; serve results are pinned hash-identical to the
+    ad-hoc ivfpq_topk over the same corpus."""
+
+    spark: SparkSession
+    table: str = "ivfpq_cells"
+    vecs_table: str = "ivfpq_vecs"
+    cent_table: str = "ivfpq_centroids"
+    cb_table: str = "ivfpq_codebooks"
+    n_buckets: int = 16
+    centroids: list | None = None  # [(cid, [float, ...])] at creation
+    codebooks: list | None = None  # [m][k][j] at creation
+
+    def _ensure_tables(self) -> None:
+        if not self.spark.catalog.tableExists(self.cent_table):
+            if not self.centroids:
+                raise ValueError(
+                    "IvfPqVectorStore needs `centroids` on first use"
+                )
+            self.spark.createDataFrame(
+                [(int(c), [float(x) for x in v]) for c, v in self.centroids],
+                "cid long, v array<double>",
+            ).coalesce(1).write.format("parquet").saveAsTable(self.cent_table)
+        if not self.spark.catalog.tableExists(self.cb_table):
+            if not self.codebooks:
+                raise ValueError(
+                    "IvfPqVectorStore needs `codebooks` on first use "
+                    "(seed_pq_codebooks/train_pq_codebooks output)"
+                )
+            rows = [
+                (m, kk, [float(x) for x in c])
+                for m, cb in enumerate(self.codebooks)
+                for kk, c in enumerate(cb)
+            ]
+            self.spark.createDataFrame(
+                rows, "m int, k int, c array<double>"
+            ).coalesce(1).write.format("parquet").saveAsTable(self.cb_table)
+        if not self.spark.catalog.tableExists(self.table):
+            (
+                self.spark.createDataFrame(
+                    [], "cell_id long, vec_id long, codes array<int>"
+                )
+                .write.format("parquet")
+                .bucketBy(self.n_buckets, "cell_id")
+                .sortBy("cell_id")
+                .saveAsTable(self.table)
+            )
+        if not self.spark.catalog.tableExists(self.vecs_table):
+            (
+                self.spark.createDataFrame([], "vec_id long")
+                .write.format("parquet")
+                .bucketBy(self.n_buckets, "vec_id")
+                .sortBy("vec_id")
+                .saveAsTable(self.vecs_table)
+            )
+
+    def _cents(self) -> list:
+        if self.centroids is None:
+            self.centroids = [
+                (int(r["cid"]), [float(x) for x in r["v"]])
+                for r in self.spark.table(self.cent_table).orderBy("cid").collect()
+            ]
+        return self.centroids
+
+    def _cbs(self) -> list:
+        if self.codebooks is None:
+            rows = self.spark.table(self.cb_table).orderBy("m", "k").collect()
+            n_sub = max(int(r["m"]) for r in rows) + 1
+            self.codebooks = [
+                [
+                    [float(x) for x in r["c"]]
+                    for r in rows
+                    if int(r["m"]) == m
+                ]
+                for m in range(n_sub)
+            ]
+        return self.codebooks
+
+    def index_batch(
+        self,
+        batch: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> int:
+        """foreachBatch body: assign never-seen vectors to their cell,
+        COMPRESS to PQ codes (both zero-shuffle literal projections —
+        the full-precision vector never reaches storage), append,
+        commit. Replays add zero."""
+        from dod_etl_spark.operators.pq import pq_encode
+        from dod_etl_spark.operators.similarity import _cell_assigner
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
+        self._ensure_tables()
+        deduped = (
+            batch.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<float>").alias("embedding"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("embedding").alias("embedding"))
+        )
+        seen = self.spark.table(self.vecs_table)
+        fresh = exclude_tombstoned(
+            self.spark,
+            deduped.join(seen, "vec_id", "left_anti"),
+            self.table,
+            "vec_id",
+        ).localCheckpoint(eager=True)
+        dim = _probe_dim(fresh, "embedding")
+        if dim is None:
+            return 0
+        assigned = _cell_assigner(self._cents(), dim, "vec_id", "embedding")(
+            fresh, "vec_id", "embedding", "_vn", 1
+        ).select("cell_id", "vec_id", "embedding")
+        coded = pq_encode(
+            assigned, self._cbs(), id_col="vec_id", vec_col="embedding",
+            extra_cols=["cell_id"],
+        ).select("cell_id", "vec_id", "codes")
+        from dod_etl_spark.streaming.maintenance import bucket_align
+
+        bucket_align(coded, "cell_id", self.n_buckets).write.insertInto(
+            self.table, overwrite=False
+        )
+        bucket_align(
+            fresh.select("vec_id"), "vec_id", self.n_buckets
+        ).write.insertInto(self.vecs_table, overwrite=False)
+        self.spark.catalog.refreshTable(self.table)
+        self.spark.catalog.refreshTable(self.vecs_table)
+        return fresh.count()
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        n_probe: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        round_digits: int = 3,
+    ) -> DataFrame:
+        """ivfpq_topk served from storage: queries probe their n_probe
+        cells (literal centroids); the stored codes reconstruct in-plan
+        (literal codebooks) and rank by asymmetric squared-L2. The
+        store side never shuffles (bucket-pruned scan + broadcast probe
+        join + top-k window); results are hash-identical to the ad-hoc
+        operator over the same corpus (pinned)."""
+        from dod_etl_spark.operators.pq import _recon_expr
+        from dod_etl_spark.operators.similarity import _cell_assigner, dot
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
+        out_schema = "query_id long, neighbor_id long, dist double, rk int"
+        if not self.spark.catalog.tableExists(self.table):
+            return self.spark.createDataFrame([], out_schema)
+        dim = _probe_dim(queries, vec_col)
+        if dim is None:
+            return self.spark.createDataFrame([], out_schema)
+        q = _cell_assigner(self._cents(), dim, id_col, vec_col)(
+            queries, "query_id", "_qv", "_qn", n_probe
+        ).withColumn("_qq", dot(F.col("_qv"), F.col("_qv"), dim))
+        c = self.spark.table(self.table).selectExpr(
+            "cell_id",
+            "vec_id AS neighbor_id",
+            f"{_recon_expr(self._cbs())} AS _r",
+        )
+        committed = exclude_tombstoned(
+            self.spark,
+            self.spark.table(self.vecs_table).select("vec_id"),
+            self.table,
+            "vec_id",
+        ).select(F.col("vec_id").alias("neighbor_id"))
+        d = (
+            F.col("_qq")
+            - F.lit(2.0) * dot(F.col("_qv"), F.col("_r"), dim)
+            + dot(F.col("_r"), F.col("_r"), dim)
+        )
+        scored = (
+            F.broadcast(q)
+            .join(c, "cell_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .join(committed, "neighbor_id", "left_semi")
+            .withColumn("dist", stable_round(d, round_digits))
+            # torn-replay duplicate collapse (sibling-store posture)
+            .select("query_id", "neighbor_id", "dist")
+            .distinct()
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "dist", "rk")
+        )
+
+    def repair(self) -> int:
+        if not self.spark.catalog.tableExists(self.table):
+            return 0
+        rows = self.spark.table(self.table)
+        vecs = self.spark.table(self.vecs_table).select("vec_id")
+        clean = (
+            rows.join(vecs, "vec_id", "left_semi")
+            .select("cell_id", "vec_id", "codes")
+            .distinct()
+        )
+        before = rows.count()
+        after = clean.count()
+        if after != before:
+            clean = clean.localCheckpoint(eager=True)
+            clean.write.insertInto(self.table, overwrite=True)
+            self.spark.catalog.refreshTable(self.table)
+        return before - after
+
+    def delete_vecs(self, vec_ids) -> int:
+        """Compliance delete — VectorIndexStore.delete_vecs semantics."""
+        from dod_etl_spark.streaming.tombstones import add_tombstones
+
+        return add_tombstones(self.spark, self.table, vec_ids, "vec_id")
+
+    def purge_deleted(self) -> dict:
+        from dod_etl_spark.streaming.tombstones import purge_table
+
+        return {
+            "cell_rows_removed": purge_table(
+                self.spark, self.table, self.table, "vec_id"
+            ),
+            "vecs_removed": purge_table(
+                self.spark, self.vecs_table, self.table, "vec_id"
+            ),
+        }
+
+    def n_vecs(self) -> int:
+        """Serving-corpus size (tombstones excluded)."""
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
+        if not self.spark.catalog.tableExists(self.vecs_table):
+            return 0
+        vecs = self.spark.table(self.vecs_table)
+        return exclude_tombstoned(self.spark, vecs, self.table, "vec_id").count()
+
+    def compact(self) -> dict:
+        """Rewrite cell rows and commit records to ~one file per bucket
+        (centroid/codebook tables are tiny and write-once)."""
+        from dod_etl_spark.streaming.maintenance import compact_store
+
+        return compact_store(
+            self.spark,
+            {self.table: "cell_id", self.vecs_table: "vec_id"},
+            self.n_buckets,
+        )

@@ -1,0 +1,187 @@
+"""IvfPqVectorStore (streaming/vector_store.py): store-served IVF-PQ
+search must be HASH-IDENTICAL to the ad-hoc ivfpq_topk over the same
+corpus under any batch split; replays add nothing; compliance deletes
+serve as if the vector was never indexed; repair/compact preserve
+serving; the store row carries codes only (the 30x storage dividend);
+and the serve plan never exchanges the store scan."""
+
+from __future__ import annotations
+
+import re
+import shutil
+import uuid
+from urllib.parse import urlparse
+
+import pytest
+from pyspark.sql import functions as F
+
+from dod_etl_spark.catalog import load_table
+from dod_etl_spark.operators.pq import ivfpq_topk, seed_pq_codebooks
+from dod_etl_spark.operators.similarity import seed_centroids
+from dod_etl_spark.streaming.tombstones import tombstone_table_name
+from dod_etl_spark.streaming.vector_store import IvfPqVectorStore
+from tests.conftest import SF_SMOKE
+
+K = 5
+N_PROBE = 2
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.fixture()
+def store(spark, emb):
+    tag = uuid.uuid4().hex[:8]
+    s = IvfPqVectorStore(
+        spark,
+        table=f"ipq_c_{tag}",
+        vecs_table=f"ipq_v_{tag}",
+        cent_table=f"ipq_ct_{tag}",
+        cb_table=f"ipq_cb_{tag}",
+        n_buckets=4,
+        centroids=seed_centroids(emb, 8),
+        codebooks=seed_pq_codebooks(emb, 8, 16),
+    )
+    yield s
+    from dod_etl_spark.streaming.maintenance import _staging_name
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in (
+        s.table,
+        s.vecs_table,
+        s.cent_table,
+        s.cb_table,
+        tombstone_table_name(s.table),
+    ):
+        for n in (name, _staging_name(name)):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+            shutil.rmtree(f"{wh}/{n}", ignore_errors=True)
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["neighbor_id"], r["dist"], r["rk"]) for r in df.collect()
+    )
+
+
+def _queries(emb):
+    return emb.filter("vec_id < 10")
+
+
+def test_store_serve_equals_adhoc_any_split(spark, emb, store):
+    """The headline contract: three micro-batches in, serving equals
+    the from-scratch ad-hoc operator — scores AND ranks."""
+    for i in range(3):
+        store.index_batch(emb.filter(F.col("vec_id") % 3 == i))
+    want = _rows(
+        ivfpq_topk(
+            _queries(emb), emb, K, n_cells=8, n_probe=N_PROBE,
+            codebooks=seed_pq_codebooks(emb, 8, 16),
+        )
+    )
+    assert _rows(store.search(_queries(emb), K, n_probe=N_PROBE)) == want
+
+
+def test_replay_and_restart_serve_identically(spark, emb, store):
+    store.index_batch(emb)
+    before = _rows(store.search(_queries(emb), K))
+    assert store.index_batch(emb) == 0  # replay guard
+    assert _rows(store.search(_queries(emb), K)) == before
+    # a RESTARTED session object (no in-memory centroids/codebooks)
+    # loads both commitments from their tables and serves identically
+    twin = IvfPqVectorStore(
+        spark,
+        table=store.table,
+        vecs_table=store.vecs_table,
+        cent_table=store.cent_table,
+        cb_table=store.cb_table,
+        n_buckets=store.n_buckets,
+    )
+    assert _rows(twin.search(_queries(emb), K)) == before
+
+
+def test_storage_carries_codes_not_vectors(spark, emb, store):
+    store.index_batch(emb)
+    fields = {f.name: f.dataType.simpleString() for f in spark.table(store.table).schema.fields}
+    assert fields == {
+        "cell_id": "bigint",
+        "vec_id": "bigint",
+        "codes": "array<int>",
+    }
+    r = spark.table(store.table).first()
+    assert len(r["codes"]) == 8  # 8 small ints vs 64 floats + norm
+
+
+def test_delete_purge_no_resurrection(spark, emb, store):
+    store.index_batch(emb)
+    dead = [11, 12, 13]
+    store.delete_vecs(dead)
+    got = _rows(store.search(_queries(emb), K))
+    retained = emb.where(~F.col("vec_id").isin(dead))
+    want = _rows(
+        ivfpq_topk(
+            _queries(emb), retained, K, n_cells=8, n_probe=N_PROBE,
+            codebooks=seed_pq_codebooks(emb, 8, 16),
+        )
+    )
+    assert got == want  # served as if never indexed
+    store.purge_deleted()
+    assert _rows(store.search(_queries(emb), K)) == got
+    assert store.index_batch(emb) == 0  # tombstones block re-admission
+    assert _rows(store.search(_queries(emb), K)) == got
+    assert store.n_vecs() == emb.count() - len(dead)
+
+
+def test_torn_batch_then_repair_and_compact(spark, emb, store):
+    """Orphan cell rows (appended, never committed) are invisible to
+    search; a replay converges; repair removes the redundant copies;
+    compact preserves serving."""
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    store.index_batch(a)
+    baseline = _rows(store.search(_queries(emb), K))
+
+    # torn append: cell rows for b land, commit record does not
+    from dod_etl_spark.operators.pq import pq_encode
+    from dod_etl_spark.operators.similarity import _cell_assigner, _probe_dim
+    from dod_etl_spark.streaming.maintenance import bucket_align
+
+    dim = _probe_dim(emb, "embedding")
+    assigned = _cell_assigner(store._cents(), dim, "vec_id", "embedding")(
+        b, "vec_id", "embedding", "_vn", 1
+    ).select("cell_id", "vec_id", "embedding")
+    torn = pq_encode(
+        assigned, store._cbs(), id_col="vec_id", vec_col="embedding",
+        extra_cols=["cell_id"],
+    ).select("cell_id", "vec_id", "codes")
+    bucket_align(torn, "cell_id", store.n_buckets).write.insertInto(
+        store.table, overwrite=False
+    )
+    spark.catalog.refreshTable(store.table)
+    assert _rows(store.search(_queries(emb), K)) == baseline  # orphans hidden
+
+    store.index_batch(b)  # replay through the normal path
+    full = _rows(store.search(_queries(emb), K))
+    want = _rows(
+        ivfpq_topk(
+            _queries(emb), emb, K, n_cells=8, n_probe=N_PROBE,
+            codebooks=seed_pq_codebooks(emb, 8, 16),
+        )
+    )
+    assert full == want
+    removed = store.repair()
+    assert removed > 0  # the torn duplicates physically left
+    assert _rows(store.search(_queries(emb), K)) == full
+    stats = store.compact()[store.table]
+    assert stats["files_after"] <= store.n_buckets
+    assert _rows(store.search(_queries(emb), K)) == full
+
+
+def test_serve_plan_no_store_side_exchange(spark, emb, store):
+    store.index_batch(emb)
+    df = store.search(_queries(emb), K)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert not re.search(r"Exchange hashpartitioning\(cell_id", plan), plan
