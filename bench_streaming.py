@@ -52,6 +52,8 @@ WARMUP_S = float(os.environ.get("SPARK_GRAFT_STREAM_WARMUP", "10"))
 # ClusterStore.add_edges, with ongoing cross-hub merges),
 # "lm" (incremental KN language model: train docs/sec through
 # NgramLmStore.update_batch plus a timed live-model serve),
+# "ivfpq" (composed IVF-PQ store: vecs/sec through
+# IvfPqVectorStore.index_batch, codes-only bytes/row reported),
 # "tombstone" (posting-store ingestion with a 1%-of-batch compliance
 # delete interleaved into every micro-batch, plus timed
 # serve/purge/serve — the index scenario's head-to-head twin),
@@ -417,6 +419,115 @@ def main_vector() -> None:
                 "protocol": {
                     "source": "rate (oversupplied), deterministic 16-dim vectors",
                     "sink": "VectorIndexStore.index_batch (bucketed appends)",
+                    "measure": "vecs after first batch / batch-boundary window",
+                },
+            }
+        )
+    )
+
+
+def main_ivfpq() -> None:
+    """IVF-PQ store ingestion throughput: the `vector` scenario's
+    generator and protocol with IvfPqVectorStore — measures what the
+    extra encode projection costs on top of cell assignment, and what
+    the codes-only rows save (bytes_per_row reported head-to-head with
+    the vector scenario's full-precision rows)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dod_etl_spark.operators.pq import seed_pq_codebooks
+    from dod_etl_spark.operators.similarity import seed_centroids
+    from dod_etl_spark.session import get_spark
+    from dod_etl_spark.streaming.vector_store import IvfPqVectorStore
+
+    spark = get_spark("dod_etl_spark_bench_ivfpq")
+    tag = uuid.uuid4().hex[:8]
+    dim = 16
+    v = F.col("value")
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (((v * 31 + j * 17) % 2001 - 1000).cast("double") / 1000.0).cast(
+            "float"
+        ),
+    )
+    seedf = spark.range(64).select(F.col("id").alias("vec_id"), emb.alias("embedding"))
+    store = IvfPqVectorStore(
+        spark,
+        table=f"bench_ipq_{tag}",
+        vecs_table=f"bench_ipqd_{tag}",
+        cent_table=f"bench_ipqc_{tag}",
+        cb_table=f"bench_ipqb_{tag}",
+        centroids=seed_centroids(seedf, 8),
+        codebooks=seed_pq_codebooks(seedf, 8, 16),
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_ivfpq_")
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(RPS))
+        .option("numPartitions", str(spark.sparkContext.defaultParallelism))
+        .load()
+    )
+    vecs = rate.select(v.alias("vec_id"), emb.alias("embedding"))
+
+    batches: list[tuple[float, int]] = []
+
+    def body(df, batch_id: int) -> None:
+        n = store.index_batch(df)
+        batches.append((time.perf_counter(), n))
+
+    q = (
+        vecs.writeStream.foreachBatch(body)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    t0 = time.perf_counter()
+    deadline = t0 + WARMUP_S + WINDOW_S
+    while q.isActive and (time.perf_counter() < deadline or len(batches) < 3):
+        time.sleep(0.5)
+        if time.perf_counter() > t0 + 4 * (WARMUP_S + WINDOW_S):
+            break
+    snapshot = list(batches)
+    q.stop()
+    rows_total = sum(n for _, n in snapshot)
+    if len(snapshot) >= 2:
+        rows_window = sum(n for _, n in snapshot[1:])
+        window = max(snapshot[-1][0] - snapshot[0][0], 1e-9)
+    else:
+        rows_window = rows_total
+        window = max((snapshot[-1][0] - t0) if snapshot else 1e-9, 1e-9)
+    vps = rows_window / window
+    n_rows = spark.table(store.table).count()
+    import glob as _glob
+    from urllib.parse import urlparse as _up
+
+    wh = _up(spark.conf.get("spark.sql.warehouse.dir")).path
+    idx_bytes = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(wh, store.table, "**"), recursive=True)
+        if os.path.isfile(f)
+    )
+    for t in (store.table, store.vecs_table, store.cent_table, store.cb_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    print(
+        json.dumps(
+            {
+                "metric": "ivfpq_index_vecs_per_sec",
+                "value": round(vps, 1),
+                "unit": "vecs/sec",
+                "queries": {"ivfpq_store_index": round(vps, 1)},
+                "sf": 0.0,
+                "rows_total": rows_total,
+                "cell_rows_total": n_rows,
+                "index_bytes": idx_bytes,
+                "bytes_per_row": round(idx_bytes / max(n_rows, 1), 1),
+                "micro_batches": len(snapshot),
+                "rows_per_sec_offered": RPS,
+                "window_s": round(window, 1),
+                "dim": dim,
+                "protocol": {
+                    "source": "rate (oversupplied), deterministic 16-dim vectors",
+                    "sink": "IvfPqVectorStore.index_batch (cell assign + PQ encode, codes-only rows)",
                     "measure": "vecs after first batch / batch-boundary window",
                 },
             }
@@ -1231,5 +1342,7 @@ if __name__ == "__main__":
         main_clusters()
     elif SCENARIO == "lm":
         main_lm()
+    elif SCENARIO == "ivfpq":
+        main_ivfpq()
     else:
         main()
