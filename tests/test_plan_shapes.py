@@ -199,7 +199,12 @@ def _count(plan: str, op: str) -> int:
 def test_no_scale_killers(spark, name, max_exchanges):
     plan = _plan(spark, name)
     assert _count(plan, "CartesianProduct") == 0, f"{name}: cartesian product"
-    assert _count(plan, "SortMergeJoin") == 0, f"{name}: unexpected SMJ"
+    # knn_assortativity deliberately carries NO broadcast hint on its
+    # node-sized degree frame (advisor r8): the initial plan may show
+    # SMJ (AQE broadcasts at runtime when the side is small; at 10^9
+    # nodes SMJ on s/d IS the intended shape, not a scale killer).
+    if name != "knn_assortativity":
+        assert _count(plan, "SortMergeJoin") == 0, f"{name}: unexpected SMJ"
     n_ex = _count(plan, "Exchange")
     assert n_ex <= max_exchanges, f"{name}: {n_ex} exchanges > {max_exchanges}\n{plan}"
 
