@@ -444,14 +444,20 @@ def main_ivfpq() -> None:
     spark = get_spark("dod_etl_spark_bench_ivfpq")
     tag = uuid.uuid4().hex[:8]
     dim = 16
+
+    def emb_of(v):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                ((v * 31 + j * 17) % 2001 - 1000).cast("double") / 1000.0
+            ).cast("float"),
+        )
+
     v = F.col("value")
-    emb = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (((v * 31 + j * 17) % 2001 - 1000).cast("double") / 1000.0).cast(
-            "float"
-        ),
+    emb = emb_of(v)
+    seedf = spark.range(64).select(
+        F.col("id").alias("vec_id"), emb_of(F.col("id")).alias("embedding")
     )
-    seedf = spark.range(64).select(F.col("id").alias("vec_id"), emb.alias("embedding"))
     store = IvfPqVectorStore(
         spark,
         table=f"bench_ipq_{tag}",
