@@ -195,3 +195,27 @@ def test_as_of_batch_time_travel(spark, store):
         for n in (fresh.table, fresh.docs_table, fresh.commits_table):
             spark.sql(f"DROP TABLE IF EXISTS {n}")
             shutil.rmtree(f"{wh}/{n}", ignore_errors=True)
+
+
+def test_streaming_drive_scores_equal_batch_plan(spark, store, tmp_path):
+    """End-to-end through a real file stream: Structured Streaming's
+    own batch_ids drive the commit protocol, and the served scores
+    still equal the one-shot batch plan."""
+    src = tmp_path / "lm_src"
+    _train(spark).repartition(3).write.parquet(str(src))
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(
+            lambda df, bid: store.update_batch(df, batch_id=bid)
+        )
+        .option("checkpointLocation", str(tmp_path / "lm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert store.n_train_docs() == _train(spark).count()
+    got = _scores(store.score(_docs(spark)))
+    want = _scores(QUERIES["kn_lm_score_docs"](spark, SF_SMOKE))
+    assert got == want
