@@ -746,6 +746,71 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PQ code-usage balance ------------------------------------------------------
+
+# The quantization-health monitor (IvfVectorStore.cell_balance's PQ
+# twin): a subspace whose corpus collapses onto few codes carries fewer
+# effective bits — the codebook was trained on drifted data or the
+# subspace dims are degenerate. One zero-shuffle encode + one
+# map-combined aggregate; per-subspace used-code count and the max
+# single-code share (1/K = perfectly balanced, 1.0 = that subspace
+# contributes nothing).
+_PQ_BALANCE_ORACLE = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ms AS (SELECT unnest(range(8)) AS m),
+cb AS (
+  SELECT m, vec_id AS kk, list_slice(v, m*8 + 1, m*8 + 8) AS c
+  FROM emb CROSS JOIN ms WHERE vec_id < 16
+),
+subs AS (
+  SELECT vec_id, m, list_slice(v, m*8 + 1, m*8 + 8) AS s
+  FROM emb CROSS JOIN ms
+),
+best AS (
+  SELECT vec_id, m, kk,
+         row_number() OVER (
+           PARTITION BY vec_id, m
+           ORDER BY list_dot_product(s, s) - 2 * list_dot_product(s, c)
+                    + list_dot_product(c, c), kk) AS rn
+  FROM subs JOIN cb USING (m)
+),
+counts AS (
+  SELECT m, kk, count(*) AS n FROM best WHERE rn = 1 GROUP BY m, kk
+)
+SELECT CAST(m AS BIGINT) AS subspace,
+       CAST(count(*) AS BIGINT) AS codes_used,
+       CAST(sum(n) AS BIGINT) AS n_vecs,
+       CAST(max(n) AS BIGINT) AS max_code_n
+FROM counts GROUP BY m
+"""
+
+
+@query("pq_code_balance", _PQ_BALANCE_ORACLE)
+def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ code-usage balance — the operational monitor a
+    PQ index alerts on (codes_used << K or one dominant code = that
+    subspace has stopped encoding information; retrain/rebuild, the
+    cell_balance posture). Zero-shuffle encode + one map-combined
+    aggregate; hash-exact oracle via the relational codebook rebuild."""
+    from dod_etl_spark.operators.pq import pq_encode, seed_pq_codebooks
+
+    emb = t(spark, sf_dir, "embeddings")
+    cbs = seed_pq_codebooks(emb, n_sub=8, n_codes=16)
+    enc = pq_encode(emb, cbs)
+    per_code = (
+        enc.select(
+            F.posexplode(F.col("codes")).alias("subspace", "code")
+        )
+        .groupBy("subspace", "code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_code.groupBy("subspace").agg(
+        F.count(F.lit(1)).cast("long").alias("codes_used"),
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.max("n").cast("long").alias("max_code_n"),
+    ).select(F.col("subspace").cast("long").alias("subspace"), "codes_used", "n_vecs", "max_code_n")
+
+
 # --- IVF-PQ composed ANN -------------------------------------------------------
 
 # The FAISS IndexIVFPQ posture: IVF cells prune candidates, PQ codes
