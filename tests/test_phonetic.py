@@ -86,3 +86,60 @@ def test_blocking_is_bounded_and_catches_sound_alikes(spark):
         .count()
     )
     assert len(rows) < n * (n - 1) / 8
+
+
+def _py_soundex(w: str) -> str:
+    """Pure-Python American Soundex (the algorithm the SQL generator
+    encodes), used as the independent reference for the property
+    sweep."""
+    u = "".join(ch for ch in w.upper() if "A" <= ch <= "Z")
+    if not u:
+        return ""
+    code_of = {}
+    for grp, d in [("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+                   ("L", "4"), ("MN", "5"), ("R", "6"), ("AEIOUY", "0")]:
+        for ch in grp:
+            code_of[ch] = d
+    # digit stream with H/W elided (letters separated only by H/W
+    # collapse); the first letter's code participates in collapsing
+    stream = [code_of[ch] for ch in u if ch not in "HW"]
+    collapsed = []
+    for d in stream:
+        if not collapsed or collapsed[-1] != d:
+            collapsed.append(d)
+        # adjacent duplicates collapse
+    if u[0] not in "HW" and collapsed:
+        collapsed = collapsed[1:]  # drop the first letter's own code
+    digits = [d for d in collapsed if d != "0"]
+    return u[0] + "".join(digits[:3]).ljust(3, "0")
+
+
+def test_property_sweep_vs_python_reference(spark):
+    """Random alphabetic-ish strings (with digits/punct mixed in to
+    exercise the strip) through BOTH engines vs the independent Python
+    implementation — all three must agree everywhere."""
+    import random
+
+    rng = random.Random(4242)
+    alphabet = "abcdefghijklmnopqrstuvwxyzAEIOUHW-'1 "
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12))).strip()
+        or "x"
+        for _ in range(300)
+    ]
+    words = [w.replace(" ", "") or "x" for w in words]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got_spark = {
+        r["w"]: r["sx"]
+        for r in df.selectExpr("w", soundex_sql("w", "spark") + " AS sx").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE words (w VARCHAR)")
+    con.executemany("INSERT INTO words VALUES (?)", [(w,) for w in words])
+    got_duck = dict(
+        con.execute(f"SELECT w, {soundex_sql('w', 'duckdb')} FROM words").fetchall()
+    )
+    for w in set(words):
+        want = _py_soundex(w)
+        assert got_spark[w] == want, (w, got_spark[w], want)
+        assert got_duck[w] == want, (w, got_duck[w], want)
