@@ -88,27 +88,46 @@ def seed_pq_codebooks(
     ]
 
 
+def _cb_struct_literal(cb: list[list[float]]) -> str:
+    """One codebook as a SQL literal `array<struct<c:array<double>,
+    cc:double>>` (centroid + its precomputed self-dot). Every child is
+    a literal, so Catalyst's ConstantFolding collapses the whole thing
+    into a single array Literal — DATA in the plan, not code. This is
+    what keeps the generated Java under the 64 KB method limit at
+    K=64: the r9 form unrolled K distance expressions per subspace and
+    pushed every PQ stage into interpreted codegen-fallback."""
+    entries = []
+    for c in cb:
+        arr = "array(" + ", ".join(_dbl(x) for x in c) + ")"
+        entries.append(
+            f"named_struct('c', {arr}, 'cc', {_dbl(_seq_dot(c, c))})"
+        )
+    return f"array({', '.join(entries)})"
+
+
 def _encode_exprs(codebooks: Codebooks, vec_col: str) -> list[str]:
     """Per-subspace argmin-code SQL expressions (referencing the
     precomputed per-subspace self-dot column `_sd{m}`).
 
     d(s, c_k) = s·s - 2·s·c_k + c_k·c_k with every dot a left-to-right
     fold (matches DuckDB's list_dot_product on the slice); ties break
-    on the smallest k via the struct sort."""
+    on the smallest k via the struct sort. The codebook rides as one
+    constant-folded literal and the K distances come from ONE
+    `transform` lambda over it — K-independent expression-tree size,
+    bit-identical arithmetic to the unrolled form (the lambda body is
+    the same left-to-right multiply-add over the same doubles)."""
     exprs = []
     ds = len(codebooks[0][0])
     for m, cb in enumerate(codebooks):
-        entries = []
-        for k, c in enumerate(cb):
-            sdc = " + ".join(
-                f"CAST({vec_col}[{m * ds + j}] AS DOUBLE) * {_dbl(c[j])}"
-                for j in range(ds)
-            )
-            cc = _dbl(_seq_dot(c, c))
-            entries.append(
-                f"named_struct('d', _sd{m} - 2 * ({sdc}) + {cc}, 'k', {k})"
-            )
-        exprs.append(f"element_at(sort_array(array({', '.join(entries)})), 1).k")
+        sdc = " + ".join(
+            f"CAST({vec_col}[{m * ds + j}] AS DOUBLE) * e.c[{j}]"
+            for j in range(ds)
+        )
+        exprs.append(
+            f"element_at(array_sort(transform({_cb_struct_literal(cb)}, "
+            f"(e, k) -> named_struct('d', _sd{m} - 2 * ({sdc}) + e.cc, "
+            f"'k', k))), 1).k"
+        )
     return exprs
 
 
@@ -216,6 +235,59 @@ def _recon_expr(codebooks: Codebooks) -> str:
     return f"concat({', '.join(parts)})"
 
 
+def _exact_rerank(
+    scored: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cand: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """Two-stage ANN serve (the standard FAISS refine step): keep the
+    top n_cand candidates per query by ASYMMETRIC (quantized) distance,
+    then re-score just those candidates with EXACT squared L2 on their
+    raw vectors and return the exact top-k.
+
+    Recall stops being bounded by quantization error and becomes
+    candidate recall@n_cand — measured 0.22 -> 0.82 at n_cand=8k on the
+    synthetic corpus (docs/SCALE.md round-10 table). Scale shape: the
+    candidate frame is |Q|*n_cand rows of ids (query-bounded, tiny) and
+    rides BROADCAST into the corpus scan, so the raw vectors of only
+    the candidates ever leave the scan — the corpus-side bytes stay
+    codes-first, which is the whole PQ dividend. Candidate selection
+    uses the ROUNDED ADC distance with neighbor-id ties, so the stage
+    boundary is deterministic and the oracle replays it exactly."""
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("_ark", F.row_number().over(w_adc))
+        .filter(F.col("_ark") <= n_cand)
+        .select("query_id", "neighbor_id", "_qv", "_qq")
+    )
+    raw = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+    )
+    d = (
+        F.col("_qq")
+        - F.lit(2.0) * dot(F.col("_qv"), F.col("_v"), dim)
+        + dot(F.col("_v"), F.col("_v"), dim)
+    )
+    exact = raw.join(F.broadcast(cand), "neighbor_id").withColumn(
+        "dist", stable_round(d, round_digits)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "dist", "rk")
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -227,6 +299,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 3,
+    rerank: int = 0,
 ) -> DataFrame:
     """ADC top-k by squared L2: for each query (full precision), the k
     corpus vectors with the smallest asymmetric distance to their PQ
@@ -243,7 +316,12 @@ def pq_adc_topk(
     the scan stays, the shuffle/candidate bytes drop 32x. Recall is
     bounded by quantization error only (no candidate pruning); compose
     with IVF cells for the FAISS IVF-PQ posture when N/k ratios demand
-    candidate cuts too."""
+    candidate cuts too.
+
+    rerank > 0 engages the two-stage serve (_exact_rerank): ADC picks
+    k*rerank candidates, exact L2 on just their raw vectors ranks the
+    final k — the production posture when recall matters more than the
+    second (tiny, broadcast-pinned) corpus probe."""
     if codebooks is None:
         codebooks = train_pq_codebooks(
             corpus, n_sub, n_codes, iters, id_col, vec_col
@@ -266,6 +344,10 @@ def pq_adc_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("dist", stable_round(d, round_digits))
     )
+    if rerank > 0:
+        return _exact_rerank(
+            scored, corpus, k, k * rerank, dim, id_col, vec_col, round_digits
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()
     )
@@ -288,6 +370,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 3,
+    rerank: int = 0,
 ) -> DataFrame:
     """IVF-PQ: the FAISS IndexIVFPQ composition — IVF cells cut the
     CANDIDATE COUNT (each query scores ~n_probe/n_cells of the corpus),
@@ -349,6 +432,10 @@ def ivfpq_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("dist", stable_round(d, round_digits))
     )
+    if rerank > 0:
+        return _exact_rerank(
+            scored, corpus, k, k * rerank, dim, id_col, vec_col, round_digits
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()
     )

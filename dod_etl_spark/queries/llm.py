@@ -681,68 +681,131 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Product-quantization ADC top-k -------------------------------------------
 
-# The oracle rebuilds the PQ index relationally: codebook[m][k] = the
+# The oracles rebuild the PQ index relationally: codebook[m][k] = the
 # subspace-m slice of the vector with id k (the operator's deterministic
-# seed), code assignment = argmin over the 16 entries of
+# seed), code assignment = argmin over the K entries of
 # s·s - 2·s·c + c·c (ties -> smallest k), and ADC distance uses the
 # reconstruction identity sum_m ||q_m - c_m||^2 = q·q - 2·q·r + r·r —
 # all full-width sequential dots (list_dot_product's fold order), so the
-# whole quantize-then-search path is hash-exact across engines.
-_PQ_ADC_ORACLE = f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-ms AS (SELECT unnest(range(8)) AS m),
+# whole quantize-then-search path is hash-exact across engines. One
+# parametric builder serves every (n_sub, n_codes, rerank) entry.
+
+_ADC_DIST = """list_dot_product(qv, qv) - 2 * list_dot_product(qv, r)
+                + list_dot_product(r, r)"""
+
+
+def _pq_cb_ctes(n_sub: int, n_codes: int, src: str = "emb") -> str:
+    """CTE text shared by every PQ oracle: seed codebooks, per-vector
+    subspace slices, argmin code assignment, reconstruction — the
+    relational replay of seed_pq_codebooks + pq_encode + _recon_expr."""
+    ds = 64 // n_sub
+    return f"""ms AS (SELECT unnest(range({n_sub})) AS m),
 cb AS (
-  SELECT m, vec_id AS k, list_slice(v, m*8 + 1, m*8 + 8) AS c
-  FROM emb CROSS JOIN ms WHERE vec_id < 16
+  SELECT m, vec_id AS kk, list_slice(v, m*{ds} + 1, m*{ds} + {ds}) AS c
+  FROM {src} CROSS JOIN ms WHERE vec_id < {n_codes}
 ),
 subs AS (
-  SELECT vec_id, m, list_slice(v, m*8 + 1, m*8 + 8) AS s
-  FROM emb CROSS JOIN ms
+  SELECT vec_id, m, list_slice(v, m*{ds} + 1, m*{ds} + {ds}) AS s
+  FROM {src} CROSS JOIN ms
 ),
 best AS (
-  SELECT vec_id, m, k,
+  SELECT vec_id, m, kk,
          row_number() OVER (
            PARTITION BY vec_id, m
            ORDER BY list_dot_product(s, s) - 2 * list_dot_product(s, c)
-                    + list_dot_product(c, c), k) AS rn
+                    + list_dot_product(c, c), kk) AS rn
   FROM subs JOIN cb USING (m)
 ),
 recon AS (
   SELECT b.vec_id, flatten(list(c ORDER BY b.m)) AS r
-  FROM best b JOIN cb ON b.m = cb.m AND b.k = cb.k
+  FROM best b JOIN cb ON b.m = cb.m AND b.kk = cb.kk
   WHERE b.rn = 1 GROUP BY b.vec_id
+)"""
+
+
+def _rerank_tail(k: int, rerank: int, src: str = "emb") -> str:
+    """Two-stage tail: the ADC ranking keeps k*rerank candidates, their
+    raw vectors re-score with EXACT squared L2, exact rank wins — the
+    relational replay of operators/pq._exact_rerank (rounded-ADC
+    candidate boundary, neighbor-id ties at both stages)."""
+    exact = sround_sql(
+        """list_dot_product(qv, qv) - 2 * list_dot_product(qv, e2.v)
+                + list_dot_product(e2.v, e2.v)""",
+        3,
+    )
+    return f""",
+exact AS (
+  SELECT query_id, neighbor_id, {exact} AS dist
+  FROM ranked JOIN {src} e2 ON ranked.neighbor_id = e2.vec_id
+  WHERE rk <= {k * rerank}
 ),
+reranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, neighbor_id) AS rk
+  FROM exact
+)
+SELECT query_id, neighbor_id, dist, rk FROM reranked WHERE rk <= {k}"""
+
+
+def _pq_adc_oracle(n_sub: int, n_codes: int, k: int = 5, rerank: int = 0) -> str:
+    base = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_pq_cb_ctes(n_sub, n_codes)},
 q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
 scored AS (
-  SELECT query_id, rr.vec_id AS neighbor_id,
-         {sround_sql('''list_dot_product(qv, qv) - 2 * list_dot_product(qv, r)
-                + list_dot_product(r, r)''', 3)} AS dist
+  SELECT query_id, qv, rr.vec_id AS neighbor_id,
+         {sround_sql(_ADC_DIST, 3)} AS dist
   FROM q CROSS JOIN recon rr WHERE query_id <> rr.vec_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY dist, neighbor_id) AS rk
   FROM scored
-)
-SELECT query_id, neighbor_id, dist, rk FROM ranked WHERE rk <= 5
-"""
+)"""
+    if not rerank:
+        return base + f"\nSELECT query_id, neighbor_id, dist, rk FROM ranked WHERE rk <= {k}"
+    return base + _rerank_tail(k, rerank)
 
 
-@query("pq_adc_topk", _PQ_ADC_ORACLE)
+@query("pq_adc_topk", _pq_adc_oracle(n_sub=16, n_codes=64))
 def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-5 (operators/pq.py): the corpus
-    compresses to 8 one-byte codes per vector against deterministic
-    seed codebooks; queries stay full-precision and rank by asymmetric
-    squared-L2 to the reconstructions. The third ANN scale path — LSH
-    and IVF cut CANDIDATES, PQ cuts BYTES PER CANDIDATE (32x here) —
-    and the entire quantize-encode-search path is oracle-replayed
-    hash-exact (vs ivf_kmeans_topk's rows-only trained twin)."""
+    compresses to 16 small codes per vector against deterministic
+    seed codebooks (16 subspaces x 64 codes — recall@5 0.48 at sf0.001
+    vs 0.22 for the r9 8x16 config, tests/test_model_quality.py);
+    queries stay full-precision and rank by asymmetric squared-L2 to
+    the reconstructions. The third ANN scale path — LSH and IVF cut
+    CANDIDATES, PQ cuts BYTES PER CANDIDATE — and the entire
+    quantize-encode-search path is oracle-replayed hash-exact (vs
+    ivf_kmeans_topk's rows-only trained twin)."""
+    from dod_etl_spark.operators.pq import pq_adc_topk, seed_pq_codebooks
+
+    emb = t(spark, sf_dir, "embeddings")
+    cbs = seed_pq_codebooks(emb, n_sub=16, n_codes=64)
+    return pq_adc_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, codebooks=cbs,
+        n_sub=16, n_codes=64,
+    )
+
+
+@query("pq_rerank_topk", _pq_adc_oracle(n_sub=8, n_codes=16, rerank=8))
+def pq_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ serve (operators/pq._exact_rerank): coarse 8x16
+    codes pick 40 ADC candidates per query, exact squared-L2 on just
+    those raw vectors ranks the final 5 — recall@5 0.82 vs 0.22 for
+    single-stage ADC on the same cheap codebooks (the FAISS refine
+    posture: quantization error only picks the shortlist, never the
+    winners). Candidates ride BROADCAST into the corpus re-probe, so
+    the second stage moves |Q|*40 ids, not vectors; both stage
+    boundaries are rounded-deterministic and the oracle replays the
+    full two-stage path hash-exact."""
     from dod_etl_spark.operators.pq import pq_adc_topk, seed_pq_codebooks
 
     emb = t(spark, sf_dir, "embeddings")
     cbs = seed_pq_codebooks(emb, n_sub=8, n_codes=16)
     return pq_adc_topk(
-        emb.filter(F.col("vec_id") < 10), emb, k=5, codebooks=cbs
+        emb.filter(F.col("vec_id") < 10), emb, k=5, codebooks=cbs,
+        rerank=8,
     )
 
 
@@ -757,23 +820,7 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contributes nothing).
 _PQ_BALANCE_ORACLE = f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-ms AS (SELECT unnest(range(8)) AS m),
-cb AS (
-  SELECT m, vec_id AS kk, list_slice(v, m*8 + 1, m*8 + 8) AS c
-  FROM emb CROSS JOIN ms WHERE vec_id < 16
-),
-subs AS (
-  SELECT vec_id, m, list_slice(v, m*8 + 1, m*8 + 8) AS s
-  FROM emb CROSS JOIN ms
-),
-best AS (
-  SELECT vec_id, m, kk,
-         row_number() OVER (
-           PARTITION BY vec_id, m
-           ORDER BY list_dot_product(s, s) - 2 * list_dot_product(s, c)
-                    + list_dot_product(c, c), kk) AS rn
-  FROM subs JOIN cb USING (m)
-),
+{_pq_cb_ctes(16, 64)},
 counts AS (
   SELECT m, kk, count(*) AS n FROM best WHERE rn = 1 GROUP BY m, kk
 )
@@ -795,7 +842,7 @@ def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dod_etl_spark.operators.pq import pq_encode, seed_pq_codebooks
 
     emb = t(spark, sf_dir, "embeddings")
-    cbs = seed_pq_codebooks(emb, n_sub=8, n_codes=16)
+    cbs = seed_pq_codebooks(emb, n_sub=16, n_codes=64)
     enc = pq_encode(emb, cbs)
     per_code = (
         enc.select(
@@ -816,15 +863,25 @@ def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The FAISS IndexIVFPQ posture: IVF cells prune candidates, PQ codes
 # shrink them. Every stage is deterministic arithmetic the standalone
 # oracles already replay (cosine cell argmax from _IVF_ANN_ORACLE, code
-# argmin + reconstruction from _PQ_ADC_ORACLE), so the COMPOSED path is
+# argmin + reconstruction from _pq_adc_oracle), so the COMPOSED path is
 # hash-exact too.
-_IVFPQ_ORACLE = f"""
+
+
+def _ivfpq_oracle(
+    n_sub: int,
+    n_codes: int,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    rerank: int = 0,
+) -> str:
+    base = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
   FROM embeddings
 ),
-cent AS (SELECT vec_id AS cell, v AS cv, n AS cn FROM e WHERE vec_id < 8),
+cent AS (SELECT vec_id AS cell, v AS cv, n AS cn FROM e WHERE vec_id < {n_cells}),
 corpus_cell AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, cent.cell,
@@ -846,32 +903,11 @@ query_cells AS (
            ) AS crk
     FROM e CROSS JOIN cent
     WHERE e.vec_id < 10
-  ) WHERE crk <= 2
+  ) WHERE crk <= {n_probe}
 ),
-ms AS (SELECT unnest(range(8)) AS m),
-cb AS (
-  SELECT m, vec_id AS kk, list_slice(v, m*8 + 1, m*8 + 8) AS c
-  FROM e CROSS JOIN ms WHERE vec_id < 16
-),
-subs AS (
-  SELECT vec_id, m, list_slice(v, m*8 + 1, m*8 + 8) AS s
-  FROM e CROSS JOIN ms
-),
-best AS (
-  SELECT vec_id, m, kk,
-         row_number() OVER (
-           PARTITION BY vec_id, m
-           ORDER BY list_dot_product(s, s) - 2 * list_dot_product(s, c)
-                    + list_dot_product(c, c), kk) AS rn
-  FROM subs JOIN cb USING (m)
-),
-recon AS (
-  SELECT b.vec_id, flatten(list(c ORDER BY b.m)) AS r
-  FROM best b JOIN cb ON b.m = cb.m AND b.kk = cb.kk
-  WHERE b.rn = 1 GROUP BY b.vec_id
-),
+{_pq_cb_ctes(n_sub, n_codes, src="e")},
 scored AS (
-  SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id,
+  SELECT q.vec_id AS query_id, q.v AS qv, cc.vec_id AS neighbor_id,
          {sround_sql('''list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, rr.r)
                 + list_dot_product(rr.r, rr.r)''', 3)} AS dist
   FROM query_cells q
@@ -882,20 +918,49 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY dist, neighbor_id) AS rk
   FROM scored
-)
-SELECT query_id, neighbor_id, dist, rk FROM ranked WHERE rk <= 5
-"""
+)"""
+    if not rerank:
+        return base + f"\nSELECT query_id, neighbor_id, dist, rk FROM ranked WHERE rk <= {k}"
+    return base + _rerank_tail(k, rerank, src="e")
 
 
-@query("ivfpq_topk", _IVFPQ_ORACLE)
+@query("ivfpq_topk", _ivfpq_oracle(n_sub=16, n_codes=64))
 def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-5 (operators/pq.py ivfpq_topk): the composed FAISS
     posture — 8 IVF cells prune candidates to ~n_probe/n_cells of the
-    corpus, PQ codes cut the surviving candidates to 8 bytes each, and
-    the asymmetric distance ranks the pruned set. Quantizer, codes,
-    pruning, and ranking are ALL replayed relationally, so the whole
-    composed index is hash-checked (candidate-count × candidate-width
-    reduction with zero black boxes)."""
+    corpus, 16x64 PQ codes cut the surviving candidates to 16 small
+    codes each (recall@5 0.48 at sf0.001 vs 0.28 for the r9 8x16
+    config), and the asymmetric distance ranks the pruned set.
+    Quantizer, codes, pruning, and ranking are ALL replayed
+    relationally, so the whole composed index is hash-checked
+    (candidate-count × candidate-width reduction, zero black boxes)."""
+    from dod_etl_spark.operators.pq import ivfpq_topk, seed_pq_codebooks
+
+    emb = t(spark, sf_dir, "embeddings")
+    cbs = seed_pq_codebooks(emb, n_sub=16, n_codes=64)
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        k=5,
+        n_cells=8,
+        n_probe=2,
+        codebooks=cbs,
+        n_sub=16,
+        n_codes=64,
+    )
+
+
+@query("ivfpq_rerank_topk", _ivfpq_oracle(n_sub=8, n_codes=16, rerank=8))
+def ivfpq_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ serve: cells prune candidates, cheap 8x16 codes
+    rank an ADC shortlist of 40 per query, exact squared-L2 on just the
+    shortlist's raw vectors picks the final 5 — recall@5 0.80 at
+    sf0.001 (vs 0.28 single-stage, ceiling 0.86 from 2-of-8 cell
+    pruning; tests/test_model_quality.py). This is THE production
+    vector-serve plan at 100 TB: candidate count cut by IVF, candidate
+    width cut by PQ, and the only full-precision touches are |Q|*40
+    broadcast-joined rows. Both stage boundaries rounded-deterministic;
+    the oracle replays the complete three-layer index hash-exact."""
     from dod_etl_spark.operators.pq import ivfpq_topk, seed_pq_codebooks
 
     emb = t(spark, sf_dir, "embeddings")
@@ -907,6 +972,7 @@ def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=8,
         n_probe=2,
         codebooks=cbs,
+        rerank=8,
     )
 
 
