@@ -371,6 +371,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     round_digits: int = 3,
     rerank: int = 0,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: the FAISS IndexIVFPQ composition — IVF cells cut the
     CANDIDATE COUNT (each query scores ~n_probe/n_cells of the corpus),
@@ -401,7 +402,11 @@ def ivfpq_topk(
     )
 
     dim = _probe_dim(corpus, vec_col)
-    cents = seed_centroids(corpus, n_cells, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(corpus, n_cells, id_col, vec_col)
+    )
     if codebooks is None:
         codebooks = seed_pq_codebooks(corpus, n_sub, n_codes, id_col, vec_col)
     with_cells = _cell_assigner(cents, dim, id_col, vec_col)
