@@ -190,7 +190,13 @@ def compile_curation(
             # call — the checksum can). Zero-exchange codegen filter.
             from dod_etl_spark.queries.llm import _LUHN_VALID_EXPR
 
-            df = df.where(F.expr(_LUHN_VALID_EXPR) == 0)
+            # NULL text => NULL predicate, which `where` treats as
+            # false — a null-text doc carries no card number and must
+            # PASS the gate, not be silently dropped and attributed to
+            # it. coalesce pins NULL to "0 valid cards".
+            df = df.where(
+                F.coalesce(F.expr(_LUHN_VALID_EXPR), F.lit(0)) == 0
+            )
         elif op == "segment_dedup":
             from dod_etl_spark.operators.segment_dedup import segment_dedup
 

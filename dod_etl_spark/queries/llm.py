@@ -1386,9 +1386,22 @@ _CARD_PAT = r"\d(?:[ -]?\d){12,18}"
 # DuckDB's don't. Double them for expressions spliced into Spark SQL.
 _CARD_PAT_SPARK = _CARD_PAT.replace("\\", "\\\\")
 
+# Digit-boundary guard: without it a 20+-digit contiguous run (order
+# id, content hash) matches its first 19 digits as a card candidate,
+# and a Luhn-lucky prefix (~10%) would FALSE-POSITIVE a compliance
+# drop. RE2 (the DuckDB dialect) has no lookaround, so the guard is a
+# PRE-SPLIT: blank runs of 20+ contiguous digits before extraction —
+# same transform in both engines (DuckDB needs the 'g' flag; Spark
+# replaces all matches by default). Documented residual: a 20+-digit
+# run WITH separators ("1111-2222-...-9999" x6) still yields a
+# 19-digit prefix candidate — expressing "not flanked by [ -]digit"
+# needs lookaround neither engine pair shares.
+_CARD_SRC = r"regexp_replace(text, '\d{20,}', '#', 'g')"
+_CARD_SRC_SPARK = r"regexp_replace(text, '\\d{20,}', '#')"
+
 _LUHN_ORACLE = f"""
 WITH occ AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '{_CARD_PAT}')) AS c
+  SELECT doc_id, unnest(regexp_extract_all({_CARD_SRC}, '{_CARD_PAT}')) AS c
   FROM documents
 ),
 norm AS (
@@ -1424,7 +1437,7 @@ FROM documents LEFT JOIN per_doc p USING (doc_id)
 # is exactly what the hash check proves equivalent).
 _LUHN_VALID_EXPR = f"""
 size(filter(
-  transform(regexp_extract_all(text, '{_CARD_PAT_SPARK}', 0),
+  transform(regexp_extract_all({_CARD_SRC_SPARK}, '{_CARD_PAT_SPARK}', 0),
             c -> regexp_replace(c, '[^0-9]', '')),
   d -> aggregate(
          transform(sequence(1, length(d)),
@@ -1452,8 +1465,8 @@ def pii_card_numbers_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return docs.selectExpr(
         "doc_id",
-        f"CAST(size(regexp_extract_all(text, '{_CARD_PAT_SPARK}', 0)) AS BIGINT)"
-        " AS n_card_candidates",
+        f"CAST(size(regexp_extract_all({_CARD_SRC_SPARK}, '{_CARD_PAT_SPARK}', 0))"
+        " AS BIGINT) AS n_card_candidates",
         f"CAST(({_LUHN_VALID_EXPR}) AS BIGINT) AS n_luhn_valid",
     )
 

@@ -242,8 +242,17 @@ class NgramLmStore:
         )
 
     def n_train_docs(self, as_of_batch: int | None = None) -> int:
+        """Distinct committed doc_ids — distinct because a TORN replay
+        re-appends the same (batch_id, doc_id) rows before committing;
+        the count collapse that makes torn counts inert (max per
+        key+batch) has this distinct as its doc-side twin."""
         self._ensure_tables()
-        return self._committed_docs(as_of_batch).count()
+        return (
+            self._committed_docs(as_of_batch)
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
 
     def stats(self) -> DataFrame:
         """1-row model-size summary (distinct bigrams, contexts,
@@ -275,7 +284,17 @@ class NgramLmStore:
         Returns rows removed. Serving is unchanged: the collapse is the
         exact sum the serve path computes. Doc commit records are kept
         (they are the replay guard, FingerprintStore's rule — history
-        must outlive its attribution)."""
+        must outlive its attribution), deduped to one row per doc_id
+        (torn replays may have appended duplicates).
+
+        Crash-safety order (QuantileStore.merge_rows' rule): APPEND the
+        sentinel -1 commit record FIRST — an early -1 with zero rows is
+        harmless (the semi-join finds nothing under it) — then
+        overwrite counts, then docs. The commit log itself is never
+        overwritten, so at every crash point the union of committed
+        rows still serves the exact model: before the counts overwrite
+        the per-batch rows are intact and committed; after it the -1
+        rows are already committed."""
         self._ensure_tables()
         merged = (
             self.model()
@@ -284,20 +303,27 @@ class NgramLmStore:
             )
             .localCheckpoint(eager=True)
         )
+        docs = (
+            self._committed_docs()
+            .select("doc_id")
+            .distinct()
+            .select(F.lit(-1).cast("long").alias("batch_id"), "doc_id")
+            .localCheckpoint(eager=True)
+        )
         before = self.spark.table(self.table).count()
         from dod_etl_spark.streaming.maintenance import bucket_align
 
+        if (
+            self._committed().filter(F.col("batch_id") == -1).count() == 0
+        ):
+            self.spark.createDataFrame(
+                [(-1,)], "batch_id long"
+            ).write.insertInto(self.commits_table, overwrite=False)
         bucket_align(merged, "w1", self.n_buckets).write.insertInto(
             self.table, overwrite=True
         )
-        docs = self._committed_docs().select(
-            F.lit(-1).cast("long").alias("batch_id"), "doc_id"
-        ).localCheckpoint(eager=True)
         bucket_align(docs, "doc_id", self.n_buckets).write.insertInto(
             self.docs_table, overwrite=True
-        )
-        self.spark.createDataFrame([(-1,)], "batch_id long").write.insertInto(
-            self.commits_table, overwrite=True
         )
         for t in (self.table, self.docs_table, self.commits_table):
             self.spark.catalog.refreshTable(t)

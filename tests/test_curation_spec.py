@@ -124,12 +124,14 @@ def test_pii_card_gate(spark):
             (2, "bad 4111111111111112 here"),  # digit run, bad checksum -> kept
             (3, "no numbers at all"),
             (4, "amex 378282246310005"),        # valid -> dropped
+            (5, None),                           # null text -> PASSES (no card)
+            (6, "order 12345678901234567890123"),  # 23-digit run: not a card
         ],
         "doc_id long, text string",
     )
     spec = CurationSpec.from_json('{"stages": [{"op": "pii_card_gate"}]}')
     kept = sorted(r["doc_id"] for r in compile_curation(spark, docs, spec).collect())
-    assert kept == [2, 3]
+    assert kept == [2, 3, 5, 6]
     audit = {
         r["doc_id"]: r["reason"]
         for r in compile_curation_audit(spark, docs, spec).collect()
@@ -139,4 +141,6 @@ def test_pii_card_gate(spark):
         2: "kept",
         3: "kept",
         4: "pii_card_gate",
+        5: "kept",
+        6: "kept",
     }

@@ -123,11 +123,27 @@ def test_torn_batch_inert_then_replay_converges(spark, store):
     bucket_align(torn, "w1", store.n_buckets).write.insertInto(
         store.table, overwrite=False
     )
+    # ... and the torn DOC rows that precede the (never-written) commit
+    torn_docs = b.select(
+        F.lit(1).cast("long").alias("batch_id"), "doc_id"
+    )
+    bucket_align(torn_docs, "doc_id", store.n_buckets).write.insertInto(
+        store.docs_table, overwrite=False
+    )
     spark.catalog.refreshTable(store.table)
+    spark.catalog.refreshTable(store.docs_table)
     assert sorted(tuple(r) for r in store.model().collect()) == baseline
+    n_docs_before = store.n_train_docs()
 
     # replay through the normal path; duplicates must be inert
     store.update_batch(b, batch_id=1)
+    # the replay re-appended the same (batch_id, doc_id) rows; the
+    # distinct in n_train_docs keeps the count exact, and a merge must
+    # not bake the duplicates in either
+    assert store.n_train_docs() == train.count()
+    store.merge_batches()
+    assert store.n_train_docs() == train.count()
+    assert n_docs_before == a.count()
     replayed = _scores(store.score(_docs(spark)))
     want = _scores(QUERIES["kn_lm_score_docs"](spark, SF_SMOKE))
     assert replayed == want

@@ -10,7 +10,11 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from dod_etl_spark.queries.llm import _CARD_PAT_SPARK, _LUHN_VALID_EXPR
+from dod_etl_spark.queries.llm import (
+    _CARD_PAT_SPARK,
+    _CARD_SRC_SPARK,
+    _LUHN_VALID_EXPR,
+)
 
 
 def _py_luhn(d: str) -> bool:
@@ -29,7 +33,8 @@ def _scan(spark, rows):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = df.selectExpr(
         "doc_id",
-        f"size(regexp_extract_all(text, '{_CARD_PAT_SPARK}', 0)) AS n_cand",
+        f"size(regexp_extract_all({_CARD_SRC_SPARK}, '{_CARD_PAT_SPARK}', 0))"
+        " AS n_cand",
         f"({_LUHN_VALID_EXPR}) AS n_valid",
     )
     return {r["doc_id"]: (r["n_cand"], r["n_valid"]) for r in out.collect()}
@@ -57,6 +62,29 @@ def test_card_fixtures(spark):
     assert got[6] == (0, 0)
     assert got[7] == (0, 0)
     assert got[8] == (2, 2)
+
+
+def test_long_digit_runs_are_not_card_candidates(spark):
+    """Digit-boundary guard: a 20+-digit contiguous run (order id,
+    hash) must yield ZERO candidates — before the pre-split its first
+    19 digits were a candidate and a Luhn-lucky prefix false-positived
+    a compliance drop. A real card adjacent to (but separated from)
+    such a run still detects."""
+    luhny = "4111111111111111111"  # 19 digits, crafted Luhn-valid prefix shape
+    assert len(luhny) == 19
+    got = _scan(
+        spark,
+        [
+            (1, "order 123456789012345678901234 shipped"),  # 24-digit run
+            (2, f"hash {luhny}9 tail"),                     # 20 digits
+            (3, "id 12345678901234567890 card 4111111111111111"),
+            (4, "exactly 1234567890123456789 ok"),          # 19: still a candidate
+        ],
+    )
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 0)
+    assert got[3] == (1, 1)
+    assert got[4][0] == 1
 
 
 def test_luhn_matches_pure_python_on_random_digit_runs(spark):
