@@ -10,12 +10,20 @@ timestamps are emitted as epoch-millis BIGINT, and double columns are
 round()ed to a fixed number of digits in BOTH engines.
 
 Registration ORDER matters: the correctness driver verifies the first
-50 insertion-order entries.  `_PRIORITY` below pins those 50 — the
-full LLM-data-pipeline family, the MES/§2 operator queries, and three
-flagship TPC-H queries — all oracle-paired, so the driver-checked set
-is 50/50 hash-comparable.  The TPC-H extension tail and the two
+50 insertion-order entries.  `_PRIORITY` below pins those 50 — a
+representative LLM-data-pipeline slice, the MES/§2 operator queries,
+and three flagship TPC-H queries — all oracle-paired, so the
+driver-checked set is 50/50 hash-comparable.  Everything else
+(~160 queries: the TPC-H extension, the full dedup/ANN/curation/
+retrieval/analysis families) follows after position 50 and is covered
+by the SAME hash protocol via tests/test_oracle_parity.py per commit
+and tools/correctness_full.py per round (CORRECTNESS_FULL_r{N}.json —
+the full matrix in the driver's own record format).  The five
 rows-only-by-design entries (`sketch_events_profile`,
-`ivf_kmeans_topk`) follow after position 50.
+`ivf_kmeans_topk`, `minhash_lsh_prod`, `exact_substring_scrub_prod`,
+`pca_project_embeddings`) are production twins / iterative paths whose
+hashes DuckDB can't replay (xxhash64, kmeans, eigh); each has a
+documented quality or equivalence pin instead (docs/QUERIES.md).
 """
 
 from __future__ import annotations
