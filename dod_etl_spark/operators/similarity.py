@@ -308,6 +308,71 @@ def embedding_near_dup_pairs(
     )
 
 
+def semdedup(
+    emb: DataFrame,
+    threshold: float,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 3,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    semantic dedup — k-means-style cells bound the pair fan-out, and
+    within each cell every vector whose cosine to a LOWER-id cellmate
+    meets the threshold is dropped (the paper's keep-one-per-
+    epsilon-ball, with the deterministic keep-min-id rule this repo's
+    dedup family uses throughout). Returns the kept rows as
+    (id_col, cell_id).
+
+    Contrast with embedding_near_dup_pairs (emits ALL over-threshold
+    pairs under sign-bucket blocking): here the blocking is the
+    semantic clustering itself and the output is the surviving corpus
+    — the form a training-data pipeline consumes directly. At 100 TB:
+    cell assignment is a zero-shuffle literal-centroid projection
+    (ivf_topk's quantizer), the self-join shuffles on cell_id with
+    |cell|-bounded fan-out (skewed cells split under AQE; a drifted
+    hot cell is the vector stores' cell_balance() rebuild story), and
+    the survivor anti-join is cell-local. Deterministic coarse
+    quantizer (lowest-id seeds) keeps the whole path oracle-replayable
+    relationally — same trick as ivf_ann_topk."""
+    dim = _probe_dim(emb, vec_col)
+    if dim is None:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, cell_id long"
+        )
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(emb, n_cells, id_col, vec_col)
+    )
+    with_cells = _cell_assigner(cents, dim, id_col, vec_col)
+    e = with_cells(spread(emb), "_id", "_v", "_n", 1)
+    a = e.select(
+        F.col("_id").alias("_id1"), F.col("_v").alias("_v1"),
+        F.col("_n").alias("_n1"), "cell_id",
+    )
+    b = e.select(
+        F.col("_id").alias("_id2"), F.col("_v").alias("_v2"),
+        F.col("_n").alias("_n2"), "cell_id",
+    )
+    denom = F.col("_n1") * F.col("_n2")
+    sim = F.when(
+        denom > 0, F.expr(_dot_sql("_v1", "_v2", dim)) / denom
+    ).otherwise(F.lit(0.0))
+    dominated = (
+        a.join(b, "cell_id")
+        .filter(F.col("_id1") < F.col("_id2"))
+        .filter(stable_round(sim, round_digits) >= threshold)
+        .select(F.col("_id2").alias("_id"))
+        .distinct()
+    )
+    return (
+        e.join(dominated, "_id", "left_anti")
+        .select(F.col("_id").alias(id_col), "cell_id")
+    )
+
+
 def sq_int8_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -679,6 +679,53 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_cells=8, n_probe=2)
 
 
+# --- SemDeDup: cluster-scoped semantic dedup ---------------------------------
+
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cell, v AS cv, n AS cn FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, n, cell FROM (
+    SELECT e.vec_id, e.v, e.n, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_IVF_SIM.format(an="e.n", bn="cent.cn", av="e.v", bv="cent.cv")} DESC,
+                      cent.cell
+           ) AS crk
+    FROM e CROSS JOIN cent
+  ) WHERE crk = 1
+),
+dominated AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {sround_sql(_IVF_SIM.format(an="a.n", bn="b.n", av="a.v", bv="b.v"), 3)} >= 0.35
+)
+SELECT vec_id, cell AS cell_id FROM assigned
+WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+"""
+
+
+@query("semdedup_embeddings", _SEMDEDUP_ORACLE)
+def semdedup_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign every embedding to its
+    nearest coarse cell (deterministic lowest-8-id quantizer, the
+    ivf_ann_topk replay trick), then within each cell drop every
+    vector with an over-threshold cosine to a lower-id cellmate —
+    keep-one-per-epsilon-ball with cell-bounded pair fan-out. Output
+    is the SURVIVING corpus (vec_id, cell_id), the frame a curation
+    pipeline feeds downstream. Same 0.35 calibration as
+    embedding_near_dup_pairs on this synthetic corpus."""
+    from dod_etl_spark.operators.similarity import semdedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semdedup(emb, threshold=0.35, n_cells=8)
+
+
 # --- Product-quantization ADC top-k -------------------------------------------
 
 # The oracles rebuild the PQ index relationally: codebook[m][k] = the

@@ -286,3 +286,32 @@ def test_mmr_diversifies_vs_plain_topk(spark, emb):
         sv.sort()
         for (_, a), (_, b) in zip(sv[1:], sv[2:]):
             assert b <= a + 1e-9, (q, sv)
+
+
+def test_semdedup_planted_duplicates(spark):
+    """SemDeDup drops exactly the higher-id member of every planted
+    in-cell near-dup ball (keep-min-id), never compares across cells,
+    and keeps everything when the threshold is unreachable."""
+    from dod_etl_spark.operators.similarity import semdedup
+
+    # two orthogonal cells; ids 0/1 are the centroids (lowest-id seed)
+    cell_a, cell_b = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, cell_a),
+        (1, cell_b),
+        (10, [0.9, 0.1, 0.0, 0.0]),   # near 0  -> dominated by 0
+        (11, [0.92, 0.08, 0.0, 0.0]), # near 0  -> dominated by 0 and 10
+        (20, [0.1, 0.9, 0.0, 0.0]),   # near 1  -> dominated by 1
+        (30, [0.0, 0.05, 0.9, 0.0]),  # cell b, far from its cellmates
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {
+        r["vec_id"]: r["cell_id"]
+        for r in semdedup(emb, threshold=0.9, n_cells=2).collect()
+    }
+    assert kept == {0: 0, 1: 1, 30: 1}
+    # cross-cell similarity is never consulted: 10 and 11 are near
+    # each other AND near 0, all in cell 0 — had 30 landed in cell 0
+    # it would have survived regardless of any cell-1 neighbor.
+    all_kept = semdedup(emb, threshold=1.1, n_cells=2).count()
+    assert all_kept == len(rows)
