@@ -1,0 +1,107 @@
+"""Corpus-trained token classifiers in the cross-engine exact-integer
+convention (KN LM / DSIR precedent: no libm logs cross engines, so
+discriminants are MEAN PER-TOKEN MICRO-LIKELIHOODS — exact integer
+millionths with truncating division — rather than summed log
+probabilities; same smoothing, same ranking intent, hash-replayable).
+
+The trained artifact is relational state (class priors + per-(class,
+token) counts), the maintain-don't-rebuild shape every store in this
+package uses — a production deployment would persist it exactly like
+NgramLmStore persists bigram counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_MICRO = 1_000_000
+
+
+def _toks(docs: DataFrame, id_col: str, text_col: str, class_col: str) -> DataFrame:
+    tk = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(class_col).alias("cls"),
+        F.explode(tk).alias("tok"),
+    )
+
+
+def nb_class_affinity(
+    docs: DataFrame,
+    class_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multinomial class affinity: train add-one-smoothed per-class
+    token likelihoods on the corpus itself, then score every document
+    against EVERY class as the mean per-token micro-likelihood
+    micro(t, c) = ((count(t,c)+1) * 1e6) div (T_c + V) — the log-free
+    form of the naive-Bayes discriminant (geometric mean -> arithmetic
+    mean is the package's exact-arithmetic trade; ranking quality is
+    pinned separately, determinism by construction).
+
+    Returns (doc_id, cls, n_toks, micro_affinity) — |docs| x |classes|
+    rows. Scale shape: the likelihood grid is (vocab x classes) — a
+    vocab-bounded frame built from one map-combined count — and the
+    scoring join fans each token occurrence out by |classes| (a small
+    constant); every aggregate is map-side combinable."""
+    toks = _toks(docs, id_col, text_col, class_col)
+    counts = toks.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("cls").agg(F.sum("c").alias("t_c"))
+    vocab = counts.select("tok").distinct()
+    v = vocab.count()  # driver scalar: one number
+
+    grid = (
+        vocab.crossJoin(totals)
+        .join(counts, ["cls", "tok"], "left")
+        .select(
+            "cls",
+            "tok",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1) * _MICRO
+            ).cast("long").alias("num"),
+            (F.col("t_c") + v).cast("long").alias("den"),
+        )
+        .select("cls", "tok", F.expr("num div den").alias("micro"))
+    )
+    doc_toks = toks.select("doc_id", "tok")
+    return (
+        doc_toks.join(grid, "tok")
+        .groupBy("doc_id", "cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.expr("sum(micro) div count(1)").cast("long").alias("micro_affinity"),
+        )
+    )
+
+
+def nb_classify(
+    docs: DataFrame,
+    class_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Argmax over nb_class_affinity (ties -> lexicographically
+    smallest class), with the true class retained so accuracy and the
+    confusion matrix are one groupBy away. Returns
+    (doc_id, pred_cls, micro_affinity, true_cls, correct)."""
+    aff = nb_class_affinity(docs, class_col, id_col, text_col)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("micro_affinity").desc(), F.col("cls").asc()
+    )
+    pred = (
+        aff.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("cls").alias("pred_cls"), "micro_affinity")
+    )
+    truth = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(class_col).alias("true_cls")
+    )
+    return pred.join(truth, "doc_id").select(
+        "doc_id",
+        "pred_cls",
+        "micro_affinity",
+        "true_cls",
+        (F.col("pred_cls") == F.col("true_cls")).cast("int").alias("correct"),
+    )

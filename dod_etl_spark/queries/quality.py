@@ -2163,3 +2163,63 @@ def kn_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("oov_ctx").cast("long").alias("n_oov_ctx"),
         F.expr("sum(micro) div count(1)").cast("long").alias("avg_microprob"),
     )
+
+
+# --- Multinomial class-affinity classifier (log-free NB) ---------------------
+
+_NB_CLASSIFY_SQL = """
+WITH toks AS (
+  SELECT doc_id, source AS cls,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+counts AS (SELECT cls, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+totals AS (SELECT cls, sum(c) AS t_c FROM counts GROUP BY 1),
+vocab AS (SELECT DISTINCT tok FROM counts),
+vs AS (SELECT count(*) AS v FROM vocab),
+grid AS (
+  SELECT t.cls, vb.tok,
+         ((coalesce(c.c, 0) + 1) * 1000000) // (t.t_c + vs.v) AS micro
+  FROM vocab vb CROSS JOIN totals t CROSS JOIN vs
+  LEFT JOIN counts c ON c.cls = t.cls AND c.tok = vb.tok
+),
+aff AS (
+  SELECT dt.doc_id, g.cls,
+         sum(g.micro) // count(*) AS micro_affinity
+  FROM (SELECT doc_id, tok FROM toks) dt JOIN grid g USING (tok)
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT doc_id, cls, micro_affinity,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY micro_affinity DESC, cls) AS rk
+  FROM aff
+)
+SELECT p.doc_id AS doc_id, p.cls AS pred_cls,
+       CAST(p.micro_affinity AS BIGINT) AS micro_affinity,
+       d.source AS true_cls,
+       CAST((p.cls = d.source) AS INT) AS correct
+FROM pred p JOIN documents d USING (doc_id) WHERE p.rk = 1
+"""
+
+
+@query("nb_source_classifier", _NB_CLASSIFY_SQL)
+def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained source classifier (operators/classify.py): the
+    multinomial naive-Bayes discriminant in the package's log-free
+    exact-integer form — add-one-smoothed per-(class, token)
+    micro-likelihoods ((c+1)*1e6 div (T_c+V)), documents scored
+    against every class by MEAN per-token micro-likelihood, argmax
+    with lexicographic tiebreak, true class retained so accuracy /
+    confusion are one groupBy away. This is the quality/domain
+    classifier seat of a curation stack (fastText-style scorer) with
+    the training pass expressed relationally: the likelihood grid is
+    vocab x |classes| (vocab-bounded shuffle), scoring fans each token
+    occurrence by the small class count, every aggregate map-combines.
+    No libm log crosses engines (pmi_collocations rule), so the
+    geometric mean becomes an arithmetic mean — ranking quality
+    pinned separately in tests/test_classify.py."""
+    from dod_etl_spark.operators.classify import nb_classify
+
+    docs = t(spark, sf_dir, "documents")
+    return nb_classify(docs, "source")

@@ -79,6 +79,8 @@ PROBE_QUERIES = [
     "skipgram_lift",               # r8s4: windowed pair counts (vocab^2)
     "pq_adc_topk",                 # r9: zero-exchange encode + ADC scan
     "ivfpq_topk",                  # r9: cell-pruned ADC (composed FAISS)
+    "ivfpq_rerank_topk",           # r10: ADC shortlist + broadcast exact rerank
+    "semdedup_embeddings",         # r10: cell-scoped pair join + anti-join
 ]
 
 # Exact pair-emitters: OUTPUT (and therefore time) is inherently
@@ -90,6 +92,10 @@ QUERY_MAX_FACTOR = {
     "simhash_near_pairs": 4,
     "ngram_jaccard_pairs": 4,
     "jaccard_join_docs": 2,
+    # replica vectors are EXACT duplicates: every replica group is an
+    # in-cell clique, so the dominated-pair frame is quadratic in the
+    # factor by construction (time_vs_output is the bar)
+    "semdedup_embeddings": 4,
 }
 
 
