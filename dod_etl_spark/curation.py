@@ -58,6 +58,7 @@ _KNOWN_OPS = (
     "pii_card_gate",
     "segment_dedup",
     "blocklist_gate",
+    "ppl_gate",
 )
 
 
@@ -209,6 +210,53 @@ def compile_curation(
                 .join(scrubbed, "doc_id")
                 .withColumnRenamed("text_dedup", "text")
             )
+        elif op == "ppl_gate":
+            # CCNet perplexity bucketing as a gate (Wenzek et al.
+            # 2020): train the KN bigram model on a content-hash split
+            # of the CURRENT frame, score every doc, tertile by mean
+            # per-token micro-probability, keep the configured buckets
+            # (default drops the tail). Docs too short to score (<2
+            # tokens) PASS — no evidence is not bad evidence.
+            from pyspark.sql import Window
+
+            from dod_etl_spark.streaming.lm_store import (
+                _doc_bigrams,
+                kn_score_frame,
+            )
+
+            seed = int(st.get("seed", 99))
+            cut = int(st.get("trainCut", 2000))
+            keep = set(st.get("keep", ["head", "middle"]))
+            bad = keep - {"head", "middle", "tail"}
+            if bad or not keep:
+                raise ValueError(
+                    f"ppl_gate keep must be a non-empty subset of "
+                    f"head/middle/tail, got {sorted(keep)}"
+                )
+            bg = _doc_bigrams(df, "doc_id", "text")
+            train_ids = df.where(
+                hash_bucket(F.col("doc_id"), seed) >= cut
+            ).select("doc_id")
+            c2 = (
+                bg.join(F.broadcast(train_ids), "doc_id", "left_semi")
+                .groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).alias("c2"))
+            )
+            scored = kn_score_frame(bg, c2)
+            w = Window.orderBy(
+                F.col("avg_microprob").desc(), F.col("doc_id")
+            )
+            bucketed = scored.withColumn("tile", F.ntile(3).over(w)).select(
+                "doc_id",
+                F.when(F.col("tile") == 1, "head")
+                .when(F.col("tile") == 2, "middle")
+                .otherwise("tail")
+                .alias("ppl_bucket"),
+            )
+            drop_ids = bucketed.filter(
+                ~F.col("ppl_bucket").isin(*sorted(keep))
+            ).select("doc_id")
+            df = df.join(drop_ids, "doc_id", "left_anti")
         elif op == "blocklist_gate":
             terms = [t.lower() for t in st.get("terms", [])]
             if not terms:
@@ -259,6 +307,7 @@ def compile_curation_audit(
         "near_dedup",
         "blocklist_gate",
         "pii_card_gate",
+        "ppl_gate",
     }
 
     for i, st in enumerate(spec.stages):

@@ -11,7 +11,7 @@ control, and extend the dedup family with the local-fingerprint
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dod_etl_spark.operators import dq
@@ -2223,3 +2223,49 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return nb_classify(docs, "source")
+
+
+# --- CCNet perplexity bucketing ----------------------------------------------
+
+_CCNET_BUCKETS_SQL = f"""
+WITH kn AS ({_KN_LM_ORACLE}),
+tiled AS (
+  SELECT doc_id, n_bigrams, n_oov_ctx, avg_microprob,
+         ntile(3) OVER (ORDER BY avg_microprob DESC, doc_id) AS tile
+  FROM kn
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(avg_microprob AS BIGINT) AS avg_microprob,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ppl_bucket
+FROM tiled
+"""
+
+
+@query("ccnet_ppl_buckets", _CCNET_BUCKETS_SQL)
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): every
+    document labeled head/middle/tail by LM-fluency tertile — the
+    standard quality-tiered corpus split (train on head+middle, weight
+    or drop tail). Built ON the kn_lm_score_docs scores (higher mean
+    per-token micro-probability = lower perplexity = head); tertile
+    cut via ntile over the total order (score DESC, doc_id), identical
+    in both engines. One extra single-partition window over the
+    doc-level score frame — the corpus-scale cost stays in the KN
+    scorer; at 100 TB the tertile boundary would come from a quantile
+    sketch instead of a global sort, the documented trade for an
+    oracle-exact cut here."""
+    kn = kn_lm_score_docs(spark, sf_dir)
+    w = Window.orderBy(F.col("avg_microprob").desc(), F.col("doc_id"))
+    return (
+        kn.withColumn("tile", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("avg_microprob").cast("long").alias("avg_microprob"),
+            F.when(F.col("tile") == 1, "head")
+            .when(F.col("tile") == 2, "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )

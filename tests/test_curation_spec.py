@@ -144,3 +144,37 @@ def test_pii_card_gate(spark):
         5: "kept",
         6: "kept",
     }
+
+
+def test_ppl_gate(spark):
+    """The CCNet perplexity gate drops the gibberish tertile: fluent
+    docs share common bigrams (high mean micro-probability), the
+    token-soup docs share none. One-token docs can't be scored and
+    PASS. The audit attributes the drops."""
+    from dod_etl_spark.curation import compile_curation_audit
+
+    rows = []
+    for i in range(12):
+        rows.append((i, "the cat sat on the mat and the cat sat again"))
+    for i in range(12, 18):
+        rows.append((i, f"zq{i}a wxj{i} qqv{i}b kpz{i} vnm{i}c jjr{i}"))
+    rows.append((99, "solo"))  # 1 token: unscorable -> passes
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spec = CurationSpec.from_json('{"stages": [{"op": "ppl_gate"}]}')
+    kept = sorted(r["doc_id"] for r in compile_curation(spark, docs, spec).collect())
+    dropped = sorted(set(r[0] for r in rows) - set(kept))
+    assert 99 in kept
+    assert len(dropped) == 6  # exactly the tail tertile of 18 scored
+    assert all(d >= 12 for d in dropped), dropped  # all gibberish
+    audit = {
+        r["doc_id"]: r["reason"]
+        for r in compile_curation_audit(spark, docs, spec).collect()
+    }
+    assert all(audit[d] == "ppl_gate" for d in dropped)
+    assert audit[99] == "kept"
+
+    with pytest.raises(ValueError, match="ppl_gate keep"):
+        compile_curation(
+            spark, docs,
+            CurationSpec.from_json('{"stages": [{"op": "ppl_gate", "keep": []}]}'),
+        )
