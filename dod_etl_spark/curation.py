@@ -59,6 +59,7 @@ _KNOWN_OPS = (
     "segment_dedup",
     "blocklist_gate",
     "ppl_gate",
+    "semdedup",
 )
 
 
@@ -110,11 +111,17 @@ def _require(df: DataFrame, col: str, op: str) -> None:
 
 
 def compile_curation(
-    spark: SparkSession, docs: DataFrame, spec: CurationSpec
+    spark: SparkSession,
+    docs: DataFrame,
+    spec: CurationSpec,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Compile `spec` over a (doc_id, text) frame. Returns the curated
     frame; its columns depend on the terminal stage (project_tokens
-    yields the flagship's (doc_id, n_toks, norm_fp))."""
+    yields the flagship's (doc_id, n_toks, norm_fp)). `embeddings` is
+    the optional (vec_id, embedding) side frame the semdedup stage
+    joins by doc_id — supplied by the caller like the corpus itself,
+    never derived here (embedding inference is upstream of curation)."""
     df = docs
     holdout_fps: DataFrame | None = None
     for st in spec.stages:
@@ -210,6 +217,29 @@ def compile_curation(
                 .join(scrubbed, "doc_id")
                 .withColumnRenamed("text_dedup", "text")
             )
+        elif op == "semdedup":
+            # SemDeDup over the supplied embedding side frame: the
+            # surviving vec_ids (cluster-scoped, keep-min-id —
+            # operators/similarity.semdedup) gate the document frame
+            # by doc_id. Docs WITHOUT an embedding pass (same rule as
+            # ppl_gate: absence of evidence is not a drop reason).
+            if embeddings is None:
+                raise ValueError(
+                    "semdedup stage needs the `embeddings` side frame "
+                    "(vec_id, embedding), joined to docs by doc_id"
+                )
+            from dod_etl_spark.operators.similarity import semdedup
+
+            kept_vecs = semdedup(
+                embeddings,
+                threshold=float(st.get("threshold", 0.35)),
+                n_cells=int(st.get("nCells", 8)),
+            ).select(F.col("vec_id").alias("doc_id"))
+            has_emb = embeddings.select(
+                F.col("vec_id").alias("doc_id")
+            ).distinct()
+            dropped = has_emb.join(kept_vecs, "doc_id", "left_anti")
+            df = df.join(dropped, "doc_id", "left_anti")
         elif op == "ppl_gate":
             # CCNet perplexity bucketing as a gate (Wenzek et al.
             # 2020): train the KN bigram model on a content-hash split
@@ -272,7 +302,10 @@ def compile_curation(
 
 
 def compile_curation_audit(
-    spark: SparkSession, docs: DataFrame, spec: CurationSpec
+    spark: SparkSession,
+    docs: DataFrame,
+    spec: CurationSpec,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Diagnostics twin of compile_curation: run the SAME stage
     sequence but return one row per INPUT document with the first
@@ -308,6 +341,7 @@ def compile_curation_audit(
         "blocklist_gate",
         "pii_card_gate",
         "ppl_gate",
+        "semdedup",
     }
 
     for i, st in enumerate(spec.stages):
@@ -332,7 +366,7 @@ def compile_curation_audit(
             _require(df, "norm_fp", op)
             df = df.join(F.broadcast(holdout_fps), "norm_fp", "left_anti")
         else:
-            df = compile_curation(spark, df, one)
+            df = compile_curation(spark, df, one, embeddings=embeddings)
         if op in filtering:
             cur_ids = df.select("doc_id").localCheckpoint(eager=True)
             dropped_parts.append(

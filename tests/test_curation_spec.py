@@ -178,3 +178,41 @@ def test_ppl_gate(spark):
             spark, docs,
             CurationSpec.from_json('{"stages": [{"op": "ppl_gate", "keep": []}]}'),
         )
+
+
+def test_semdedup_stage(spark):
+    """SemDeDup as a curation stage: the embeddings side frame decides
+    which docs are semantic duplicates; docs without an embedding
+    pass; missing side frame fails fast."""
+    from dod_etl_spark.curation import compile_curation_audit
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i}") for i in (0, 1, 10, 11, 50)],
+        "doc_id long, text string",
+    )
+    # 0/1 are the cell seeds; 10 duplicates 0's direction; 11 is far;
+    # doc 50 has no embedding
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (10, [0.95, 0.05, 0.0, 0.0]),
+            (11, [0.0, 0.1, 0.95, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    spec = CurationSpec.from_json(
+        '{"stages": [{"op": "semdedup", "threshold": 0.9, "nCells": 2}]}'
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in compile_curation(spark, docs, spec, embeddings=emb).collect()
+    )
+    assert kept == [0, 1, 11, 50]
+    audit = {
+        r["doc_id"]: r["reason"]
+        for r in compile_curation_audit(spark, docs, spec, embeddings=emb).collect()
+    }
+    assert audit == {0: "kept", 1: "kept", 10: "semdedup", 11: "kept", 50: "kept"}
+    with pytest.raises(ValueError, match="embeddings"):
+        compile_curation(spark, docs, spec)
