@@ -1381,6 +1381,9 @@ def balance_classes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines see identical matches. Applied in a fixed order (email, phone,
 # ipv4) on the progressively-scrubbed text.
 _PII_PATTERNS = [
+    # url FIRST: an email or IP inside a URL belongs to the <URL>
+    # placeholder, not to its own (the chain scrubs progressively)
+    ("url", r"https?://[^ ]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("phone", r"\d{3}[-.]\d{3}[-.]\d{4}", "<PHONE>"),
     ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),

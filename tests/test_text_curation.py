@@ -20,6 +20,7 @@ def test_pii_scrub_redacts_and_counts(spark, tmp_path):
             (2, "server at 10.0.0.1 and mirror at 192.168.1.254"),
             (3, "nothing sensitive here"),
             (4, "a@b.io mailed c.d@e.org twice"),
+            (5, "see https://user@host.example/p?x=1 and http://10.0.0.1/a"),
         ],
         "doc_id long, text string",
     )
@@ -37,6 +38,11 @@ def test_pii_scrub_redacts_and_counts(spark, tmp_path):
     assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_ipv4"] == 0
     assert out[3]["clean"] == "nothing sensitive here"
     assert out[4]["n_email"] == 2 and out[4]["clean"].count("<EMAIL>") == 2
+    # urls scrub FIRST: the embedded email/IP belong to the <URL>
+    # placeholder, not their own
+    assert out[5]["n_url"] == 2 and out[5]["clean"].count("<URL>") == 2
+    assert out[5]["n_email"] == 0 and out[5]["n_ipv4"] == 0
+    assert "host.example" not in out[5]["clean"]
 
 
 def test_repetition_ratio_flags_boilerplate(spark):
