@@ -250,14 +250,21 @@ class FrequencyStore:
             F.lit(-1).cast("long").alias("batch_id"),
             "key", "value", F.lit(0).cast("long").alias("n"),
         )
+        # -1 commit record FIRST (guarded against replayed merges): an
+        # early sentinel with zero rows is harmless, while committing
+        # last loses the whole history on a crash between the
+        # overwrites and the commit (only uncommitted -1 rows remain).
+        if (
+            self._committed().filter(F.col("batch_id") == -1).count() == 0
+        ):
+            self.spark.createDataFrame(
+                [(-1,)], "batch_id long"
+            ).write.insertInto(self.commits_table, overwrite=False)
         bucket_align(merged_cm, "key", self.n_buckets).write.insertInto(
             self.cm_table, overwrite=True
         )
         bucket_align(merged_cand, "key", self.n_buckets).write.insertInto(
             self.cand_table, overwrite=True
-        )
-        self.spark.createDataFrame([(-1,)], "batch_id long").write.insertInto(
-            self.commits_table, overwrite=False
         )
         for t in (self.cm_table, self.cand_table, self.commits_table):
             self.spark.catalog.refreshTable(t)

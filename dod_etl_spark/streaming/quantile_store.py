@@ -253,12 +253,19 @@ class QuantileStore:
 
         # merged/checkpointed first, so the overwrite never reads the
         # table it truncates; insertInto(overwrite=True) is the
-        # truncate-and-swap in one statement.
+        # truncate-and-swap in one statement. The -1 commit record is
+        # appended BEFORE the overwrite: an early -1 with zero rows is
+        # harmless, while the reverse order loses the whole history if
+        # we crash between overwrite and commit (only uncommitted -1
+        # rows would remain).
+        if (
+            self._committed().filter(F.col("batch_id") == -1).count() == 0
+        ):
+            self.spark.createDataFrame(
+                [(-1,)], "batch_id long"
+            ).write.insertInto(self.commits_table, overwrite=False)
         bucket_align(merged, "key", self.n_buckets).write.insertInto(
             self.table, overwrite=True
-        )
-        self.spark.createDataFrame([(-1,)], "batch_id long").write.insertInto(
-            self.commits_table, overwrite=False
         )
         self.spark.catalog.refreshTable(self.table)
         self.spark.catalog.refreshTable(self.commits_table)

@@ -272,3 +272,35 @@ def test_as_of_batch_time_travel(spark, store):
         for n in (clean.table, clean.commits_table):
             spark.sql(f"DROP TABLE IF EXISTS {n}")
             shutil.rmtree(f"{wh}/{n}", ignore_errors=True)
+
+
+def test_merge_crash_window_preserves_serve(spark, store):
+    """The merge commit protocol's crash point: the -1 sentinel commit
+    lands BEFORE the history overwrite. Simulate the crash AFTER the
+    sentinel but BEFORE the overwrite — serving must be unchanged
+    (per-batch rows intact and committed; the early -1 has no rows) —
+    then a re-run of merge_rows converges without duplicating the
+    sentinel commit."""
+    ev = _events(spark)
+    for third in range(3):
+        store.update_batch(
+            ev.where(F.floor(F.col("value") * 100).cast("long") % 3 == third),
+            batch_id=third,
+        )
+    baseline = _quant(store)
+
+    # crash simulation: sentinel committed, overwrite never happened
+    spark.createDataFrame([(-1,)], "batch_id long").write.insertInto(
+        store.commits_table, overwrite=False
+    )
+    spark.catalog.refreshTable(store.commits_table)
+    assert _quant(store) == baseline
+
+    removed = store.merge_rows()
+    assert removed >= 0
+    assert _quant(store) == baseline
+    # the guarded merge did not append a second sentinel
+    n_sentinels = (
+        spark.table(store.commits_table).filter(F.col("batch_id") == -1).count()
+    )
+    assert n_sentinels == 1
