@@ -167,3 +167,27 @@ def test_cell_balance_monitor(spark, emb, store):
     assert b["n_vecs"] == len(_kept(store.kept()))
     assert 0 < b["max_cell_frac"] <= 1.0
     assert b["n_cells_used"] <= b["n_cells_total"] == N_CELLS
+
+
+def test_streaming_drive(spark, emb, store, tmp_path):
+    """End-to-end through a REAL file stream: foreachBatch wires
+    dedup_batch with the engine's own batch_ids; the final kept set
+    equals the single-batch twin (ids arrive in one availableNow batch
+    here, so greedy order is the id order)."""
+    src = tmp_path / "sem_src"
+    emb.select("vec_id", "embedding").write.parquet(str(src))
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .parquet(str(src))
+        .writeStream.foreachBatch(
+            lambda df, bid: store.dedup_batch(df, batch_id=bid)
+        )
+        .option("checkpointLocation", str(tmp_path / "sem_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _kept(store.kept())
+    assert got  # survivors recorded through the stream
+    rows = emb.orderBy("vec_id").collect()
+    assert got == _python_reference(rows, store.centroids, THRESHOLD)
