@@ -271,7 +271,15 @@ def compile_curation(
                 bg.join(F.broadcast(train_ids), "doc_id", "left_semi")
                 .groupBy("w1", "w2")
                 .agg(F.count(F.lit(1)).alias("c2"))
+                .localCheckpoint(eager=True)
             )
+            if c2.limit(1).count() == 0:
+                # empty training split (tiny frame or an extreme
+                # trainCut): no model means no evidence against ANY
+                # doc — the gate passes everything instead of dividing
+                # by an empty-model Nbb (ANSI: job failure) or
+                # bucketing on NULL scores (arbitrary drops).
+                continue
             scored = kn_score_frame(bg, c2)
             w = Window.orderBy(
                 F.col("avg_microprob").desc(), F.col("doc_id")

@@ -47,7 +47,15 @@ def nb_class_affinity(
     scoring join fans each token occurrence out by |classes| (a small
     constant); every aggregate is map-side combinable."""
     toks = _toks(docs, id_col, text_col, class_col)
-    counts = toks.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # counts is the model (vocab x classes, small); checkpoint it so
+    # totals, vocab, the driver-side V, and the grid all derive from
+    # ONE tokenize pass — uncheckpointed, the corpus-sized tokenize
+    # replays for each consumer (kn_score_frame's rule)
+    counts = (
+        toks.groupBy("cls", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     totals = counts.groupBy("cls").agg(F.sum("c").alias("t_c"))
     vocab = counts.select("tok").distinct()
     v = vocab.count()  # driver scalar: one number

@@ -195,6 +195,14 @@ class SemDedupStore:
         fresh = deduped.join(seen, "vec_id", "left_anti")
         dim = _probe_dim(fresh, "embedding")
         if dim is None:
+            # empty or fully-seen batch: nothing to dedup, but the
+            # batch_id still gets its commit record so a replay
+            # short-circuits on the cheap committed guard instead of
+            # re-running the seen anti-join (NgramLmStore's rule).
+            self.spark.createDataFrame(
+                [(int(batch_id),)], "batch_id long"
+            ).write.insertInto(self.commits_table, overwrite=False)
+            self.spark.catalog.refreshTable(self.commits_table)
             return self.spark.createDataFrame([], out_schema)
         assigned = (
             _cell_assigner(self._cents(), dim, "vec_id", "embedding")(

@@ -799,17 +799,32 @@ class IvfPqVectorStore:
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .join(committed, "neighbor_id", "left_semi")
             .withColumn("dist", stable_round(d, round_digits))
-            # torn-replay duplicate collapse (sibling-store posture);
-            # _qv/_qq are functionally determined by query_id, so the
-            # wider distinct collapses exactly the same duplicates
-            .select("query_id", "neighbor_id", "dist", "_qv", "_qq")
-            .distinct()
         )
         if rerank > 0:
+            # the rerank branch carries the query vector through the
+            # torn-replay distinct (_qv/_qq are functionally determined
+            # by query_id, so the wider distinct collapses exactly the
+            # same duplicates); the default serve keeps the narrow
+            # 3-column shuffle. Raw is deduped by id first — the
+            # primary source may carry replayed duplicates (the same
+            # tolerance index_batch extends to ingest).
+            scored = scored.select(
+                "query_id", "neighbor_id", "dist", "_qv", "_qq"
+            ).distinct()
+            raw_uniq = (
+                raw.select(
+                    F.col(id_col),
+                    F.col(vec_col).cast("array<float>").alias(vec_col),
+                )
+                .groupBy(id_col)
+                .agg(F.min(vec_col).alias(vec_col))
+            )
             return _exact_rerank(
-                scored, raw, k, k * rerank, dim, id_col, vec_col,
+                scored, raw_uniq, k, k * rerank, dim, id_col, vec_col,
                 round_digits,
             )
+        # torn-replay duplicate collapse (sibling-store posture)
+        scored = scored.select("query_id", "neighbor_id", "dist").distinct()
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist").asc(), F.col("neighbor_id").asc()
         )
@@ -888,14 +903,36 @@ class IvfPqVectorStore:
     # until dropped). Exactly a search-index rebuild: never re-quantize
     # in place — that silently changes every stored code's meaning.
 
+    def _served_rows(self) -> DataFrame:
+        """Codes rows as the serve path sees them: committed (in the
+        vecs table) and not tombstoned — monitors and the reseed must
+        never be steered by torn appends or deleted vectors, and the
+        duplicate rows a torn replay leaves collapse like they do at
+        serve time."""
+        from dod_etl_spark.streaming.tombstones import exclude_tombstoned
+
+        committed = exclude_tombstoned(
+            self.spark,
+            self.spark.table(self.vecs_table).select("vec_id"),
+            self.table,
+            "vec_id",
+        )
+        return (
+            self.spark.table(self.table)
+            .join(committed, "vec_id", "left_semi")
+            .groupBy("cell_id", "vec_id")
+            .agg(F.min("codes").alias("codes"))
+        )
+
     def cell_balance(self) -> dict:
         """Coarse-cell skew from the codes table (IvfVectorStore
         monitor, same fields): one count-per-cell aggregate over ints,
-        n_cells numbers to the driver."""
+        n_cells numbers to the driver. Reads the SERVED set (committed,
+        non-tombstoned) so alarms reflect what probes actually scan."""
         if not self.spark.catalog.tableExists(self.table):
             return {"n_vecs": 0, "n_cells_used": 0}
         counts = (
-            self.spark.table(self.table)
+            self._served_rows()
             .groupBy("cell_id")
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
@@ -918,11 +955,12 @@ class IvfPqVectorStore:
         """Per-subspace code-usage health straight from STORED codes
         (the pq_code_balance query's store twin — zero re-encode, one
         explode+count over the int codes). Returns the worst subspace:
-        min codes_used and max single-code share across subspaces."""
+        min codes_used and max single-code share across subspaces.
+        Reads the SERVED set, like cell_balance."""
         if not self.spark.catalog.tableExists(self.table):
             return {"n_vecs": 0, "n_sub": 0}
         per_code = (
-            self.spark.table(self.table)
+            self._served_rows()
             .select(F.posexplode("codes").alias("m", "code"))
             .groupBy("m", "code")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -995,22 +1033,33 @@ class IvfPqVectorStore:
         drifted mass and can split it — re-running Lloyd from lowest-id
         seeds cannot (measured: drifted max_cell_frac 0.33 stays 0.34
         from plain seeds, drops to ~0.24 reseeded). Deterministic:
-        populations and ranks come from the committed codes table,
-        ordered by vec_id. Driver work is K numbers + K vectors."""
+        populations and ranks come from the COMMITTED, non-tombstoned
+        codes rows (the exact set search() serves — a torn append or a
+        deleted vector never steers the reseed), ordered by (cell_id,
+        vec_id) with cell-id tiebreaks on every driver-side sort.
+        Driver work is K numbers + K vectors."""
         k = len(self._cents())
-        cur = self.spark.table(self.table).select("cell_id", "vec_id").distinct()
+        cur = self._served_rows().select("cell_id", "vec_id")
         sizes = {
             int(r["cell_id"]): int(r["c"])
             for r in cur.groupBy("cell_id").agg(F.count(F.lit(1)).alias("c")).collect()
         }
         n = sum(sizes.values())
+        if n < k:
+            raise ValueError(
+                f"rebuild needs >= {k} committed vectors to reseed "
+                f"{k} cells; store holds {n}"
+            )
         # largest-remainder quotas, capped at cell size, leftovers to
-        # the most underserved (largest remaining-capacity) cells
+        # the largest remainders (ties -> smallest cell id, so the
+        # allocation is a pure function of the committed populations)
         quota = {c: min(s, int(k * s / n)) for c, s in sizes.items()}
         rem = sorted(
             sizes,
-            key=lambda c: (k * sizes[c] / n) - int(k * sizes[c] / n),
-            reverse=True,
+            key=lambda c: (
+                -((k * sizes[c] / n) - int(k * sizes[c] / n)),
+                c,
+            ),
         )
         i = 0
         while sum(quota.values()) < k:
@@ -1022,7 +1071,7 @@ class IvfPqVectorStore:
         ranked = cur.withColumn("rn", F.row_number().over(w))
         picks = [
             (c, 1 + (j * sizes[c]) // q)
-            for c, q in quota.items()
+            for c, q in sorted(quota.items())
             if q
             for j in range(q)
         ]
@@ -1036,6 +1085,12 @@ class IvfPqVectorStore:
             .orderBy("i")
             .collect()
         )
+        if len(rows) < k:
+            raise ValueError(
+                f"raw source is missing {k - len(rows)} of the {k} "
+                f"reseed vectors — `raw` must cover the store's "
+                f"committed ids"
+            )
         return [
             (cid, [float(x) for x in r["v"]]) for cid, r in enumerate(rows)
         ]

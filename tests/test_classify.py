@@ -29,27 +29,23 @@ def test_separable_classes_classify_perfectly(spark):
 
 
 def test_affinity_matrix_shape_and_tiebreak(spark):
-    """Every doc gets one row per class; a doc equidistant from two
-    classes resolves to the lexicographically smallest."""
+    """Every doc gets one row per class; a doc whose affinities tie
+    EXACTLY resolves to the lexicographically smallest class (the
+    oracle's ORDER BY micro_affinity DESC, cls)."""
+    # fully symmetric corpus: one 'x' in each class, equal totals ->
+    # micro(x|a) == micro(x|b) exactly, so every doc is a pure tie
     docs = spark.createDataFrame(
-        [
-            (1, "a", "x x"),
-            (2, "b", "x x"),   # identical text in both classes
-            (3, "a", "y y"),
-        ],
+        [(1, "b", "x"), (2, "a", "x")],
         "doc_id long, source string, text string",
     )
-    aff = nb_class_affinity(docs, "source")
-    assert aff.count() == 3 * 2
+    aff = {
+        (r["doc_id"], r["cls"]): r["micro_affinity"]
+        for r in nb_class_affinity(docs, "source").collect()
+    }
+    assert len(aff) == 2 * 2
+    assert aff[(1, "a")] == aff[(1, "b")]  # the tie is exact
     pred = {r["doc_id"]: r["pred_cls"] for r in nb_classify(docs, "source").collect()}
-    # doc 1 and 2 share text; "x" count is 2 in class a (docs 1+2? no:
-    # doc 1 in a, doc 2 in b) -> symmetric counts, tie -> class "a"
-    assert pred[2] in ("a", "b")  # sanity: one of the classes
-    # exact tie case: class counts for "x" are equal (one doc each
-    # side), but T_a differs from T_b because of doc 3 -> doc 2's
-    # argmax is deterministic; rerunning yields the same answer
-    again = {r["doc_id"]: r["pred_cls"] for r in nb_classify(docs, "source").collect()}
-    assert pred == again
+    assert pred == {1: "a", 2: "a"}
 
 
 def test_real_corpus_beats_chance(spark):

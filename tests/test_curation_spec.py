@@ -216,3 +216,18 @@ def test_semdedup_stage(spark):
     assert audit == {0: "kept", 1: "kept", 10: "semdedup", 11: "kept", 50: "kept"}
     with pytest.raises(ValueError, match="embeddings"):
         compile_curation(spark, docs, spec)
+
+
+def test_ppl_gate_empty_training_split_passes_everything(spark):
+    """trainCut above every bucket leaves no model: the gate must pass
+    all docs (no evidence) instead of dividing by an empty-model Nbb
+    or bucketing on NULL scores."""
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} here") for i in range(9)],
+        "doc_id long, text string",
+    )
+    spec = CurationSpec.from_json(
+        '{"stages": [{"op": "ppl_gate", "trainCut": 10000}]}'
+    )
+    kept = sorted(r["doc_id"] for r in compile_curation(spark, docs, spec).collect())
+    assert kept == list(range(9))

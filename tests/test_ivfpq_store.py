@@ -257,3 +257,11 @@ def test_serve_plan_no_store_side_exchange(spark, emb, store):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in plan
     assert not re.search(r"Exchange hashpartitioning\(cell_id", plan), plan
+
+
+def test_rebuild_refuses_with_too_few_vectors(spark, emb, store):
+    """Reseeding k cells needs >= k committed vectors: a sparse store
+    must FAIL FAST (the capped-quota loop used to spin forever)."""
+    store.index_batch(emb.filter(F.col("vec_id") < 5))  # 5 < 8 cells
+    with pytest.raises(ValueError, match="committed vectors"):
+        store.rebuild_into(emb, f"{store.table}_few")
