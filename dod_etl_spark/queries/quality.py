@@ -2269,3 +2269,23 @@ def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ppl_bucket"),
         )
     )
+
+
+_NB_CONFUSION_SQL = f"""
+WITH pred AS ({_NB_CLASSIFY_SQL})
+SELECT true_cls, pred_cls, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY true_cls, pred_cls
+"""
+
+
+@query("nb_confusion_matrix", _NB_CONFUSION_SQL)
+def nb_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix over nb_source_classifier's predictions —
+    the evaluation artifact a classifier-gated curation run reports.
+    One map-combined count over the prediction frame; the cost is the
+    classifier itself."""
+    return (
+        nb_source_classifier(spark, sf_dir)
+        .groupBy("true_cls", "pred_cls")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
