@@ -60,6 +60,7 @@ _KNOWN_OPS = (
     "blocklist_gate",
     "ppl_gate",
     "semdedup",
+    "classifier_gate",
 )
 
 
@@ -115,6 +116,7 @@ def compile_curation(
     docs: DataFrame,
     spec: CurationSpec,
     embeddings: DataFrame | None = None,
+    labeled: DataFrame | None = None,
 ) -> DataFrame:
     """Compile `spec` over a (doc_id, text) frame. Returns the curated
     frame; its columns depend on the terminal stage (project_tokens
@@ -240,6 +242,38 @@ def compile_curation(
             ).distinct()
             dropped = has_emb.join(kept_vecs, "doc_id", "left_anti")
             df = df.join(dropped, "doc_id", "left_anti")
+        elif op == "classifier_gate":
+            # The reference-corpus quality classifier (the GPT-3
+            # WebText-vs-crawl pattern): train the log-free NB grid on
+            # a LABELED seed corpus (side frame, like `embeddings` —
+            # labeling is upstream of curation), score the working
+            # frame, keep docs whose argmax class is in `keep`.
+            # Unscorable docs (no in-vocabulary token) PASS — the
+            # ppl_gate no-evidence rule.
+            if labeled is None:
+                raise ValueError(
+                    "classifier_gate needs the `labeled` side frame "
+                    "(doc_id, text, <classCol>) to train on"
+                )
+            keep_classes = st.get("keep")
+            if not keep_classes:
+                raise ValueError("classifier_gate needs a non-empty keep list")
+            from pyspark.sql import Window
+
+            from dod_etl_spark.operators.classify import nb_score, nb_train
+
+            grid = nb_train(labeled, st.get("classCol", "cls"))
+            aff = nb_score(df, grid)
+            w = Window.partitionBy("doc_id").orderBy(
+                F.col("micro_affinity").desc(), F.col("cls").asc()
+            )
+            drop_ids = (
+                aff.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1)
+                .filter(~F.col("cls").isin(*keep_classes))
+                .select("doc_id")
+            )
+            df = df.join(drop_ids, "doc_id", "left_anti")
         elif op == "ppl_gate":
             # CCNet perplexity bucketing as a gate (Wenzek et al.
             # 2020): train the KN bigram model on a content-hash split
@@ -314,6 +348,7 @@ def compile_curation_audit(
     docs: DataFrame,
     spec: CurationSpec,
     embeddings: DataFrame | None = None,
+    labeled: DataFrame | None = None,
 ) -> DataFrame:
     """Diagnostics twin of compile_curation: run the SAME stage
     sequence but return one row per INPUT document with the first
@@ -350,6 +385,7 @@ def compile_curation_audit(
         "pii_card_gate",
         "ppl_gate",
         "semdedup",
+        "classifier_gate",
     }
 
     for i, st in enumerate(spec.stages):
@@ -374,7 +410,7 @@ def compile_curation_audit(
             _require(df, "norm_fp", op)
             df = df.join(F.broadcast(holdout_fps), "norm_fp", "left_anti")
         else:
-            df = compile_curation(spark, df, one, embeddings=embeddings)
+            df = compile_curation(spark, df, one, embeddings=embeddings, labeled=labeled)
         if op in filtering:
             cur_ids = df.select("doc_id").localCheckpoint(eager=True)
             dropped_parts.append(

@@ -27,30 +27,21 @@ def _toks(docs: DataFrame, id_col: str, text_col: str, class_col: str) -> DataFr
     )
 
 
-def nb_class_affinity(
-    docs: DataFrame,
+def nb_train(
+    labeled: DataFrame,
     class_col: str,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Multinomial class affinity: train add-one-smoothed per-class
-    token likelihoods on the corpus itself, then score every document
-    against EVERY class as the mean per-token micro-likelihood
-    micro(t, c) = ((count(t,c)+1) * 1e6) div (T_c + V) — the log-free
-    form of the naive-Bayes discriminant (geometric mean -> arithmetic
-    mean is the package's exact-arithmetic trade; ranking quality is
-    pinned separately, determinism by construction).
-
-    Returns (doc_id, cls, n_toks, micro_affinity) — |docs| x |classes|
-    rows. Scale shape: the likelihood grid is (vocab x classes) — a
-    vocab-bounded frame built from one map-combined count — and the
-    scoring join fans each token occurrence out by |classes| (a small
-    constant); every aggregate is map-side combinable."""
-    toks = _toks(docs, id_col, text_col, class_col)
-    # counts is the model (vocab x classes, small); checkpoint it so
-    # totals, vocab, the driver-side V, and the grid all derive from
-    # ONE tokenize pass — uncheckpointed, the corpus-sized tokenize
-    # replays for each consumer (kn_score_frame's rule)
+    """Train the add-one-smoothed likelihood grid on a LABELED corpus:
+    (cls, tok, micro) with micro(t, c) = ((count(t,c)+1) * 1e6)
+    div (T_c + V). The grid is (vocab x classes) — a vocab-bounded
+    frame built from one map-combined count (checkpointed so totals,
+    vocab, the driver-side V, and the grid all derive from ONE
+    tokenize pass — kn_score_frame's rule). This is the trainable
+    artifact; a production deployment persists it like NgramLmStore
+    persists bigram counts."""
+    toks = _toks(labeled, id_col, text_col, class_col)
     counts = (
         toks.groupBy("cls", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -59,8 +50,7 @@ def nb_class_affinity(
     totals = counts.groupBy("cls").agg(F.sum("c").alias("t_c"))
     vocab = counts.select("tok").distinct()
     v = vocab.count()  # driver scalar: one number
-
-    grid = (
+    return (
         vocab.crossJoin(totals)
         .join(counts, ["cls", "tok"], "left")
         .select(
@@ -73,7 +63,26 @@ def nb_class_affinity(
         )
         .select("cls", "tok", F.expr("num div den").alias("micro"))
     )
-    doc_toks = toks.select("doc_id", "tok")
+
+
+def nb_score(
+    docs: DataFrame,
+    grid: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a trained grid: mean per-token
+    micro-likelihood per (doc, class) over the doc's IN-VOCABULARY
+    tokens (out-of-vocabulary tokens carry no class evidence in any
+    class and drop from the mean; a doc with zero in-vocab tokens gets
+    NO rows — unscorable, the caller's no-evidence rule applies).
+    Returns (doc_id, cls, n_toks, micro_affinity). The scoring join
+    fans each token occurrence by |classes| (a small constant); every
+    aggregate map-combines."""
+    tk = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    doc_toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tk).alias("tok")
+    )
     return (
         doc_toks.join(grid, "tok")
         .groupBy("doc_id", "cls")
@@ -81,6 +90,23 @@ def nb_class_affinity(
             F.count(F.lit(1)).alias("n_toks"),
             F.expr("sum(micro) div count(1)").cast("long").alias("micro_affinity"),
         )
+    )
+
+
+def nb_class_affinity(
+    docs: DataFrame,
+    class_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multinomial class affinity, self-trained: nb_train on the
+    corpus itself, nb_score every document against EVERY class — the
+    log-free form of the naive-Bayes discriminant (geometric mean ->
+    arithmetic mean is the package's exact-arithmetic trade; ranking
+    quality pinned separately, determinism by construction). Returns
+    (doc_id, cls, n_toks, micro_affinity)."""
+    return nb_score(
+        docs, nb_train(docs, class_col, id_col, text_col), id_col, text_col
     )
 
 

@@ -231,3 +231,50 @@ def test_ppl_gate_empty_training_split_passes_everything(spark):
     )
     kept = sorted(r["doc_id"] for r in compile_curation(spark, docs, spec).collect())
     assert kept == list(range(9))
+
+
+def test_classifier_gate(spark):
+    """The reference-corpus quality classifier: trained on a labeled
+    seed (good/spam vocabularies), it keeps docs predicted 'good',
+    drops predicted 'spam', passes docs with no in-vocabulary token,
+    and fails fast without the side frame or a keep list."""
+    from dod_etl_spark.curation import compile_curation_audit
+
+    labeled = spark.createDataFrame(
+        [
+            (100, "good", "insightful analysis of the quarterly report"),
+            (101, "good", "detailed report with careful analysis inside"),
+            (102, "spam", "click here winner prize free money"),
+            (103, "spam", "free prize click now winner"),
+        ],
+        "doc_id long, cls string, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a careful analysis of the report"),
+            (2, "click for your free prize winner"),
+            (3, "xylophone zebra quux"),  # no in-vocab token -> passes
+        ],
+        "doc_id long, text string",
+    )
+    spec = CurationSpec.from_json(
+        '{"stages": [{"op": "classifier_gate", "keep": ["good"]}]}'
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in compile_curation(spark, docs, spec, labeled=labeled).collect()
+    )
+    assert kept == [1, 3]
+    audit = {
+        r["doc_id"]: r["reason"]
+        for r in compile_curation_audit(spark, docs, spec, labeled=labeled).collect()
+    }
+    assert audit == {1: "kept", 2: "classifier_gate", 3: "kept"}
+    with pytest.raises(ValueError, match="labeled"):
+        compile_curation(spark, docs, spec)
+    with pytest.raises(ValueError, match="keep"):
+        compile_curation(
+            spark, docs,
+            CurationSpec.from_json('{"stages": [{"op": "classifier_gate"}]}'),
+            labeled=labeled,
+        )
