@@ -151,6 +151,11 @@ BENCH_QUERIES = [
     # single-stage 0.48, BENCH_IVFPQ_r10.json).
     "pq_rerank_topk",
     "ivfpq_rerank_topk",
+    # Round-10: cluster-scoped semantic dedup (cell-bounded pair join)
+    # and the log-free NB source classifier (vocab-bounded model +
+    # class-fanout scoring join).
+    "semdedup_embeddings",
+    "nb_source_classifier",
 ]
 
 # Isolated re-run support (drift pinning, judge r10 item 2): a
