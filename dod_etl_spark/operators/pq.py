@@ -16,8 +16,9 @@ PQ moves M bytes (8 B here, 32× less) and reconstructs distance from
 codebooks that are plan literals. The three composition points:
 
 - encode is a ZERO-SHUFFLE projection (codes are pure expressions over
-  the vector column with literal centroids — the _cell_assigner lesson:
-  assembled as ONE SQL string, parsed once, whole-stage codegen);
+  the vector column with the codebooks as in-expression array
+  Literals — one bulk byte transfer to the JVM, no SQL text to parse;
+  see _encode_codes_col for the measured alternatives);
 - training is k-means per subspace with the same contract as
   kmeans_centroids: assignment distributed, the update step collects
   only M*K*ds numbers (metadata) to the driver — FAISS trains its
@@ -49,7 +50,7 @@ from pyspark.sql import functions as F
 
 from dod_etl_spark.catalog import spread
 from dod_etl_spark.functions.scalar import stable_round
-from dod_etl_spark.operators.similarity import _dbl, _probe_dim, dot
+from dod_etl_spark.operators.similarity import _probe_dim, dot
 
 Codebooks = list[list[list[float]]]  # [m][k][j] -> centroid value
 
@@ -88,47 +89,110 @@ def seed_pq_codebooks(
     ]
 
 
-def _cb_struct_literal(cb: list[list[float]]) -> str:
-    """One codebook as a SQL literal `array<struct<c:array<double>,
-    cc:double>>` (centroid + its precomputed self-dot). Every child is
-    a literal, so Catalyst's ConstantFolding collapses the whole thing
-    into a single array Literal — DATA in the plan, not code. This is
-    what keeps the generated Java under the 64 KB method limit at
-    K=64: the r9 form unrolled K distance expressions per subspace and
-    pushed every PQ stage into interpreted codegen-fallback."""
-    entries = []
-    for c in cb:
-        arr = "array(" + ", ".join(_dbl(x) for x in c) + ")"
-        entries.append(
-            f"named_struct('c', {arr}, 'cc', {_dbl(_seq_dot(c, c))})"
+def _np_dbl_lit(values: list[float]):
+    """One `array<double>` plan Literal from a Python float list with a
+    SINGLE bulk byte transfer to the JVM. The slow alternatives this
+    replaces, all measured on the r10 16x64 codebooks:
+
+    - rendering the values as SQL text: ~240 KB of CAST('…' AS DOUBLE)
+      per encode, ~2.3 s of driver parse+analyze per plan;
+    - `F.lit(list)`: recurses into per-element py4j `lit` calls —
+      thousands of driver round-trips, ~12 s;
+    - `F.lit(ndarray)`: PySpark's NumpyArrayConverter still populates
+      the Java array ELEMENT-WISE over py4j (~17 ms per 256-double
+      literal, ~2 s across a query's 48+ literals).
+
+    Here the doubles cross py4j once as a `bytearray` (py4j ships
+    bytes in one message) and are bulk-decoded JVM-side via
+    ByteBuffer.asDoubleBuffer().get(double[]) — ~3 ms per literal.
+    Big-endian f8 preserves the exact IEEE bits, so the arithmetic
+    downstream is unchanged. Falls back to the ndarray path when no
+    py4j gateway exists (e.g. Spark Connect)."""
+    import numpy as np
+    from pyspark import SparkContext
+    from pyspark.sql.column import Column
+
+    gw = SparkContext._gateway
+    if gw is None:  # pragma: no cover - classic py4j mode everywhere here
+        return F.lit(np.asarray(values, dtype="float64"))
+    cache = _np_dbl_lit.__dict__.setdefault("_handles", {})
+    h = cache.get(id(gw))
+    if h is None:
+        h = (
+            gw.jvm.java.nio.ByteBuffer,
+            gw.jvm.org.apache.spark.sql.functions,
+            gw.jvm.double,
         )
-    return f"array({', '.join(entries)})"
+        cache.clear()  # one live gateway at a time; drop stale handles
+        cache[id(gw)] = h
+    bb, fns, jdouble = h
+    data = bytearray(np.asarray(values, dtype=">f8").tobytes())
+    buf = bb.wrap(data).asDoubleBuffer()
+    arr = gw.new_array(jdouble, len(values))
+    buf.get(arr)
+    return Column(fns.lit(arr))
 
 
-def _encode_exprs(codebooks: Codebooks, vec_col: str) -> list[str]:
-    """Per-subspace argmin-code SQL expressions (referencing the
-    precomputed per-subspace self-dot column `_sd{m}`).
+def _encode_codes_col(codebooks: Codebooks, vec_col: str):
+    """The `codes` array Column (referencing the precomputed
+    per-subspace self-dot columns `_sd{m}`).
 
     d(s, c_k) = s·s - 2·s·c_k + c_k·c_k with every dot a left-to-right
     fold (matches DuckDB's list_dot_product on the slice); ties break
-    on the smallest k via the struct sort. The codebook rides as one
-    constant-folded literal and the K distances come from ONE
-    `transform` lambda over it — K-independent expression-tree size,
-    bit-identical arithmetic to the unrolled form (the lambda body is
-    the same left-to-right multiply-add over the same doubles)."""
-    exprs = []
+    on the smallest k via the struct sort. The full codebook set rides
+    INSIDE the expression as ONE flat `array<double>` Literal (subspace
+    m entry k at [(m*K + k)*ds, …+ds)) plus one flat self-dot Literal,
+    and all M argmins come from one nested `transform` — an
+    M- and K-independent expression tree, bit-identical arithmetic to
+    the unrolled form (the lambda body is the same left-to-right
+    multiply-add over the same doubles).
+
+    Why this shape (all three alternatives measured, r10 16x64):
+    - rendered SQL text: ~240 KB of CAST('…' AS DOUBLE) per encode,
+      ~2 s driver parse+analyze per plan at ANY data scale (~0.6 s
+      warm) — pure driver overhead;
+    - literals as PROJECTED columns referenced by a compact expression:
+      the projection MATERIALIZES ~16x1024 doubles per corpus row —
+      measured 2.5x slower end to end;
+    - one Column-API expression PER SUBSPACE: ~600 py4j round-trips of
+      lambda construction, ~1.5 s driver time.
+    One nested transform + two bulk literals ≈ 60 py4j calls."""
+    n_sub = len(codebooks)
+    n_codes = len(codebooks[0])
     ds = len(codebooks[0][0])
-    for m, cb in enumerate(codebooks):
-        sdc = " + ".join(
-            f"CAST({vec_col}[{m * ds + j}] AS DOUBLE) * e.c[{j}]"
-            for j in range(ds)
-        )
-        exprs.append(
-            f"element_at(array_sort(transform({_cb_struct_literal(cb)}, "
-            f"(e, k) -> named_struct('d', _sd{m} - 2 * ({sdc}) + e.cc, "
-            f"'k', k))), 1).k"
-        )
-    return exprs
+    v = F.col(vec_col)
+    cbf = _np_dbl_lit([x for cb in codebooks for c in cb for x in c])
+    ccf = _np_dbl_lit([_seq_dot(c, c) for cb in codebooks for c in cb])
+    # Iterating the transform OVER the self-dot array (rather than a
+    # sequence() of subspace ids) makes the array the lambda input, so
+    # each _sd sum is evaluated once per row — the inlined-column form
+    # would re-evaluate it per code candidate.
+    sds = F.array(*[F.col(f"_sd{m}") for m in range(n_sub)])
+
+    def per_subspace(sd, m):
+        def entry(cc, k):
+            base = (m * n_codes + k) * ds
+            # left-to-right fold of the subspace slice against entry k
+            acc = F.element_at(v, m * ds + 1).cast("double") * F.element_at(
+                cbf, base + 1
+            )
+            for j in range(1, ds):
+                acc = acc + F.element_at(v, m * ds + (j + 1)).cast(
+                    "double"
+                ) * F.element_at(cbf, base + (j + 1))
+            return F.struct(
+                (sd - F.lit(2) * acc + cc).alias("d"),
+                k.alias("k"),
+            )
+
+        return F.element_at(
+            F.array_sort(
+                F.transform(F.slice(ccf, m * n_codes + 1, n_codes), entry)
+            ),
+            1,
+        ).getField("k")
+
+    return F.transform(sds, per_subspace)
 
 
 def pq_encode(
@@ -140,9 +204,10 @@ def pq_encode(
     extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id[, extra_cols], codes array<int>) — ZERO exchanges: code
-    assignment is a pure projection with literal centroids (one parsed
-    SQL string; the Column-API equivalent costs thousands of py4j
-    round-trips). At scale this runs inside the corpus scan stage; the
+    assignment is a pure projection with the codebooks as
+    in-expression array Literals (one nested transform; see
+    _encode_codes_col for why not SQL text and not per-subspace Column
+    trees). At scale this runs inside the corpus scan stage; the
     output is M small ints per row, the 32x scan-compression PQ exists
     for."""
     n_sub = len(codebooks)
@@ -161,10 +226,9 @@ def pq_encode(
         *extra,
         *[f"({sd[m]}) AS _sd{m}" for m in range(n_sub)],
     )
-    codes = _encode_exprs(codebooks, vec_col)
     keep = ([id_col, vec_col] if keep_vec else [id_col]) + extra
-    return staged.selectExpr(
-        *keep, f"array({', '.join(codes)}) AS codes"
+    return staged.select(
+        *keep, _encode_codes_col(codebooks, vec_col).alias("codes")
     )
 
 
@@ -223,16 +287,34 @@ def train_pq_codebooks(
     return cbs
 
 
-def _recon_expr(codebooks: Codebooks) -> str:
-    """SQL for the reconstructed vector: concat of the chosen centroid
-    per subspace (literal array-of-arrays, indexed by the code)."""
-    parts = []
-    for m, cb in enumerate(codebooks):
-        arrs = ", ".join(
-            "array(" + ", ".join(_dbl(x) for x in c) + ")" for c in cb
+def _recon_col(codebooks: Codebooks, codes_col: str = "codes"):
+    """Column for the reconstructed vector: the chosen centroid per
+    subspace, concatenated in subspace order — each a ds-wide slice of
+    ONE flat codebook Literal (subspace m entry k at [(m*K + k)*ds,
+    …+ds)), addressed by the code; `flatten(transform(...))` over the
+    subspace range is the same left-to-right concat as the old
+    per-subspace element_at chain. In-expression Literals for the same
+    reasons as _encode_codes_col (no SQL text to parse, no per-row
+    literal-column materialization, no py4j storm)."""
+    n_sub = len(codebooks)
+    n_codes = len(codebooks[0])
+    ds = len(codebooks[0][0])
+    rbf = _np_dbl_lit([x for cb in codebooks for c in cb for x in c])
+    codes = F.col(codes_col)
+    # One `codes` reference PER SUBSPACE (not one reference inside a
+    # lambda): CollapseProject inlines a single-use non-cheap alias
+    # into its consumer, and inside a transform lambda that would
+    # re-evaluate the entire encode argmin once per subspace —
+    # measured 30x slower. Sixteen references keep the projection
+    # boundary, so codes materializes once per row (the winnowing
+    # multiply-referenced-array lesson).
+    parts = [
+        F.slice(
+            rbf, (m * n_codes + F.element_at(codes, m + 1)) * ds + 1, ds
         )
-        parts.append(f"element_at(array({arrs}), codes[{m}] + 1)")
-    return f"concat({', '.join(parts)})"
+        for m in range(n_sub)
+    ]
+    return F.concat(*parts)
 
 
 def _exact_rerank(
@@ -327,8 +409,9 @@ def pq_adc_topk(
             corpus, n_sub, n_codes, iters, id_col, vec_col
         )
     dim = _probe_dim(corpus, vec_col)
-    enc = pq_encode(spread(corpus), codebooks, id_col, vec_col).selectExpr(
-        f"{id_col} AS neighbor_id", f"{_recon_expr(codebooks)} AS _r"
+    enc = pq_encode(spread(corpus), codebooks, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        _recon_col(codebooks).alias("_r"),
     )
     q = queries.selectExpr(
         f"{id_col} AS query_id", f"{vec_col} AS _qv"
@@ -418,10 +501,10 @@ def ivfpq_topk(
         id_col=id_col,
         vec_col=vec_col,
         extra_cols=["cell_id"],
-    ).selectExpr(
-        f"{id_col} AS neighbor_id",
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
         "cell_id",
-        f"{_recon_expr(codebooks)} AS _r",
+        _recon_col(codebooks).alias("_r"),
     )
     q = with_cells(queries, "query_id", "_qv", "_qn", n_probe).withColumn(
         "_qq", dot(F.col("_qv"), F.col("_qv"), dim)

@@ -759,7 +759,7 @@ class IvfPqVectorStore:
         |Q|*k*rerank ids and rides BROADCAST into the raw scan, so the
         refine step never moves the corpus; recall@5 0.48 -> ~0.8
         measured (BENCH_IVFPQ_r10.json)."""
-        from dod_etl_spark.operators.pq import _exact_rerank, _recon_expr
+        from dod_etl_spark.operators.pq import _exact_rerank, _recon_col
         from dod_etl_spark.operators.similarity import _cell_assigner, dot
         from dod_etl_spark.streaming.tombstones import exclude_tombstoned
 
@@ -777,10 +777,10 @@ class IvfPqVectorStore:
         q = _cell_assigner(self._cents(), dim, id_col, vec_col)(
             queries, "query_id", "_qv", "_qn", n_probe
         ).withColumn("_qq", dot(F.col("_qv"), F.col("_qv"), dim))
-        c = self.spark.table(self.table).selectExpr(
+        c = self.spark.table(self.table).select(
             "cell_id",
-            "vec_id AS neighbor_id",
-            f"{_recon_expr(self._cbs())} AS _r",
+            F.col("vec_id").alias("neighbor_id"),
+            _recon_col(self._cbs()).alias("_r"),
         )
         committed = exclude_tombstoned(
             self.spark,

@@ -56,10 +56,10 @@ def _exact_l2_topk(spark, emb, k=5):
 
 
 def _mean_qerr(emb, cbs):
-    from dod_etl_spark.operators.pq import _recon_expr
+    from dod_etl_spark.operators.pq import _recon_col
 
-    r = pq_encode(emb, cbs, keep_vec=True).selectExpr(
-        "embedding AS v", _recon_expr(cbs) + " AS r"
+    r = pq_encode(emb, cbs, keep_vec=True).select(
+        F.col("embedding").alias("v"), _recon_col(cbs).alias("r")
     )
     d = (
         dot(F.col("v"), F.col("v"), DIM)
