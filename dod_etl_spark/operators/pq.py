@@ -89,6 +89,47 @@ def seed_pq_codebooks(
     ]
 
 
+def seed_pq_index(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    n_cells: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[Codebooks, list[tuple[int, list[float]]], int]:
+    """(codebooks, coarse centroids, dim) from ONE metadata collect.
+
+    seed_pq_codebooks + seed_centroids + _probe_dim each run their own
+    driver job (a filtered collect / a first()); a PQ or IVF-PQ query
+    build paid 3-4 such jobs before any real work — pure per-build
+    scheduling latency at any data scale. The selections are nested
+    (centroid ids < n_cells <= codebook ids < n_codes, dim from any
+    vector), so one collect of the n_codes lowest-id vectors serves
+    all three with IDENTICAL values: codebook[m][k] is the subspace-m
+    slice of the k-th lowest id, a centroid is (id, vector) for
+    id < n_cells, dim is the uniform vector width."""
+    if n_cells > n_codes:
+        raise ValueError(f"n_cells {n_cells} > n_codes {n_codes}")
+    rows = (
+        corpus.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("k"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    byid = {int(r["k"]): [float(x) for x in r["v"]] for r in rows}
+    if not byid:
+        raise ValueError(f"no rows with {id_col} < {n_codes} to seed from")
+    dim = len(next(iter(byid.values())))
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    ds = dim // n_sub
+    cbs = [
+        [byid[k][m * ds : (m + 1) * ds] for k in sorted(byid)]
+        for m in range(n_sub)
+    ]
+    cents = [(k, byid[k]) for k in sorted(byid) if k < n_cells]
+    return cbs, cents, dim
+
+
 def _np_dbl_lit(values: list[float]):
     """One `array<double>` plan Literal from a Python float list with a
     SINGLE bulk byte transfer to the JVM. The slow alternatives this
@@ -382,6 +423,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     round_digits: int = 3,
     rerank: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """ADC top-k by squared L2: for each query (full precision), the k
     corpus vectors with the smallest asymmetric distance to their PQ
@@ -408,7 +450,8 @@ def pq_adc_topk(
         codebooks = train_pq_codebooks(
             corpus, n_sub, n_codes, iters, id_col, vec_col
         )
-    dim = _probe_dim(corpus, vec_col)
+    if dim is None:  # callers with seed_pq_index pass it: one less job
+        dim = _probe_dim(corpus, vec_col)
     enc = pq_encode(spread(corpus), codebooks, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         _recon_col(codebooks).alias("_r"),
@@ -455,6 +498,7 @@ def ivfpq_topk(
     round_digits: int = 3,
     rerank: int = 0,
     centroids: list[tuple[int, list[float]]] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the FAISS IndexIVFPQ composition — IVF cells cut the
     CANDIDATE COUNT (each query scores ~n_probe/n_cells of the corpus),
@@ -484,7 +528,8 @@ def ivfpq_topk(
         seed_centroids,
     )
 
-    dim = _probe_dim(corpus, vec_col)
+    if dim is None:  # callers with seed_pq_index pass it: one less job
+        dim = _probe_dim(corpus, vec_col)
     cents = (
         centroids
         if centroids is not None

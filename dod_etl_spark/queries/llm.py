@@ -825,13 +825,13 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     CANDIDATES, PQ cuts BYTES PER CANDIDATE — and the entire
     quantize-encode-search path is oracle-replayed hash-exact (vs
     ivf_kmeans_topk's rows-only trained twin)."""
-    from dod_etl_spark.operators.pq import pq_adc_topk, seed_pq_codebooks
+    from dod_etl_spark.operators.pq import pq_adc_topk, seed_pq_index
 
     emb = t(spark, sf_dir, "embeddings")
-    cbs = seed_pq_codebooks(emb, n_sub=16, n_codes=64)
+    cbs, _, dim = seed_pq_index(emb, n_sub=16, n_codes=64)
     return pq_adc_topk(
         emb.filter(F.col("vec_id") < 10), emb, k=5, codebooks=cbs,
-        n_sub=16, n_codes=64,
+        n_sub=16, n_codes=64, dim=dim,
     )
 
 
@@ -846,13 +846,13 @@ def pq_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the second stage moves |Q|*40 ids, not vectors; both stage
     boundaries are rounded-deterministic and the oracle replays the
     full two-stage path hash-exact."""
-    from dod_etl_spark.operators.pq import pq_adc_topk, seed_pq_codebooks
+    from dod_etl_spark.operators.pq import pq_adc_topk, seed_pq_index
 
     emb = t(spark, sf_dir, "embeddings")
-    cbs = seed_pq_codebooks(emb, n_sub=8, n_codes=16)
+    cbs, _, dim = seed_pq_index(emb, n_sub=8, n_codes=16)
     return pq_adc_topk(
         emb.filter(F.col("vec_id") < 10), emb, k=5, codebooks=cbs,
-        rerank=8,
+        rerank=8, dim=dim,
     )
 
 
@@ -886,10 +886,10 @@ def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace has stopped encoding information; retrain/rebuild, the
     cell_balance posture). Zero-shuffle encode + one map-combined
     aggregate; hash-exact oracle via the relational codebook rebuild."""
-    from dod_etl_spark.operators.pq import pq_encode, seed_pq_codebooks
+    from dod_etl_spark.operators.pq import pq_encode, seed_pq_index
 
     emb = t(spark, sf_dir, "embeddings")
-    cbs = seed_pq_codebooks(emb, n_sub=16, n_codes=64)
+    cbs, _, _ = seed_pq_index(emb, n_sub=16, n_codes=64)
     enc = pq_encode(emb, cbs)
     per_code = (
         enc.select(
@@ -981,10 +981,10 @@ def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quantizer, codes, pruning, and ranking are ALL replayed
     relationally, so the whole composed index is hash-checked
     (candidate-count × candidate-width reduction, zero black boxes)."""
-    from dod_etl_spark.operators.pq import ivfpq_topk, seed_pq_codebooks
+    from dod_etl_spark.operators.pq import ivfpq_topk, seed_pq_index
 
     emb = t(spark, sf_dir, "embeddings")
-    cbs = seed_pq_codebooks(emb, n_sub=16, n_codes=64)
+    cbs, cents, dim = seed_pq_index(emb, n_sub=16, n_codes=64, n_cells=8)
     return ivfpq_topk(
         emb.filter(F.col("vec_id") < 10),
         emb,
@@ -994,6 +994,8 @@ def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebooks=cbs,
         n_sub=16,
         n_codes=64,
+        centroids=cents,
+        dim=dim,
     )
 
 
@@ -1008,10 +1010,10 @@ def ivfpq_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     width cut by PQ, and the only full-precision touches are |Q|*40
     broadcast-joined rows. Both stage boundaries rounded-deterministic;
     the oracle replays the complete three-layer index hash-exact."""
-    from dod_etl_spark.operators.pq import ivfpq_topk, seed_pq_codebooks
+    from dod_etl_spark.operators.pq import ivfpq_topk, seed_pq_index
 
     emb = t(spark, sf_dir, "embeddings")
-    cbs = seed_pq_codebooks(emb, n_sub=8, n_codes=16)
+    cbs, cents, dim = seed_pq_index(emb, n_sub=8, n_codes=16, n_cells=8)
     return ivfpq_topk(
         emb.filter(F.col("vec_id") < 10),
         emb,
@@ -1020,6 +1022,8 @@ def ivfpq_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=2,
         codebooks=cbs,
         rerank=8,
+        centroids=cents,
+        dim=dim,
     )
 
 
