@@ -501,5 +501,8 @@ def bfs_hops(
             "hop", F.lit(i).cast("long")
         )
         frontier = new.localCheckpoint(eager=True)
-        reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+        # reached is a UNION of already-checkpointed frontiers — lazy by
+        # construction (every leaf is materialized, nothing can replay),
+        # so checkpointing it again only added one eager job per round.
+        reached = reached.unionByName(frontier)
     return reached
