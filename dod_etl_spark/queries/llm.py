@@ -1710,8 +1710,16 @@ def ngram_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tk = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
         n = _NGRAM_DECON_N
         idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1)))
-        g = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
-        return df.select("doc_id", F.explode(g).alias("gram"))
+        # gram assembled after the position explode (codegen) rather
+        # than inside a transform() lambda (interpreted) — same strings
+        return df.select(
+            "doc_id", tk.alias("_tk"), F.explode(idx).alias("_i")
+        ).select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("_tk"), F.col("_i"), n)).alias(
+                "gram"
+            ),
+        )
 
     hold_grams = grams(holdout).select("gram").distinct()
     contaminated = (

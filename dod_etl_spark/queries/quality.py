@@ -216,15 +216,25 @@ def lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     tk = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     toks = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 2)
-    bigram = F.transform(
-        F.sequence(F.lit(1), F.size("tk") - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1)
-        ),
+    # bigrams are assembled AFTER the position explode (a codegen
+    # projection), not inside a transform() lambda (interpreted
+    # CodegenFallback) — the gram_rows lesson; same rows, same strings.
+    bg = (
+        toks.select(
+            "doc_id",
+            "tk",
+            F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("tk"), F.col("_i")),
+                F.element_at(F.col("tk"), F.col("_i") + 1),
+            ).alias("bigram"),
+        )
+        .localCheckpoint(eager=True)
     )
-    bg = toks.select(
-        "doc_id", F.explode(bigram).alias("bigram")
-    ).localCheckpoint(eager=True)
     c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
     c1 = (
         c2.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
@@ -2114,19 +2124,23 @@ def kn_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tk.alias("tk"),
         (hash_bucket(F.col("doc_id"), _KN_SEED) >= _KN_TRAIN_CUT).alias("is_train"),
     ).filter(F.size("tk") >= 2)
-    bigram = F.transform(
-        F.sequence(F.lit(1), F.size("tk") - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1)
-        ),
-    )
+    # (w1, w2) taken straight from the token array after the position
+    # explode — the old form built "w1 w2" inside a transform() lambda
+    # (interpreted) and split it back with split_part; tokens are
+    # split-on-space non-empty so the round-trip was the identity, and
+    # the explode-first projection whole-stage-compiles.
     bg = (
-        toks.select("doc_id", "is_train", F.explode(bigram).alias("bigram"))
+        toks.select(
+            "doc_id",
+            "is_train",
+            "tk",
+            F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("_i"),
+        )
         .select(
             "doc_id",
             "is_train",
-            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
-            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+            F.element_at(F.col("tk"), F.col("_i")).alias("w1"),
+            F.element_at(F.col("tk"), F.col("_i") + 1).alias("w2"),
         )
         .localCheckpoint(eager=True)
     )
