@@ -80,16 +80,16 @@ def nb_score(
     fans each token occurrence by |classes| (a small constant); every
     aggregate map-combines.
 
-    The grid rides BROADCAST: it is vocab x |classes| rows of three
-    scalars (metadata-sized next to the token stream), but it derives
-    from a crossJoin + outer join whose size the planner cannot
-    estimate, so without the hint the TOKEN STREAM was shuffled by tok
-    for a sort-merge join — the corpus-side exchange this operator
-    exists to avoid (measured 1.77 s -> 1.42 s at sf0.1; the win is
-    the removed token-stream exchange, which grows with corpus size
-    while the grid does not). A web-scale vocabulary whose grid
-    outgrows the broadcast cap would drop the hint and accept the
-    vocab-keyed shuffle."""
+    The grid rides BROADCAST with an explicit hint: it is
+    vocab x |classes| rows of three scalars (metadata-sized next to
+    the token stream), but it derives from a crossJoin + outer join
+    whose size the planner cannot estimate — and explode fan-out is
+    equally invisible to it, so the planner's static plan built the
+    hash join on the EXPLODED CORPUS TOKEN STREAM (a BroadcastExchange
+    over (doc_id, tok); plans/r10/nb_source_classifier_before.txt) —
+    merely slower at sf0.1 (1.77 s -> 1.42 s measured), an OOM at
+    100 TB. A web-scale vocabulary whose grid outgrows the broadcast
+    cap would drop the hint and accept the vocab-keyed shuffle."""
     tk = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
     doc_toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tk).alias("tok")
