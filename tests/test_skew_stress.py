@@ -209,10 +209,19 @@ def test_salted_join_beats_unsalted_on_hot_key(spark):
             ).first()
             return time.perf_counter() - t0, r["s"]
 
-        t_plain, sum_plain = timed(lambda: events.join(dim, "equipment"))
-        t_salted, sum_salted = timed(
-            lambda: salted_join(events, dim, ["equipment"], n_salts=32)
+        # Interleaved min-of-2 per side (the bench.py protocol's
+        # reasoning): a single-shot wall comparison flips under
+        # external box noise — observed same-code swings of 2-5x on
+        # this sandbox — while mins of interleaved runs cancel drift
+        # without weakening the 1.5x pin.
+        plain = lambda: events.join(dim, "equipment")  # noqa: E731
+        salted = lambda: salted_join(  # noqa: E731
+            events, dim, ["equipment"], n_salts=32
         )
+        t_plain, sum_plain = timed(plain)
+        t_salted, sum_salted = timed(salted)
+        t_plain = min(t_plain, timed(plain)[0])
+        t_salted = min(t_salted, timed(salted)[0])
         assert sum_plain == sum_salted  # identical joined content
         assert t_plain >= 1.5 * t_salted, (
             f"salted {t_salted:.2f}s vs plain {t_plain:.2f}s — win below 1.5x"
