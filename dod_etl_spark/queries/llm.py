@@ -2623,15 +2623,16 @@ def rarity_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency of its token instances, rational (total/cnt) not
     ln-based so both engines compute bit-identical IEEE ops.
 
-    Shape: explode -> (doc,tok) tf [shuffle 1], MATERIALIZED once —
-    the (total, window, thresholds) consumers would otherwise each
-    replay the tokenize lineage (measured: 4 parquet scans / 11
-    exchanges without the checkpoints, 1 scan / 4 with; Spark plans
-    every broadcast input independently). The tf frame is the
-    token-frequency table a tf-idf pipeline persists anyway, and it
-    carries (doc_id, tok, count), never text. Then: corpus frequency
-    as sum() OVER (PARTITION BY tok) on the SAME frame [shuffle 2] ->
-    per-doc decimal-exact mean [shuffle 3], materialized (1 row/doc)
+    Shape: the MODEL is the vocab-bounded per-token corpus count
+    (one map-combined groupBy(tok) over the occurrence stream),
+    checkpointed once — the corpus total derives from it by a 1-row
+    aggregate, so nothing corpus-scale is ever materialized (the old
+    form checkpointed the (doc,tok) tf frame — corpus-scale — and
+    shuffled it again through a sum() OVER (PARTITION BY tok)).
+    Per-doc scoring is then: explode -> (doc,tok) tf [shuffle 1] ->
+    broadcast join of the token counts (vocab-bounded; beyond the
+    broadcast cap it degrades to a hash join on the same key) ->
+    per-doc decimal-exact mean [shuffle 2], materialized (1 row/doc)
     -> the nine decile thresholds come back as ONE broadcast row
     (percentile array; the quality_cut scalar pattern) — a global
     ntile() would sort the corpus on a single partition."""
@@ -2639,16 +2640,15 @@ def rarity_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = F.explode(
         F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     ).alias("tok")
-    tf = (
-        docs.select("doc_id", tok)
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    inst = docs.select("doc_id", tok)
+    bytok = (
+        inst.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    total = tf.agg(F.sum("tf").alias("_total"))
-    cnt = tf.withColumn("cnt", F.sum("tf").over(Window.partitionBy("tok"))).crossJoin(
-        F.broadcast(total)
-    )
+    total = bytok.agg(F.sum("cnt").alias("_total"))
+    tf = inst.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.join(F.broadcast(bytok), "tok").crossJoin(F.broadcast(total))
     w_inst = (
         F.col("tf").cast("double")
         * (F.col("_total").cast("double") / F.col("cnt").cast("double"))
@@ -3186,23 +3186,28 @@ def remove_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     text's fingerprint plus kept/removed counts (scalars; the driver
     hash stays cheap). A doc that is pure boilerplate rebuilds to ''.
 
-    The chunk frame is materialized once and feeds the boilerplate
-    vote, the reassembly, and the per-doc totals (three consumers, one
-    tokenize). The boilerplate fingerprint set broadcasts (16-byte
-    fps); reassembly is one shuffle carrying kept chunk texts — the
-    irreducible payload of a TRANSFORM op (the report twin
-    chunk_dedup_stats moves fingerprints only)."""
+    The boilerplate VOTE result (duplicated fps — aggregate-bounded)
+    is materialized once; the chunk frame itself is recomputed by its
+    consumers (vote build, reassembly, per-doc totals — each a
+    map-only tokenize), never checkpointed at corpus-text scale. The
+    boilerplate fingerprint set broadcasts (16-byte fps); reassembly
+    is one shuffle carrying kept chunk texts — the irreducible payload
+    of a TRANSFORM op (the report twin chunk_dedup_stats moves
+    fingerprints only)."""
     from dod_etl_spark.operators.chunking import chunk_tokens
 
     docs = t(spark, sf_dir, "documents")
-    chunks = chunk_tokens(
-        docs, window=_BP_W, stride=_BP_W, keep_text=True
-    ).localCheckpoint(eager=True)
+    # The chunk frame carries chunk TEXT — corpus-scale; materializing
+    # it is a spill bomb at 100 TB. Checkpoint the boilerplate-vote
+    # RESULT instead (duplicated fps only — aggregate-bounded) and let
+    # each chunk consumer re-run the map-only tokenize lineage.
+    chunks = chunk_tokens(docs, window=_BP_W, stride=_BP_W, keep_text=True)
     bp = (
         chunks.groupBy("chunk_fp")
         .agg(F.countDistinct("doc_id").alias("_nd"))
         .where(F.col("_nd") >= 2)
         .select("chunk_fp")
+        .localCheckpoint(eager=True)
     )
     kept = chunks.join(F.broadcast(bp), "chunk_fp", "left_anti")
     ordered = F.transform(
@@ -4232,34 +4237,44 @@ def _audit_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    # Checkpointed once: the audit reads this frame from four branches
-    # (winner rule, holdout fps, decon corpus, final attribution join)
-    # — without the checkpoint the normalize+md5 corpus scan replays
-    # per branch (measured ~1.6x the whole audit at sf0.1). The audit
-    # is a diagnostics run; the corpus-sized checkpoint is its
-    # documented cost.
-    fp = (
+    # Checkpointed once WITHOUT the text column: the audit reads this
+    # frame from three branches (holdout fps, the train gate feeding
+    # the winner rule, final attribution join) — without the checkpoint
+    # the normalize+md5 corpus scan replays per branch (measured ~1.6x
+    # the whole audit at sf0.1). Materializing norm_text here would be
+    # a corpus-text write (the 100 TB spill bomb); the one branch that
+    # needs text (the winner/kept aggregation) re-runs the map-only
+    # normalize over the scan instead.
+    fp = docs.select(
+        "doc_id",
+        q.alias("q"),
+        hash_bucket(F.col("doc_id"), 7).alias("_b"),
+        F.md5(norm.cast("binary")).alias("norm_fp"),
+    ).localCheckpoint(eager=True)
+
+    holdout = (
+        fp.where(F.col("_b") < 1000).select("norm_fp").distinct()
+    )
+    # ONE aggregation serves both the winner rule and the kept corpus
+    # (win_doc IS kept's min(doc_id) — the old form ran the same
+    # groupBy(norm_fp) over train twice). Text rides only this branch:
+    # a second map-only normalize pass over the scan, gated to train.
+    kept = (
         docs.select(
             "doc_id",
             norm.alias("norm_text"),
             q.alias("q"),
             hash_bucket(F.col("doc_id"), 7).alias("_b"),
         )
-        .withColumn("norm_fp", F.md5(F.col("norm_text").cast("binary")))
+        .where((F.col("_b") >= 1000) & (F.col("q") >= 0.25))
+        .groupBy(F.md5(F.col("norm_text").cast("binary")).alias("norm_fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"), F.min("norm_text").alias("norm_text")
+        )
         .localCheckpoint(eager=True)
     )
-
-    train = fp.where((F.col("_b") >= 1000) & (F.col("q") >= 0.25))
-    win = train.groupBy("norm_fp").agg(F.min("doc_id").alias("win_doc"))
-    holdout = (
-        fp.where(F.col("_b") < 1000).select("norm_fp").distinct()
-    )
-    kept = train.groupBy("norm_fp").agg(
-        F.min("doc_id").alias("doc_id"), F.min("norm_text").alias("norm_text")
-    )
-    decon = kept.join(F.broadcast(holdout), "norm_fp", "left_anti").localCheckpoint(
-        eager=True
-    )
+    win = kept.select("norm_fp", F.col("doc_id").alias("win_doc"))
+    decon = kept.join(F.broadcast(holdout), "norm_fp", "left_anti")
     edges = _edges(
         decon, text_col="norm_text", num_hashes=8, band_size=4, shingle_len=5
     )

@@ -211,31 +211,39 @@ def lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-occurrence stream joins back on the bigram key (AQE broadcasts
     the model side while it fits; at web-corpus vocabulary it degrades
     to a hash-partitioned join on the same key — no new shape). The
-    bigram stream is materialized once and feeds model-build and
-    scoring, so the tokenize/explode lineage runs once."""
+    MODEL (bigram counts, vocab^2-bounded) is materialized once; the
+    per-occurrence bigram stream is recomputed by each of its two
+    consumers — a map-only tokenize+explode — rather than materialized
+    at corpus x positions scale."""
     docs = t(spark, sf_dir, "documents")
     tk = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     toks = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 2)
     # bigrams are assembled AFTER the position explode (a codegen
     # projection), not inside a transform() lambda (interpreted
     # CodegenFallback) — the gram_rows lesson; same rows, same strings.
-    bg = (
-        toks.select(
-            "doc_id",
-            "tk",
-            F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("_i"),
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.element_at(F.col("tk"), F.col("_i")),
-                F.element_at(F.col("tk"), F.col("_i") + 1),
-            ).alias("bigram"),
-        )
+    bg = toks.select(
+        "doc_id",
+        "tk",
+        F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("_i"),
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at(F.col("tk"), F.col("_i")),
+            F.element_at(F.col("tk"), F.col("_i") + 1),
+        ).alias("bigram"),
+    )
+    # The checkpoint sits on the AGGREGATED counts (vocab^2-bounded),
+    # not on the exploded per-occurrence stream: materializing bg is a
+    # corpus x positions write — a spill bomb at 100 TB — while both of
+    # its consumers only re-run a map-only tokenize+explode lineage
+    # (model build once, scoring once). c1 derives from c2, so the
+    # whole model hangs off this one bounded frame.
+    c2 = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c2"))
         .localCheckpoint(eager=True)
     )
-    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
     c1 = (
         c2.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
         .groupBy("w1")
@@ -2108,10 +2116,12 @@ def kn_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     millionths (see the derivation above) — no float log, no
     cross-engine drift.
 
-    Scale shape: the bigram stream materializes once and feeds model
-    build + scoring; the model is three map-combined aggregations off
-    ONE distinct-bigram frame (ctx and cont are per-key row counts of
-    c2, not second corpus passes); Nbb rides as a broadcast 1-row
+    Scale shape: the MODEL materializes once (the distinct-bigram
+    count frame, vocab^2-bounded) while the per-occurrence bigram
+    stream is recomputed map-only by its two consumers; the model is
+    three map-combined aggregations off that ONE checkpointed frame
+    (ctx and cont are per-key row counts of c2, not second corpus
+    passes); Nbb rides as a broadcast 1-row
     scalar; scoring joins on the bigram key (AQE broadcasts the model
     while it fits, hash join on the same key beyond — the
     lm_score_docs shape)."""
@@ -2129,20 +2139,21 @@ def kn_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (interpreted) and split it back with split_part; tokens are
     # split-on-space non-empty so the round-trip was the identity, and
     # the explode-first projection whole-stage-compiles.
-    bg = (
-        toks.select(
-            "doc_id",
-            "is_train",
-            "tk",
-            F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("_i"),
-        )
-        .select(
-            "doc_id",
-            "is_train",
-            F.element_at(F.col("tk"), F.col("_i")).alias("w1"),
-            F.element_at(F.col("tk"), F.col("_i") + 1).alias("w2"),
-        )
-        .localCheckpoint(eager=True)
+    # No checkpoint on the per-occurrence stream: its two consumers
+    # (model build, scoring) each re-run a map-only tokenize+explode;
+    # materializing bg would be a corpus x positions write — the wrong
+    # trade at 100 TB. The MODEL frame (c2, vocab^2-bounded) below is
+    # the one that checkpoints.
+    bg = toks.select(
+        "doc_id",
+        "is_train",
+        "tk",
+        F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("_i"),
+    ).select(
+        "doc_id",
+        "is_train",
+        F.element_at(F.col("tk"), F.col("_i")).alias("w1"),
+        F.element_at(F.col("tk"), F.col("_i") + 1).alias("w2"),
     )
     c2 = (
         bg.where("is_train")
